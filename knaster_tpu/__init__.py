@@ -1,0 +1,104 @@
+"""knaster_tpu — a TPU-native sound-synthesis framework.
+
+A ground-up re-design of the capabilities of ErikNatanael/knaster (a Rust
+realtime audio-graph framework) for TPU hardware with JAX/XLA/Pallas:
+
+* a dynamically editable audio **Graph** whose commits compile the UGen DAG
+  into one fused XLA program (instead of per-node dispatch on an audio thread)
+* per-sample DSP state carried functionally through the block renderer
+* sample-accurate, smoothable, audio-rate-modulatable parameters via a
+  masked-ramp parameter engine (instead of block-splitting wrappers)
+* non-realtime (bounce) rendering as the primary path; thousands of voices
+  batched across VPU lanes and sharded over device meshes
+
+Quick start (the reference README example)::
+
+    import knaster_tpu as kt
+
+    graph, proc = kt.AudioProcessor.new(inputs=0, outputs=2)
+    def build(g):
+        sine = g.push(kt.SinWt(440.0))
+        amp = g.push(kt.Constant(0.2))
+        sig = sine * amp
+        sig.out([0, 0]).to_graph_out()
+        return sine.param("freq"), amp.param("value")
+    freq, amp = graph.edit(build)
+    audio = proc.render(seconds=2.0)   # [2, 96000]
+"""
+
+from .primitives import (
+    Beats,
+    FloatHint,
+    IntegerHint,
+    Param,
+    ParameterKind,
+    Seconds,
+    Smoothing,
+    default_dtype,
+    enable_f64,
+    pbool,
+    pfloat,
+    pinteger,
+    ptrigger,
+)
+from .core.ugen import AudioCtx, UGen, sample_scan
+from .graph.graph import Done, Graph, GraphError, CircularConnection
+from .graph.handles import Handle, Parameter, Source
+from .graph.processor import AudioProcessor, AudioProcessorOptions
+from .graph.scheduling import Time
+from .ugens.math import Math1UGen, MathUGen
+from .ugens.osc import OscWt, Phasor, SinNumeric, SinWt
+from .ugens.util import Constant, DoneOnTrig, LogProbe
+from .ugens.wavetable import NonAaWavetable, Wavetable
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AudioCtx",
+    "AudioProcessor",
+    "AudioProcessorOptions",
+    "Beats",
+    "CircularConnection",
+    "Constant",
+    "Done",
+    "DoneOnTrig",
+    "FloatHint",
+    "Graph",
+    "GraphError",
+    "Handle",
+    "IntegerHint",
+    "LogProbe",
+    "Math1UGen",
+    "MathUGen",
+    "NonAaWavetable",
+    "OscWt",
+    "Param",
+    "Parameter",
+    "ParameterKind",
+    "Phasor",
+    "Seconds",
+    "SinNumeric",
+    "SinWt",
+    "Smoothing",
+    "Source",
+    "Time",
+    "UGen",
+    "Wavetable",
+    "default_dtype",
+    "enable_f64",
+    "pbool",
+    "pfloat",
+    "pinteger",
+    "ptrigger",
+    "sample_scan",
+]
+
+
+def knaster(outputs: int = 2, sample_rate: int = 48000, block_size: int = 64):
+    """One-liner entry point (reference knaster/src/lib.rs:79 ``knaster()``).
+
+    Returns a ``(graph, processor)`` pair ready for offline rendering; attach
+    a streaming backend from :mod:`knaster_tpu.backends` for live output.
+    """
+    opts = AudioProcessorOptions(block_size=block_size, sample_rate=sample_rate)
+    return AudioProcessor.new(inputs=0, outputs=outputs, options=opts)

@@ -1,0 +1,345 @@
+"""Graph compiler: DAG -> one fused, jitted block-render function.
+
+TPU-native replacement for the reference's task compilation pipeline
+(knaster_graph/src/graph.rs commit_changes:1707-1726 → calculate_node_order →
+allocate_node_buffers → generate_task_data, and the audio-thread executor
+graph_gen.rs:77-238). Where the reference produces a ``Box<[Task]>`` of raw
+pointers run sequentially on the audio thread, we trace every node's pure
+``process`` in topological order into a single XLA program; buffer allocation
+(buffer_allocator.rs) disappears — XLA's fusion/buffer assignment owns it.
+
+* Additive connects: summed at trace time (XLA fuses the adds).
+* Feedback edges: read previous-block outputs carried in the state pytree
+  (one-block delay, matching FeedbackSink/Source semantics and the
+  feedback_nodes tests in knaster_graph/src/tests/graph_tests.rs:186-254).
+* Subgraphs are inlined — GraphGen-as-UGen recursion becomes function calls.
+* Node state survives recompiles: ``carry_state`` re-keys the state pytree by
+  stable node ids (UGenEnum::TakeFromTask parity, node.rs:132-150).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ugen import AudioCtx, normalize_process_result
+from .graph import Done, Graph, GraphError, NodeEntry
+from .handles import K_GRAPH_IN, K_NODE
+from .param_engine import ParamLayout, PEngine, empty_events, init_state as pe_init_state
+
+
+def _fb_key(nid: int, ch: int) -> str:
+    return f"{nid}:{ch}"
+
+
+@dataclass
+class CompiledGraph:
+    graph: Graph
+    ctx: AudioCtx
+    layout: ParamLayout
+    engine: PEngine
+    order: List[int]
+    entries: Dict[int, NodeEntry]
+    resolved_in: Dict[int, List[List[Tuple[str, Optional[int], int]]]]
+    resolved_out: List[List[Tuple[str, Optional[int], int]]]
+    resolved_param_edges: Dict[Tuple[int, int], Tuple[int, int]]
+    fb_sources: List[Tuple[int, int]]
+    event_capacity: int
+    # host-side free bookkeeping: flattened nid -> chain of enclosing
+    # subgraph node ids (innermost first), for Done.FREE_PARENT routing
+    enclosing: Dict[int, List[int]]
+    render: Any = None  # jitted fn(state, events, inputs) -> (state, out, done)
+    render_raw: Any = None  # the untraced fn, for embedding in outer scans
+    revision: int = -1
+
+    # ------------------------------------------------------------------
+    def init_state(self, prev: Optional[dict] = None,
+                   prev_compiled: Optional["CompiledGraph"] = None) -> dict:
+        """Build the state pytree, carrying state over from a previous commit
+        (TakeFromTask parity: same node id => same state)."""
+        ctx = self.ctx
+        nodes = {}
+        prev_nodes = (prev or {}).get("nodes", {})
+        for nid in self.order:
+            key = str(nid)
+            if key in prev_nodes:
+                nodes[key] = prev_nodes[key]
+            else:
+                nodes[key] = self.entries[nid].ugen.init(ctx)
+        pe = pe_init_state(self.layout, dtype=ctx.dtype)
+        if prev is not None and prev_compiled is not None:
+            pe = dict(pe)
+            old = prev.get("pe", {})
+            old_layout = prev_compiled.layout
+            # carry per-slot float/int values across the re-layout
+            for (nid, pidx), (typ, slot) in self.layout.slots.items():
+                if (nid, pidx) in old_layout.slots:
+                    otyp, oslot = old_layout.slots[(nid, pidx)]
+                    if otyp == typ:
+                        if typ == "float":
+                            for k in ("value", "target", "step", "remaining",
+                                      "smode", "sdur", "srate"):
+                                pe[k] = pe[k].at[slot].set(old[k][oslot])
+                        elif typ == "int":
+                            pe["int_value"] = pe["int_value"].at[slot].set(
+                                old["int_value"][oslot]
+                            )
+        fb = {}
+        prev_fb = (prev or {}).get("fb", {})
+        for (nid, ch) in self.fb_sources:
+            key = _fb_key(nid, ch)
+            fb[key] = prev_fb.get(
+                key, jnp.zeros((ctx.block_size,), dtype=ctx.dtype)
+            )
+        return {"nodes": nodes, "pe": pe, "fb": fb}
+
+    def empty_events(self):
+        return empty_events(self.event_capacity, dtype=self.ctx.dtype)
+
+    @property
+    def node_index(self) -> Dict[int, int]:
+        return {nid: i for i, nid in enumerate(self.order)}
+
+
+def compile_graph(graph: Graph, event_capacity: int = 64) -> CompiledGraph:
+    root = graph.root()
+    ctx = AudioCtx(root.sample_rate, root.block_size, root.dtype)
+
+    entries_all = root.all_entries()
+    # flattened processable nodes (subgraph container nodes are inlined away)
+    proc_entries = {nid: e for nid, e in entries_all.items() if e.subgraph is None}
+
+    # ------------------------------------------------------------ resolution
+    def resolve_edge(g: Graph, edge, *, as_feedback=False, depth=0):
+        """Resolve one Edge into concrete sources: ('node'|'feedback', nid, ch)
+        or ('graph_in', None, root input ch)."""
+        if depth > 64:
+            raise GraphError("subgraph boundary resolution too deep (cycle?)")
+        out = []
+        fb = as_feedback or edge.kind == "feedback"
+        if edge.kind == K_GRAPH_IN:
+            if g.parent is None:
+                out.append(("graph_in", None, edge.ch))
+            else:
+                parent = g.parent
+                container_nid = g.node_id_in_parent
+                for e2 in parent.in_edges[container_nid][edge.ch]:
+                    out.extend(resolve_edge(parent, e2, as_feedback=fb, depth=depth + 1))
+        else:  # node or feedback
+            src_entry = entries_all[edge.src]
+            if src_entry.subgraph is not None:
+                child = src_entry.subgraph
+                for e2 in child.out_edges[edge.ch]:
+                    out.extend(resolve_edge(child, e2, as_feedback=fb, depth=depth + 1))
+            else:
+                out.append(("feedback" if fb else "node", edge.src, edge.ch))
+        return out
+
+    def owning(nid: int) -> Graph:
+        return root._owning_graph(nid)
+
+    resolved_in: Dict[int, List[List[Tuple[str, Optional[int], int]]]] = {}
+    for nid, e in proc_entries.items():
+        g = owning(nid)
+        per_ch = []
+        for ch in range(e.inputs):
+            srcs = []
+            for edge in g.in_edges[nid][ch]:
+                srcs.extend(resolve_edge(g, edge))
+            per_ch.append(srcs)
+        resolved_in[nid] = per_ch
+
+    resolved_out: List[List[Tuple[str, Optional[int], int]]] = []
+    for ch in range(root.outputs):
+        srcs = []
+        for edge in root.out_edges[ch]:
+            srcs.extend(resolve_edge(root, edge))
+        resolved_out.append(srcs)
+
+    # audio-rate param edges (resolve subgraph boundary on the source side)
+    resolved_param_edges: Dict[Tuple[int, int], Tuple[int, int]] = {}
+
+    def collect_param_edges(g: Graph):
+        for (dst_nid, pidx), edge in g.param_edges.items():
+            srcs = resolve_edge(g, edge)
+            if len(srcs) != 1 or srcs[0][0] != "node":
+                raise GraphError(
+                    "audio-rate param edges must resolve to exactly one "
+                    "same-block node output"
+                )
+            resolved_param_edges[(dst_nid, pidx)] = (srcs[0][1], srcs[0][2])
+        for e in g.nodes.values():
+            if e.subgraph is not None:
+                collect_param_edges(e.subgraph)
+
+    collect_param_edges(root)
+
+    # ------------------------------------------------------------ topo order
+    deps: Dict[int, set] = {nid: set() for nid in proc_entries}
+    for nid, per_ch in resolved_in.items():
+        for srcs in per_ch:
+            for kind, s, _c in srcs:
+                if kind == "node":
+                    deps[nid].add(s)
+    for (dst, _pidx), (src, _ch) in resolved_param_edges.items():
+        deps[dst].add(src)
+
+    order: List[int] = []
+    temp, perm = set(), set()
+
+    def visit(n):
+        if n in perm:
+            return
+        if n in temp:
+            raise GraphError("cycle detected at compile time")
+        temp.add(n)
+        for d in sorted(deps[n]):
+            visit(d)
+        temp.discard(n)
+        perm.add(n)
+        order.append(n)
+
+    for n in sorted(proc_entries):
+        visit(n)
+
+    # ------------------------------------------------------------ param slots
+    layout = ParamLayout()
+    for nid in order:
+        ugen = proc_entries[nid].ugen
+        for pidx, spec in enumerate(ugen.params):
+            layout.add(nid, pidx, spec.ptype, _instance_default(ugen, pidx))
+
+    engine = PEngine(layout, ctx.block_size, dtype=ctx.dtype)
+
+    # feedback buffers
+    fb_set = set()
+    for per_ch in resolved_in.values():
+        for srcs in per_ch:
+            for kind, s, c in srcs:
+                if kind == "feedback":
+                    fb_set.add((s, c))
+    for srcs in resolved_out:
+        for kind, s, c in srcs:
+            if kind == "feedback":
+                fb_set.add((s, c))
+    fb_sources = sorted(fb_set)
+
+    # enclosing subgraph-node chains for FREE_PARENT routing
+    enclosing: Dict[int, List[int]] = {}
+    for nid in order:
+        chain = []
+        g = owning(nid)
+        while g.parent is not None:
+            chain.append(g.node_id_in_parent)
+            g = g.parent
+        enclosing[nid] = chain
+
+    cg = CompiledGraph(
+        graph=root,
+        ctx=ctx,
+        layout=layout,
+        engine=engine,
+        order=order,
+        entries=proc_entries,
+        resolved_in=resolved_in,
+        resolved_out=resolved_out,
+        resolved_param_edges=resolved_param_edges,
+        fb_sources=fb_sources,
+        event_capacity=event_capacity,
+        enclosing=enclosing,
+        revision=root.revision,
+    )
+    cg.render_raw = _build_render(cg)
+    cg.render = jax.jit(cg.render_raw, donate_argnums=(0,))
+    return cg
+
+
+def _instance_default(ugen, pidx: int):
+    spec = ugen.params[pidx]
+    inst = getattr(ugen, "pdefaults", None)
+    if inst and spec.name in inst:
+        v = inst[spec.name]
+        if hasattr(v, "value"):
+            v = v.value
+        return v
+    return spec.default_value()
+
+
+def _build_render(cg: CompiledGraph):
+    ctx = cg.ctx
+    B = ctx.block_size
+    dtype = ctx.dtype
+    n_nodes = len(cg.order)
+
+    def render(state, events, graph_inputs):
+        pf, pt, pi, pe_state = cg.engine.materialize(state["pe"], events)
+
+        outs: Dict[int, jnp.ndarray] = {}
+        new_nodes: Dict[str, Any] = {}
+        done_flags = []
+
+        def read_source(kind, s, c):
+            if kind == "node":
+                return outs[s][c]
+            if kind == "feedback":
+                return state["fb"][_fb_key(s, c)]
+            if kind == "graph_in":
+                return graph_inputs[c]
+            raise AssertionError(kind)
+
+        def sum_sources(srcs):
+            if not srcs:
+                return jnp.zeros((B,), dtype=dtype)
+            acc = read_source(*srcs[0])
+            for sp in srcs[1:]:
+                acc = acc + read_source(*sp)
+            return acc
+
+        for nid in cg.order:
+            entry = cg.entries[nid]
+            ugen = entry.ugen
+            rows = [sum_sources(cg.resolved_in[nid][ch]) for ch in range(entry.inputs)]
+            inputs = (
+                jnp.stack(rows) if rows else jnp.zeros((0, B), dtype=dtype)
+            )
+            params = {}
+            for pidx, spec in enumerate(ugen.params):
+                if (nid, pidx) in cg.resolved_param_edges:
+                    src, ch = cg.resolved_param_edges[(nid, pidx)]
+                    params[spec.name] = outs[src][ch]
+                    continue
+                typ, slot = cg.layout.lookup(nid, pidx)
+                if typ == "float":
+                    params[spec.name] = pf[slot]
+                elif typ == "trigger":
+                    params[spec.name] = pt[slot]
+                else:
+                    params[spec.name] = pi[slot]
+            st, out, done = normalize_process_result(
+                ugen.process(ctx, state["nodes"][str(nid)], inputs, params), ctx
+            )
+            outs[nid] = out
+            new_nodes[str(nid)] = st
+            done_flags.append(jnp.any(done))
+
+        new_fb = {
+            _fb_key(s, c): outs[s][c] for (s, c) in cg.fb_sources
+        }
+
+        out_rows = [sum_sources(cg.resolved_out[ch]) for ch in range(cg.graph.outputs)]
+        out_block = (
+            jnp.stack(out_rows)
+            if out_rows
+            else jnp.zeros((0, B), dtype=dtype)
+        )
+        done_vec = (
+            jnp.stack(done_flags) if done_flags else jnp.zeros((0,), dtype=bool)
+        )
+        new_state = {"nodes": new_nodes, "pe": pe_state, "fb": new_fb}
+        return new_state, out_block, done_vec
+
+    return render

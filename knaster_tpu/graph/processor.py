@@ -1,0 +1,313 @@
+"""AudioProcessor: the block runner and non-realtime render loop.
+
+TPU-native analog of knaster_graph/src/processor.rs (AudioProcessor). In the
+reference this object is moved to the audio thread and ``run()`` is called
+from the device callback; here the **non-realtime path is primary**
+(processor.rs:3-5 documents the same run-in-a-loop usage for offline
+rendering): each ``run`` executes the compiled XLA block program once and
+advances the frame clock. ``render()`` is the fast bounce path — it pre-stages
+all scheduled events into stacked tensors and scans over blocks entirely
+on-device.
+
+Graph edits are picked up between blocks: if the graph revision changed, the
+graph is recompiled and node state is carried over by node id (the functional
+equivalent of swapping TaskData over the ring buffer and ``TakeFromTask``,
+graph_gen.rs:93-109 / task.rs:101-131).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compile import CompiledGraph, compile_graph
+from .graph import Done, Graph
+from .param_engine import events_from_lists
+
+
+@dataclass
+class AudioProcessorOptions:
+    """reference processor.rs:23-45 AudioProcessorOptions."""
+
+    block_size: int = 64
+    sample_rate: int = 48000
+    # max scheduled events applied per block (ring_buffer_size analog)
+    event_capacity: int = 64
+    log_channel_capacity: int = 100
+
+
+class AudioProcessor:
+    """Runs a Graph one block at a time; also the offline bounce engine."""
+
+    def __init__(self, graph: Graph, options: Optional[AudioProcessorOptions] = None):
+        self.graph = graph.root()
+        self.options = options or AudioProcessorOptions()
+        self.compiled: Optional[CompiledGraph] = None
+        self.state = None
+        self._last_out = None
+        self.freed = False
+        # leftover samples from a render() that wasn't block-aligned; the
+        # next render() consumes them first so bounces are sample-continuous
+        self._pending: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------- factory
+    @staticmethod
+    def new(
+        inputs: int = 0,
+        outputs: int = 2,
+        options: Optional[AudioProcessorOptions] = None,
+        dtype=None,
+    ) -> Tuple[Graph, "AudioProcessor"]:
+        """Create a top-level Graph + processor (processor.rs:69-116)."""
+        options = options or AudioProcessorOptions()
+        g = Graph(
+            inputs=inputs,
+            outputs=outputs,
+            sample_rate=options.sample_rate,
+            block_size=options.block_size,
+            dtype=dtype,
+        )
+        return g, AudioProcessor(g, options)
+
+    # ------------------------------------------------------------ internals
+    def _ensure_compiled(self) -> None:
+        if self.compiled is not None and self.compiled.revision == self.graph.revision:
+            return
+        prev_compiled = self.compiled
+        prev_state = self.state
+        self.compiled = compile_graph(self.graph, self.options.event_capacity)
+        self.state = self.compiled.init_state(prev_state, prev_compiled)
+
+    def _collect_due_events(self, horizon_blocks: int = 1):
+        """Pop events due within the next ``horizon_blocks`` blocks and
+        convert them to per-block event lists (slot-resolved)."""
+        B = self.graph.block_size
+        clock = self.graph.clock.frames
+        end = clock + B * horizon_blocks
+        due, keep = [], []
+        for ev in self.graph.event_queue:
+            if ev.due_frame < end:
+                due.append(ev)
+            else:
+                keep.append(ev)
+        self.graph.event_queue = keep
+
+        per_block: List[Tuple[list, list, list]] = [
+            ([], [], []) for _ in range(horizon_blocks)
+        ]
+        layout = self.compiled.layout
+        for ev in sorted(due, key=lambda e: (max(e.due_frame, clock), e.order)):
+            frame_abs = max(ev.due_frame, clock)
+            bi = (frame_abs - clock) // B
+            frame = frame_abs - clock - bi * B
+            key = None
+            # resolve slot; events for freed nodes expire silently
+            # (reference graph_gen.rs:122-126)
+            for pidx_key in ((ev.node_id, ev.param_idx),):
+                if pidx_key in layout.slots:
+                    key = layout.slots[pidx_key]
+            if key is None:
+                continue
+            typ, slot = key
+            fl, tl, il = per_block[bi]
+            p = ev.payload
+            if p[0] == "set_float" and typ == "float":
+                fl.append((frame, slot, p[1], 0, 0, 0, 0))
+            elif p[0] == "smooth_cfg" and typ == "float":
+                fl.append((frame, slot, 0.0, 1, p[1], p[2], p[3]))
+            elif p[0] == "trig" and typ == "trigger":
+                tl.append((frame, slot))
+            elif p[0] == "set_int" and typ == "int":
+                il.append((frame, slot, p[1]))
+        return per_block
+
+    def _events_tensor(self, lists):
+        fl, tl, il = lists
+        return events_from_lists(
+            self.compiled.event_capacity, fl, tl, il, dtype=self.graph.dtype
+        )
+
+    def _zero_inputs(self):
+        return jnp.zeros(
+            (self.graph.inputs, self.graph.block_size), dtype=self.graph.dtype
+        )
+
+    # ------------------------------------------------------------------ run
+    def run(self, inputs=None):
+        """Process exactly one block (processor.rs:119-179 run)."""
+        if self.freed:
+            self._last_out = np.zeros(
+                (self.graph.outputs, self.graph.block_size), dtype=self.graph.dtype
+            )
+            self.graph.clock.frames += self.graph.block_size
+            return
+        self._ensure_compiled()
+        (lists,) = self._collect_due_events(1)
+        events = self._events_tensor(lists)
+        if inputs is None:
+            inputs = self._zero_inputs()
+        else:
+            inputs = jnp.asarray(inputs, dtype=self.graph.dtype)
+        self.state, out, done = self.compiled.render(self.state, events, inputs)
+        self._last_out = out
+        self.graph.clock.frames += self.graph.block_size
+        self._apply_done_flags(np.asarray(done))
+
+    def run_without_inputs(self):
+        self.run(None)
+
+    def output_block(self) -> np.ndarray:
+        """The last rendered block as a numpy array [channels, block_size]."""
+        if self._last_out is None:
+            return np.zeros(
+                (self.graph.outputs, self.graph.block_size), dtype=self.graph.dtype
+            )
+        return np.asarray(self._last_out)
+
+    # ---------------------------------------------------------- done/free
+    def _apply_done_flags(self, done_vec: np.ndarray) -> None:
+        if self.compiled is None or not done_vec.any():
+            return
+        freed_any = False
+        for i, nid in enumerate(self.compiled.order):
+            if not done_vec[i]:
+                continue
+            entry = self.compiled.entries.get(nid)
+            if entry is None:
+                continue
+            action = entry.done_action
+            if action == Done.NONE:
+                continue
+            target = nid
+            if action == Done.FREE_PARENT:
+                chain = self.compiled.enclosing.get(nid, [])
+                if chain:
+                    target = chain[0]  # innermost enclosing subgraph node
+                else:
+                    # freeing the top-level graph: output silence from now on
+                    self.freed = True
+                    self.graph.freed = True
+                    continue
+            try:
+                self.graph.free_node(target)
+                freed_any = True
+            except Exception:
+                pass
+        if freed_any:
+            self.graph.commit()
+
+    # ------------------------------------------------------------- bounce
+    def render(
+        self,
+        seconds: Optional[float] = None,
+        frames: Optional[int] = None,
+        inputs: Optional[np.ndarray] = None,
+        check_done_every: Optional[int] = None,
+    ) -> np.ndarray:
+        """Offline bounce: render ``seconds`` (or ``frames``) of audio.
+
+        Pre-stages all due events into stacked tensors and runs a
+        ``lax.scan`` over blocks fully on device — the performance-primary
+        path (BASELINE.json: non-realtime rendering is the TPU build's main
+        workload). Returns ``[channels, frames]``.
+
+        Note: done-action frees are applied only *after* the scan (or every
+        ``check_done_every`` blocks if given) — within a scan chunk, nodes
+        keep rendering after flagging done. Use small chunks if you rely on
+        mid-render freeing.
+        """
+        B = self.graph.block_size
+        if frames is None:
+            if seconds is None:
+                raise ValueError("give seconds or frames")
+            frames = int(round(seconds * self.graph.sample_rate))
+
+        prefix = None
+        if self._pending is not None:
+            take = min(frames, self._pending.shape[1])
+            prefix = self._pending[:, :take]
+            self._pending = (
+                self._pending[:, take:] if take < self._pending.shape[1] else None
+            )
+            if take == frames:
+                return prefix
+            frames_needed = frames - take
+        else:
+            frames_needed = frames
+
+        n_blocks = (frames_needed + B - 1) // B
+        chunk = check_done_every or n_blocks
+
+        outs = []
+        rendered = 0
+        while rendered < n_blocks and not self.freed:
+            n = min(chunk, n_blocks - rendered)
+            self._ensure_compiled()
+            per_block = self._collect_due_events(n)
+            ev_stack = _stack_pytrees(
+                [self._events_tensor(lists) for lists in per_block]
+            )
+            if inputs is not None:
+                i0 = rendered * B
+                avail = np.asarray(inputs)[:, i0 : i0 + n * B]
+                pad = n * B - avail.shape[1]
+                if pad > 0:
+                    avail = np.pad(avail, ((0, 0), (0, pad)))
+                seg = np.moveaxis(avail.reshape(self.graph.inputs, n, B), 1, 0)
+                in_stack = jnp.asarray(seg, dtype=self.graph.dtype)
+            else:
+                in_stack = jnp.zeros(
+                    (n, self.graph.inputs, B), dtype=self.graph.dtype
+                )
+
+            scan_fn = _get_scan_fn(self.compiled)
+            self.state, out_stack, done_stack = scan_fn(
+                self.state, ev_stack, in_stack
+            )
+            outs.append(np.asarray(out_stack))
+            self.graph.clock.frames += n * B
+            rendered += n
+            done_any = np.asarray(done_stack).any(axis=0)
+            self._apply_done_flags(done_any)
+
+        if outs:
+            cat = np.concatenate(outs, axis=0)  # [NB, ch, B]
+            audio = np.moveaxis(cat, 0, 1).reshape(self.graph.outputs, -1)
+        else:
+            audio = np.zeros((self.graph.outputs, 0), dtype=self.graph.dtype)
+        if audio.shape[1] > frames_needed:
+            self._pending = audio[:, frames_needed:]
+            audio = audio[:, :frames_needed]
+        if prefix is not None:
+            audio = np.concatenate([prefix, audio], axis=1)
+        return audio
+
+
+def _stack_pytrees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+_SCAN_CACHE: Dict[int, object] = {}
+
+
+def _get_scan_fn(compiled: CompiledGraph):
+    key = id(compiled)
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+
+        def scan_fn(state, ev_stack, in_stack):
+            def body(st, xs):
+                ev, inp = xs
+                st, out, done = compiled.render_raw(st, ev, inp)
+                return st, (out, done)
+
+            state, (outs, dones) = jax.lax.scan(body, state, (ev_stack, in_stack))
+            return state, outs, dones
+
+        fn = jax.jit(scan_fn, donate_argnums=(0,))
+        _SCAN_CACHE[key] = fn
+    return fn

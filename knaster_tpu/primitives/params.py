@@ -1,0 +1,153 @@
+"""Parameter primitives: value types, ranges, kinds, hints.
+
+TPU-native equivalent of knaster's parameter system
+(reference: knaster_primitives/src/parameters.rs, knaster_core/src/parameters.rs
+and knaster_core/src/parameters/types.rs:10-36).
+
+Four parameter types exist, exactly as in the reference:
+  * ``float``   — continuous value (PFloat). On device: f32 (f64 in x64 mode),
+                  materialized per-sample so smoothing / sample-accurate /
+                  audio-rate modulation are all uniform masked-ramp mechanics.
+  * ``trigger`` — momentary event; on device a per-sample bool mask.
+  * ``integer`` — stepped value (enum selectors etc.); i32 per-sample array.
+  * ``bool``    — stepped on/off; i32 (0/1) per-sample array.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+class ParameterKind(enum.Enum):
+    """Semantic hint for a float parameter (GUI/unit hint).
+
+    reference: knaster_primitives/src/parameters.rs:45 (FloatParameterKind).
+    """
+
+    GENERIC = "generic"
+    AMPLITUDE = "amplitude"
+    FREQUENCY = "frequency"
+    Q = "q"
+    SECONDS = "seconds"
+
+
+class Nyquist:
+    """Sentinel for 'range ends at the Nyquist frequency'.
+
+    reference: knaster_primitives/src/parameters.rs:10 (FloatParameterRange::Nyquist).
+    """
+
+    def __repr__(self):
+        return "Nyquist"
+
+
+NYQUIST = Nyquist()
+
+
+@dataclass(frozen=True)
+class FloatHint:
+    """GUI/validation hints for a float parameter.
+
+    reference: knaster_core/src/parameters.rs:109-179 (PFloatHint).
+    """
+
+    minimum: Optional[float] = None
+    maximum: Any = None  # float | Nyquist | None
+    default: float = 0.0
+    logarithmic: bool = False
+    kind: ParameterKind = ParameterKind.GENERIC
+
+    def resolve_max(self, sample_rate: int) -> Optional[float]:
+        if isinstance(self.maximum, Nyquist):
+            return sample_rate / 2.0
+        return self.maximum
+
+
+@dataclass(frozen=True)
+class IntegerHint:
+    """Hints for an integer parameter, with optional per-value descriptions.
+
+    reference: knaster_core/src/parameters.rs:190 (PIntegerHint).
+    """
+
+    minimum: int = 0
+    maximum: int = 2**31 - 1
+    default: int = 0
+    value_descriptions: Tuple[Tuple[int, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class Param:
+    """Declaration of one parameter of a UGen.
+
+    The TPU-native analog of the reference's ``#[param]`` attribute
+    (knaster_macros/src/lib.rs:773-779): a UGen declares its parameter table
+    as a tuple of ``Param`` in declaration order; the graph compiler assigns
+    each (node, param) a global slot in the parameter engine.
+    """
+
+    name: str
+    ptype: str = "float"  # 'float' | 'trigger' | 'integer' | 'bool'
+    default: Any = 0.0
+    kind: ParameterKind = ParameterKind.GENERIC
+    hint: Any = None
+    # Integer params backed by a Python enum (KnasterIntegerParameter parity)
+    enum: Any = None
+
+    def __post_init__(self):
+        if self.ptype not in ("float", "trigger", "integer", "bool"):
+            raise ValueError(f"invalid parameter type {self.ptype!r}")
+
+    def default_value(self) -> Any:
+        if self.ptype == "trigger":
+            return 0.0
+        return self.default
+
+
+def ptrigger(name: str) -> Param:
+    return Param(name, ptype="trigger")
+
+
+def pfloat(name: str, default: float = 0.0, kind: ParameterKind = ParameterKind.GENERIC,
+           hint: Optional[FloatHint] = None) -> Param:
+    return Param(name, ptype="float", default=float(default), kind=kind, hint=hint)
+
+
+def pinteger(name: str, default: int = 0, enum: Any = None,
+             hint: Optional[IntegerHint] = None) -> Param:
+    if enum is not None and not isinstance(default, int):
+        default = int(default.value)
+    return Param(name, ptype="integer", default=int(default), enum=enum, hint=hint)
+
+
+def pbool(name: str, default: bool = False) -> Param:
+    return Param(name, ptype="bool", default=int(default))
+
+
+@dataclass(frozen=True)
+class Smoothing:
+    """Parameter smoothing config.
+
+    reference: knaster_core/src/parameters/types.rs:35 (ParameterSmoothing) and
+    knaster_core_dsp/src/wrappers_core/smooth_params.rs (WrSmoothParams).
+
+    mode:   'none' or 'linear'
+    time:   ramp duration in seconds (linear mode)
+    rate:   'audio' — the ramp advances every sample;
+            'block' — the value only updates at block starts (stair-step),
+            matching the reference's Rate::BlockRate smoothing.
+    """
+
+    mode: str = "none"
+    time: float = 0.0
+    rate: str = "audio"
+
+    @staticmethod
+    def linear(time: float, rate: str = "audio") -> "Smoothing":
+        return Smoothing("linear", float(time), rate)
+
+    @staticmethod
+    def none() -> "Smoothing":
+        return Smoothing("none", 0.0, "audio")

@@ -1,0 +1,208 @@
+"""Oscillators (reference: knaster_core_dsp/src/ugens/osc.rs).
+
+TPU-first design: the reference's per-sample phase-increment loop becomes a
+block-level **exclusive cumulative sum** of per-sample increments (exact in
+u32 fixed point, wrap = native integer overflow), with phase-reset triggers
+handled as a segmented cumsum (subtract the running sum at the latest reset
+frame). Table reads are gathers into VMEM-resident constant tables. This
+keeps the math bit-stable across any voice batching, because integer cumsums
+are associative.
+"""
+
+from __future__ import annotations
+
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ugen import AudioCtx, UGen
+from ..primitives.params import ParameterKind, pfloat, ptrigger
+from .wavetable import (
+    AA_FREQ_THRESHOLDS,
+    FRACTIONAL_PART,
+    TABLE_HIGH_MASK,
+    TABLE_SIZE,
+    Wavetable,
+    shared_sine_table,
+)
+
+
+def _segmented_cumsum_u32(inc_u32, reset_mask, phase0_u32, block_size: int):
+    """phases[t] for t in 0..B and the carried phase after the block.
+
+    phases[t] = phase0 + sum(inc[0:t])  (wrapping u32), unless a reset
+    trigger fired at some frame r <= t, in which case the phase restarts at 0
+    at frame r: phases[t] = sum(inc[r:t]).
+    """
+    B = block_size
+    inc = inc_u32.astype(jnp.uint32)
+    csum = jnp.cumsum(inc)  # inclusive, wrapping
+    ecs = jnp.concatenate([jnp.zeros((1,), jnp.uint32), csum])  # [B+1] exclusive
+    t_idx = jnp.arange(B, dtype=jnp.int32)
+    last_reset = lax.cummax(jnp.where(reset_mask, t_idx, jnp.int32(-1)))
+    has_reset = last_reset >= 0
+    base_at_reset = ecs[jnp.maximum(last_reset, 0)]
+    phases = jnp.where(
+        has_reset, ecs[:B] - base_at_reset, phase0_u32 + ecs[:B]
+    ).astype(jnp.uint32)
+    # carry: phase after the last sample
+    any_reset = jnp.any(reset_mask)
+    last_r = jnp.max(jnp.where(reset_mask, t_idx, -1))
+    carry = jnp.where(
+        any_reset,
+        ecs[B] - ecs[jnp.maximum(last_r, 0)],
+        phase0_u32 + ecs[B],
+    ).astype(jnp.uint32)
+    return phases, carry
+
+
+def _segmented_cumsum_f(inc, reset_mask, phase0, block_size: int, dtype):
+    """Float phase accumulation with reset triggers (for SinNumeric/Phasor)."""
+    B = block_size
+    csum = jnp.cumsum(inc.astype(dtype))
+    ecs = jnp.concatenate([jnp.zeros((1,), dtype), csum])
+    t_idx = jnp.arange(B, dtype=jnp.int32)
+    last_reset = lax.cummax(jnp.where(reset_mask, t_idx, jnp.int32(-1)))
+    has_reset = last_reset >= 0
+    base_at_reset = ecs[jnp.maximum(last_reset, 0)]
+    phases = jnp.where(has_reset, ecs[:B] - base_at_reset, phase0 + ecs[:B])
+    any_reset = jnp.any(reset_mask)
+    last_r = jnp.max(jnp.where(reset_mask, t_idx, -1))
+    carry = jnp.where(any_reset, ecs[B] - ecs[jnp.maximum(last_r, 0)], phase0 + ecs[B])
+    return phases, carry
+
+
+class SinWt(UGen):
+    """Sine via the shared non-anti-aliased wavetable, u32 fixed-point phase
+    (reference osc.rs:97-168 SinWt; lookup without interpolation)."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("freq", 440.0, kind=ParameterKind.FREQUENCY),
+        pfloat("phase_offset", 0.0),
+        ptrigger("reset_phase"),
+    )
+
+    def __init__(self, freq: float = 440.0):
+        self.pdefaults = {"freq": float(freq)}
+
+    def init(self, ctx: AudioCtx):
+        return {"phase": jnp.zeros((), dtype=jnp.uint32)}
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
+        inc = (params["freq"] * jnp.asarray(f2pi, ctx.dtype)).astype(jnp.uint32)
+        phases, carry = _segmented_cumsum_u32(
+            inc, params["reset_phase"], state["phase"], B
+        )
+        off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
+        idx = ((phases + off) >> 16) & TABLE_HIGH_MASK
+        # the shared table is a trace-time constant (XLA hoists & dedupes it)
+        table = jnp.asarray(shared_sine_table(ctx.dtype))
+        out = table[idx]
+        return {"phase": carry}, out[None, :]
+
+
+class OscWt(UGen):
+    """Arbitrary anti-aliased wavetable oscillator (osc.rs:30-90 OscWt).
+
+    Owns a :class:`Wavetable` mip chain; the playback frequency selects the
+    band-limited partial table per sample (nearest-neighbour read, matching
+    the reference's ``Wavetable::get``)."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("freq", 440.0, kind=ParameterKind.FREQUENCY),
+        pfloat("phase_offset", 0.0),
+        ptrigger("reset_phase"),
+    )
+
+    def __init__(self, wavetable: Wavetable, freq: float = 440.0, interpolate: bool = False):
+        self.pdefaults = {"freq": float(freq)}
+        self.wavetable = wavetable
+        self.interpolate = bool(interpolate)
+
+    def init(self, ctx: AudioCtx):
+        # bake the table data once (host numpy); uploaded as constants at trace
+        self._tables, self._diffs = self.wavetable.stacked(ctx.dtype)
+        return {"phase": jnp.zeros((), dtype=jnp.uint32)}
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
+        freq = params["freq"]
+        inc = (freq * jnp.asarray(f2pi, ctx.dtype)).astype(jnp.uint32)
+        phases, carry = _segmented_cumsum_u32(
+            inc, params["reset_phase"], state["phase"], B
+        )
+        off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
+        ph = phases + off
+        idx = (ph >> 16) & TABLE_HIGH_MASK
+        ti = jnp.searchsorted(
+            jnp.asarray(AA_FREQ_THRESHOLDS), freq.astype(jnp.float32), side="left"
+        )
+        out = jnp.asarray(self._tables)[ti, idx]
+        if self.interpolate:
+            frac = (ph & jnp.uint32(0xFFFF)).astype(ctx.dtype) / jnp.asarray(
+                65535.0, ctx.dtype
+            )
+            out = out + jnp.asarray(self._diffs)[ti, idx] * frac
+        return {"phase": carry}, out[None, :]
+
+
+class SinNumeric(UGen):
+    """Per-sample computed sine (osc.rs:222-270 SinNumeric): the teaching
+    example; phase in [0,1), out = sin((phase + offset) * tau)."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("freq", 440.0, kind=ParameterKind.FREQUENCY),
+        pfloat("phase_offset", 0.0),
+        ptrigger("reset_phase"),
+    )
+
+    def __init__(self, freq: float = 440.0):
+        self.pdefaults = {"freq": float(freq)}
+
+    def init(self, ctx: AudioCtx):
+        return {"phase": jnp.zeros((), dtype=ctx.dtype)}
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        inc = params["freq"] / jnp.asarray(float(ctx.sample_rate), ctx.dtype)
+        phases, carry = _segmented_cumsum_f(
+            inc, params["reset_phase"], state["phase"], B, ctx.dtype
+        )
+        out = jnp.sin((phases + params["phase_offset"]) * jnp.asarray(2.0 * np.pi, ctx.dtype))
+        # keep the carried phase bounded (reference wraps with `-= 1.0`)
+        carry = carry - jnp.floor(carry)
+        return {"phase": carry}, out[None, :]
+
+
+class Phasor(UGen):
+    """0→1 ramp at a given frequency; aliasing (osc.rs:172-218 Phasor)."""
+
+    inputs = 0
+    outputs = 1
+    params = (pfloat("freq", 0.0, kind=ParameterKind.FREQUENCY),)
+
+    def __init__(self, freq: float = 0.0):
+        self.pdefaults = {"freq": float(freq)}
+
+    def init(self, ctx: AudioCtx):
+        return {"phase": jnp.zeros((), dtype=ctx.dtype)}
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        step = params["freq"] / jnp.asarray(float(ctx.sample_rate), ctx.dtype)
+        csum = jnp.cumsum(step)
+        ecs = jnp.concatenate([jnp.zeros((1,), ctx.dtype), csum])
+        phases = state["phase"] + ecs[:B]
+        out = phases - jnp.floor(phases)  # wrap to [0, 1)
+        carry = state["phase"] + ecs[B]
+        carry = carry - jnp.floor(carry)
+        return {"phase": carry}, out[None, :]

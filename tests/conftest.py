@@ -1,0 +1,35 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Tests drive the compiled block function synchronously — the same pattern as
+the reference, where the non-realtime AudioProcessor *is* the fake backend
+(knaster_graph/src/tests/graph_tests.rs). Multi-chip sharding tests use the
+8 virtual CPU devices.
+
+The container's sitecustomize force-registers the axon TPU platform and
+overrides jax_platforms, so we must switch the config *after* importing jax
+and clear any initialized backends.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not os.environ.get("KNASTER_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+    except Exception:
+        pass
+    assert jax.devices()[0].platform == "cpu"
