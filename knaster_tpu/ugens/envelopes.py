@@ -1,0 +1,307 @@
+"""Envelope UGens (reference: knaster_core_dsp/src/ugens/envelopes.rs).
+
+Envelopes are genuinely sequential state machines (trigger-dependent stage
+transitions), so they run per-sample inside ``lax.scan`` — the cost is
+amortized by batching voices across VPU lanes (the graph vmaps a VoiceBank's
+whole sub-graph, so a 10k-voice bank runs one scan with [10k]-wide steps).
+
+Rates are derived from the per-sample ``*_time`` parameter arrays *outside*
+the scan (vectorized divides), matching the reference recomputing rates in
+``param_apply``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.ugen import AudioCtx, UGen
+from ..primitives.params import ParameterKind, pbool, pfloat, pinteger, ptrigger
+
+# EnvAsr stages (envelopes.rs AsrState)
+STOPPED, ATTACKING, SUSTAINING, RELEASING = 0, 1, 2, 3
+
+
+def _rate_from_time(seconds, sr, dtype):
+    """1/(t*sr), with t == 0 mapping to rate 1 (instant) — envelopes.rs:88-111."""
+    t = seconds.astype(dtype)
+    return jnp.where(t == 0, jnp.ones_like(t), 1.0 / (t * sr))
+
+
+class EnvAsr(UGen):
+    """Attack-Sustain-Release envelope: linear attack, cubic release
+    (envelopes.rs:19-163 EnvAsr). Marks done at the frame the release ends."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("attack_time", 0.0, kind=ParameterKind.SECONDS),
+        pfloat("release_time", 0.0, kind=ParameterKind.SECONDS),
+        ptrigger("t_release"),
+        ptrigger("t_restart"),
+    )
+
+    def __init__(self, attack_time: float = 0.0, release_time: float = 0.0):
+        self.pdefaults = {
+            "attack_time": float(attack_time),
+            "release_time": float(release_time),
+        }
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "stage": jnp.asarray(STOPPED, jnp.int32),
+            "t": jnp.zeros((), ctx.dtype),
+            "release_scale": jnp.ones((), ctx.dtype),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        dtype = ctx.dtype
+        sr = jnp.asarray(float(ctx.sample_rate), dtype)
+        atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
+        rel_rate = _rate_from_time(params["release_time"], sr, dtype)
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+
+        def step(carry, x):
+            stage, t, rscale = carry
+            # --- triggers (applied before the sample, like param_apply) ---
+            restart = x["t_restart"]
+            release = x["t_release"]
+            stage = jnp.where(restart, ATTACKING, stage)
+            # t_release: from Attacking -> scale by t; Sustaining -> scale 1
+            rel_from_atk = release & (stage == ATTACKING)
+            rel_from_sus = release & (stage == SUSTAINING)
+            rscale = jnp.where(rel_from_atk, t, jnp.where(rel_from_sus, one, rscale))
+            t = jnp.where(rel_from_atk | rel_from_sus, one, t)
+            stage = jnp.where(rel_from_atk | rel_from_sus, RELEASING, stage)
+            # --- next_sample (envelopes.rs:52-80) ---
+            out = jnp.where(
+                stage == ATTACKING,
+                t,
+                jnp.where(
+                    stage == SUSTAINING,
+                    one,
+                    jnp.where(stage == RELEASING, t * t * t * rscale, zero),
+                ),
+            )
+            t_next = jnp.where(
+                stage == ATTACKING,
+                t + x["atk_rate"],
+                jnp.where(stage == RELEASING, t - x["rel_rate"], t),
+            )
+            to_sustain = (stage == ATTACKING) & (t_next >= one)
+            done = (stage == RELEASING) & (t_next <= zero)
+            stage = jnp.where(to_sustain, SUSTAINING, stage)
+            stage = jnp.where(done, STOPPED, stage)
+            t_next = jnp.where(done, zero, t_next)
+            return (stage, t_next, rscale), (out, done)
+
+        xs = {
+            "t_restart": params["t_restart"],
+            "t_release": params["t_release"],
+            "atk_rate": atk_rate,
+            "rel_rate": rel_rate,
+        }
+        carry0 = (state["stage"], state["t"], state["release_scale"])
+        (stage, t, rscale), (out, done) = jax.lax.scan(step, carry0, xs)
+        new_state = {"stage": stage, "t": t, "release_scale": rscale}
+        return new_state, out[None, :], done
+
+
+class EnvAr(UGen):
+    """Attack-Release one-shot envelope (envelopes.rs:174-315 EnvAr)."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("attack_time", 0.0, kind=ParameterKind.SECONDS),
+        pfloat("release_time", 0.0, kind=ParameterKind.SECONDS),
+        ptrigger("t_restart"),
+    )
+
+    def __init__(self, attack_time: float = 0.0, release_time: float = 0.0):
+        self.pdefaults = {
+            "attack_time": float(attack_time),
+            "release_time": float(release_time),
+        }
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "stage": jnp.asarray(STOPPED, jnp.int32),
+            "t": jnp.zeros((), ctx.dtype),
+            "release_scale": jnp.ones((), ctx.dtype),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        dtype = ctx.dtype
+        sr = jnp.asarray(float(ctx.sample_rate), dtype)
+        atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
+        rel_rate = _rate_from_time(params["release_time"], sr, dtype)
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+
+        def step(carry, x):
+            stage, t, rscale = carry
+            stage = jnp.where(x["t_restart"], ATTACKING, stage)
+            out = jnp.where(
+                stage == ATTACKING,
+                t,
+                jnp.where(stage == RELEASING, t * t * t * rscale, zero),
+            )
+            t_next = jnp.where(
+                stage == ATTACKING,
+                t + x["atk_rate"],
+                jnp.where(stage == RELEASING, t - x["rel_rate"], t),
+            )
+            to_rel = (stage == ATTACKING) & (t_next >= one)
+            rscale = jnp.where(to_rel, one, rscale)
+            stage = jnp.where(to_rel, RELEASING, stage)
+            t_next = jnp.where(to_rel, one, t_next)
+            done = (stage == RELEASING) & ~to_rel & (t_next <= zero)
+            stage = jnp.where(done, STOPPED, stage)
+            t_next = jnp.where(done, zero, t_next)
+            return (stage, t_next, rscale), (out, done)
+
+        xs = {
+            "t_restart": params["t_restart"],
+            "atk_rate": atk_rate,
+            "rel_rate": rel_rate,
+        }
+        carry0 = (state["stage"], state["t"], state["release_scale"])
+        (stage, t, rscale), (out, done) = jax.lax.scan(step, carry0, xs)
+        return {"stage": stage, "t": t, "release_scale": rscale}, out[None, :], done
+
+
+class EnvelopeSegment:
+    """(duration seconds, target value) — envelopes.rs EnvelopeSegment."""
+
+    def __init__(self, duration: float, value: float):
+        self.duration = float(duration)
+        self.value = float(value)
+
+
+class Envelope(UGen):
+    """Multi-segment linear envelope with looping and time scaling
+    (envelopes.rs:322-528 Envelope). Params: time_scale, jump_to_segment,
+    t_restart, t_stop."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("time_scale", 1.0),
+        pinteger("jump_to_segment", 0),
+        ptrigger("t_restart"),
+        ptrigger("t_stop"),
+    )
+
+    def __init__(self, start_value: float, segments, looping: bool = False,
+                 time_scale: float = 1.0):
+        self.start_value = float(start_value)
+        self.segments = [
+            s if isinstance(s, EnvelopeSegment) else EnvelopeSegment(*s)
+            for s in segments
+        ]
+        if not self.segments:
+            raise ValueError("Envelope needs at least one segment")
+        self.looping = bool(looping)
+        self.pdefaults = {"time_scale": float(time_scale)}
+
+    def init(self, ctx: AudioCtx):
+        import numpy as np
+
+        segs = np.asarray(
+            [[1.0 / s.duration, s.duration, s.value] for s in self.segments],
+            dtype=ctx.dtype,
+        )
+        self._segs = segs  # trace-time constant
+        return {
+            "running": jnp.zeros((), bool),
+            "seg": jnp.zeros((), jnp.int32),
+            "time": jnp.zeros((), ctx.dtype),
+            "from_value": jnp.asarray(self.start_value, ctx.dtype),
+            # last seen jump_to_segment value, to detect set-events
+            "last_jump": jnp.zeros((), jnp.int32),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        dtype = ctx.dtype
+        segs = jnp.asarray(self._segs)  # [S, 3] (recip, duration, value)
+        n_seg = segs.shape[0]
+        base_scale = jnp.asarray(1.0 / ctx.sample_rate, dtype)
+        start_value = jnp.asarray(self.start_value, dtype)
+        looping = self.looping
+
+        def step(carry, x):
+            running, seg_i, t, from_v, last_jump = carry
+            # --- triggers/params before the sample ---
+            jump = jnp.clip(x["jump"], 0, n_seg - 1)
+            do_jump = x["jump"] != last_jump
+            last_jump = x["jump"]
+            seg_i = jnp.where(do_jump, jump, seg_i)
+            t = jnp.where(do_jump, jnp.zeros((), dtype), t)
+            running = running | do_jump
+            restart = x["t_restart"]
+            seg_i = jnp.where(restart, 0, seg_i)
+            t = jnp.where(restart, jnp.zeros((), dtype), t)
+            from_v = jnp.where(restart, start_value, from_v)
+            running = running | restart
+            # t_stop: freeze at current value
+            recip, dur, val = segs[seg_i, 0], segs[seg_i, 1], segs[seg_i, 2]
+            cur_val = from_v + (t * recip) * (val - from_v)
+            stop = x["t_stop"]
+            from_v = jnp.where(stop & running, cur_val, from_v)
+            running = running & ~stop
+
+            # --- process (envelopes.rs Envelope::process) ---
+            dt = x["time_scale"] * base_scale
+            in_seg = t < dur
+            has_next = seg_i + 1 < n_seg
+            out_running = jnp.where(
+                in_seg,
+                from_v + (t * recip) * (val - from_v),
+                val,
+            )
+            out = jnp.where(running, out_running, from_v)
+            # transitions
+            adv = running & ~in_seg & has_next
+            fin = running & ~in_seg & ~has_next
+            from_v = jnp.where(adv | fin, val, from_v)
+            t = jnp.where(
+                running & in_seg,
+                t + dt,
+                jnp.where(adv, t - dur + dt, t),
+            )
+            seg_i = jnp.where(adv, seg_i + 1, seg_i)
+            if looping:
+                seg_i = jnp.where(fin, 0, seg_i)
+                t = jnp.where(fin, jnp.zeros((), dtype), t)
+                done = jnp.zeros((), bool)
+            else:
+                running = running & ~fin
+                done = fin
+            return (running, seg_i, t, from_v, last_jump), (out, done)
+
+        xs = {
+            "time_scale": params["time_scale"],
+            "jump": params["jump_to_segment"],
+            "t_restart": params["t_restart"],
+            "t_stop": params["t_stop"],
+        }
+        carry0 = (
+            state["running"],
+            state["seg"],
+            state["time"],
+            state["from_value"],
+            state["last_jump"],
+        )
+        (running, seg_i, t, from_v, last_jump), (out, done) = jax.lax.scan(
+            step, carry0, xs
+        )
+        new_state = {
+            "running": running,
+            "seg": seg_i,
+            "time": t,
+            "from_value": from_v,
+            "last_jump": last_jump,
+        }
+        return new_state, out[None, :], done

@@ -1,0 +1,209 @@
+"""Filters: state-variable filter and one-pole (reference: svf.rs, onepole.rs).
+
+TPU-first: these IIRs are *linear* recurrences, so instead of the reference's
+per-sample loops they run as O(log B)-depth ``associative_scan``s over affine
+maps (see core/dsp.py). Coefficients are recomputed from the per-sample
+parameter arrays with vectorized math — identical formulas to the reference's
+``set_coeffs`` (svf.rs:150-268), evaluated for every sample, which makes
+audio-rate cutoff/q/gain modulation exact rather than a special mode.
+
+SVF topology: cytomic SvfLinearTrapOptimised2 (Andrew Simper, 2013), same as
+the reference (svf.rs:270-300):
+    v3 = x - ic2;  v1 = a1*ic1 + a2*v3;  v2 = ic2 + a2*ic1 + a3*v3
+    ic1' = 2*v1 - ic1;  ic2' = 2*v2 - ic2;  y = m0*x + m1*v1 + m2*v2
+which in state-space form is s' = M s + c·x with
+    M = [[2*a1-1, -2*a2], [2*a2, 1-2*a3]],  c = [2*a2, 2*a3]·x.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dsp import affine_scan_1d, affine_scan_2d
+from ..core.ugen import AudioCtx, UGen
+from ..primitives.params import ParameterKind, pfloat, pinteger, ptrigger
+
+
+class SvfFilterType(enum.IntEnum):
+    """svf.rs SvfFilterType (KnasterIntegerParameter enum)."""
+
+    Low = 0
+    High = 1
+    Band = 2
+    Notch = 3
+    Peak = 4
+    All = 5
+    Bell = 6
+    LowShelf = 7
+    HighShelf = 8
+
+
+def svf_coefficients(ty, cutoff, q, gain_db, sample_rate, dtype):
+    """Vectorized port of SvfFilter::set_coeffs (svf.rs:150-268).
+
+    ``ty`` is an int array (per sample); float args are arrays of the same
+    shape. Returns (a1, a2, a3, m0, m1, m2).
+    """
+    one = jnp.ones_like(cutoff)
+    zero = jnp.zeros_like(cutoff)
+    amp = jnp.power(jnp.asarray(10.0, dtype), gain_db / 40.0)
+    sqrt_amp = jnp.sqrt(amp)
+
+    is_bell = ty == SvfFilterType.Bell
+    is_ls = ty == SvfFilterType.LowShelf
+    is_hs = ty == SvfFilterType.HighShelf
+
+    g_base = jnp.tan((jnp.asarray(np.pi, dtype) * cutoff) / sample_rate)
+    g = jnp.where(
+        is_bell | is_ls, g_base / sqrt_amp, jnp.where(is_hs, g_base * sqrt_amp, g_base)
+    )
+    k = jnp.where(is_bell, 1.0 / (q * amp), 1.0 / q)
+    a1 = 1.0 / (1.0 + g * (g + k))
+    a2 = g * a1
+    a3 = g * a2
+
+    # m0/m1/m2 per type (ordered by SvfFilterType value)
+    m0 = jnp.select(
+        [
+            ty == SvfFilterType.Low,
+            ty == SvfFilterType.Band,
+            ty == SvfFilterType.HighShelf,
+        ],
+        [zero, zero, amp * amp],
+        default=one,
+    )
+    m1 = jnp.select(
+        [
+            ty == SvfFilterType.Low,
+            ty == SvfFilterType.Band,
+            ty == SvfFilterType.Notch,
+            ty == SvfFilterType.High,
+            ty == SvfFilterType.Peak,
+            ty == SvfFilterType.All,
+            ty == SvfFilterType.Bell,
+            ty == SvfFilterType.LowShelf,
+            ty == SvfFilterType.HighShelf,
+        ],
+        [zero, one, -k, -k, -k, -2.0 * k, k * (amp * amp - 1.0),
+         k * (amp - 1.0), k * (1.0 - amp) * amp],
+        default=zero,
+    )
+    m2 = jnp.select(
+        [
+            ty == SvfFilterType.Low,
+            ty == SvfFilterType.High,
+            ty == SvfFilterType.Peak,
+            ty == SvfFilterType.LowShelf,
+            ty == SvfFilterType.HighShelf,
+        ],
+        [one, -one, jnp.asarray(-2.0, dtype) * one, amp * amp - 1.0, 1.0 - amp * amp],
+        default=zero,
+    )
+    return a1, a2, a3, m0, m1, m2
+
+
+class SvfFilter(UGen):
+    """Versatile EQ filter (svf.rs:40-300 SvfFilter).
+
+    Params: filter (int enum), cutoff_freq, q, gain (dB). The reference's
+    ``t_calculate_coefficients`` trigger is kept for API parity but is a
+    no-op — coefficients always track the parameter arrays."""
+
+    inputs = 1
+    outputs = 1
+    params = (
+        pinteger("filter", SvfFilterType.Low, enum=SvfFilterType),
+        pfloat("cutoff_freq", 1000.0, kind=ParameterKind.FREQUENCY),
+        pfloat("q", 0.7071),
+        pfloat("gain", 0.0),
+        ptrigger("t_calculate_coefficients"),
+    )
+
+    def __init__(
+        self,
+        ty: SvfFilterType = SvfFilterType.Low,
+        cutoff_freq: float = 1000.0,
+        q: float = 0.7071,
+        gain_db: float = 0.0,
+    ):
+        self.pdefaults = {
+            "filter": int(ty),
+            "cutoff_freq": float(cutoff_freq),
+            "q": float(q),
+            "gain": float(gain_db),
+        }
+
+    def init(self, ctx: AudioCtx):
+        return {"ic": jnp.zeros((2,), ctx.dtype)}
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        dtype = ctx.dtype
+        sr = jnp.asarray(float(ctx.sample_rate), dtype)
+        a1, a2, a3, m0, m1, m2 = svf_coefficients(
+            params["filter"], params["cutoff_freq"], params["q"], params["gain"],
+            sr, dtype,
+        )
+        x = inputs[0]
+        # affine map per sample: s' = M s + c
+        M = jnp.stack(
+            [
+                jnp.stack([2.0 * a1 - 1.0, -2.0 * a2], axis=-1),
+                jnp.stack([2.0 * a2, 1.0 - 2.0 * a3], axis=-1),
+            ],
+            axis=-2,
+        )  # [B, 2, 2]
+        c = jnp.stack([2.0 * a2 * x, 2.0 * a3 * x], axis=-1)  # [B, 2]
+        s_pre, s_final = affine_scan_2d(M, c, state["ic"])
+        ic1, ic2 = s_pre[:, 0], s_pre[:, 1]
+        v3 = x - ic2
+        v1 = a1 * ic1 + a2 * v3
+        v2 = ic2 + a2 * ic1 + a3 * v3
+        y = m0 * x + m1 * v1 + m2 * v2
+        return {"ic": s_final}, y[None, :]
+
+
+def onepole_lowpass_coeffs(freq, sample_rate, dtype):
+    """OnePole::set_freq_lowpass (onepole.rs:34-46): b1 = e^(-2π f/sr)."""
+    b1 = jnp.exp(jnp.asarray(-2.0 * np.pi, dtype) * (freq / sample_rate))
+    return 1.0 - b1, b1  # (a0, b1)
+
+
+class _OnePoleBase(UGen):
+    inputs = 1
+    outputs = 1
+    params = (pfloat("cutoff_freq", 20000.0, kind=ParameterKind.FREQUENCY),)
+
+    def __init__(self, cutoff_freq: float = 20000.0):
+        self.pdefaults = {"cutoff_freq": float(cutoff_freq)}
+
+    def init(self, ctx: AudioCtx):
+        return {"last": jnp.zeros((), ctx.dtype)}
+
+    def _lp(self, ctx, state, x, freq):
+        sr = jnp.asarray(float(ctx.sample_rate), ctx.dtype)
+        a0, b1 = onepole_lowpass_coeffs(freq, sr, ctx.dtype)
+        # y[t] = b1*y[t-1] + a0*x[t]  -> affine scan; we need y AFTER update
+        y_pre, y_final = affine_scan_1d(b1, a0 * x, state["last"])
+        y = b1 * y_pre + a0 * x  # state after each step == filter output
+        return y, y_final
+
+
+class OnePoleLpf(_OnePoleBase):
+    """One-pole lowpass, 6 dB/oct (onepole.rs:111-141 OnePoleLpf)."""
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        y, y_final = self._lp(ctx, state, inputs[0], params["cutoff_freq"])
+        return {"last": y_final}, y[None, :]
+
+
+class OnePoleHpf(_OnePoleBase):
+    """One-pole highpass: input minus the lowpass (onepole.rs:144-186;
+    the reference's set_freq_highpass delegates to the lowpass coeffs)."""
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        x = inputs[0]
+        y, y_final = self._lp(ctx, state, x, params["cutoff_freq"])
+        return {"last": y_final}, (x - y)[None, :]

@@ -1,0 +1,280 @@
+"""Sample-accurate parameter scheduling tests.
+
+Parity with the reference's WrPreciseTiming / WrSmoothParams tests
+(knaster_core_dsp/src/wrappers_core.rs:123-250), re-expressed against the
+parameter engine: changes scheduled at frame f take effect at exactly
+sample f; wrappers don't disturb timing; smoothing ramps linearly.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knaster_tpu import (
+    AudioProcessor,
+    AudioProcessorOptions,
+    Seconds,
+    Smoothing,
+    Time,
+    UGen,
+    pinteger,
+    ptrigger,
+)
+from tests.utils import TestInPlusParamUGen
+
+OPTS = AudioProcessorOptions(block_size=16, sample_rate=48000)
+
+
+def _samples(n):
+    return Seconds.from_samples(n, 48000)
+
+
+def test_sample_accurate_parameters():
+    """wrappers_core.rs sample_accurate_parameters_test — exact output."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    for frame, val in [(5, 5.0), (6, 6.0), (8, 8.0), (9, 9.0), (10, 10.0)]:
+        p.set_at(val, _samples(frame))
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    expected = [0, 0, 0, 0, 0, 5, 6, 6, 8, 9, 10, 10, 10, 10, 10, 10]
+    np.testing.assert_array_equal(out, np.asarray(expected, dtype=np.float32))
+
+
+def test_sample_accurate_through_wrappers():
+    """wrappers_core.rs sample_accurate_parameters_with_wrappers_test."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        inner = TestInPlusParamUGen()
+        wrapped = (
+            inner.wr_add(0.0)
+            .wr_sub(0.0)
+            .wr_div(1.0)
+            .wr_mul(1.0)
+            .wr_powf(1.0)
+            .wr_powi(1)
+            .wr(lambda v: v)
+        )
+        n = g.push(wrapped)
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    for frame, val in [(5, 5.0), (6, 6.0), (8, 8.0), (9, 9.0), (10, 10.0)]:
+        p.set_at(val, _samples(frame))
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    expected = np.asarray(
+        [0, 0, 0, 0, 0, 5, 6, 6, 8, 9, 10, 10, 10, 10, 10, 10], dtype=np.float32
+    )
+    np.testing.assert_allclose(out, expected, atol=2e-4)
+
+
+def test_set_after_and_asap():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param("number")
+
+    p = g.edit(build)
+    proc.run_without_inputs()  # clock: 16
+    p.set_after(3.0, _samples(4))  # due at absolute frame 20 = block frame 4
+    p.set(1.0)  # asap = frame 0 of next block
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    np.testing.assert_array_equal(
+        out, np.asarray([1, 1, 1, 1, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3], np.float32)
+    )
+
+
+def test_smoothing_audio_rate_across_blocks():
+    """Linear AR smoothing: ramp advances per sample, spans blocks, lands
+    exactly on the target (WrSmoothParams AudioRate semantics)."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    p.smooth(Smoothing.linear(24 / 48000))  # 24-frame ramp
+    p.set_at(12.0, _samples(4))
+    proc.run_without_inputs()
+    b1 = proc.output_block()[0]
+    proc.run_without_inputs()
+    b2 = proc.output_block()[0]
+    # frames 0-3: 0; ramp starts at 4: value at frame 4+k = k*0.5
+    np.testing.assert_allclose(b1[:4], 0.0)
+    np.testing.assert_allclose(b1[4:], 0.5 * np.arange(12), atol=1e-5)
+    np.testing.assert_allclose(b2[:12], 0.5 * np.arange(12, 24), atol=1e-5)
+    assert b2[12] == 12.0 and b2[15] == 12.0  # exact landing
+
+
+def test_smoothing_block_rate_stairs():
+    """BlockRate smoothing only updates at block starts (stair-step)."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    p.smooth(Smoothing.linear(32 / 48000, rate="block"))
+    p.set(8.0)  # ramp starts at frame 0, 32 frames to reach 8
+    proc.run_without_inputs()
+    b1 = proc.output_block()[0]
+    proc.run_without_inputs()
+    b2 = proc.output_block()[0]
+    proc.run_without_inputs()
+    b3 = proc.output_block()[0]
+    assert np.all(b1 == b1[0])  # constant within block
+    assert np.all(b2 == b2[0])
+    assert b1[0] == 0.0
+    assert b2[0] == pytest.approx(4.0)  # halfway after 16 frames
+    assert np.all(b3 == 8.0)
+
+
+def test_smooth_cfg_freezes_inflight_ramp():
+    """Reconfiguring smoothing mid-ramp freezes at the current value
+    (WrSmoothParams::set_smoothing conversion semantics)."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    p.smooth(Smoothing.linear(32 / 48000))
+    p.set(8.0)  # ramp: 0.25/frame
+    # freeze at frame 8 of the first block (value 2.0)
+    p.smooth_at(Smoothing.linear(16 / 48000), _samples(8))
+    proc.run_without_inputs()
+    b1 = proc.output_block()[0]
+    np.testing.assert_allclose(b1[:8], 0.25 * np.arange(8), atol=1e-5)
+    np.testing.assert_allclose(b1[8:], 2.0, atol=1e-5)
+    proc.run_without_inputs()
+    assert np.all(proc.output_block()[0] == pytest.approx(2.0))
+
+
+def test_multiple_sets_same_slot_same_frame_last_wins():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    p.set_at(1.0, _samples(3))
+    p.set_at(2.0, _samples(3))
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    assert out[2] == 0.0 and out[3] == 2.0
+
+
+class _TrigProbe(UGen):
+    """Outputs 1.0 at trigger frames, else 0 — for trigger timing tests."""
+
+    __test__ = False
+    inputs = 0
+    outputs = 1
+    params = (ptrigger("t"),)
+
+    def process(self, ctx, state, inputs, params):
+        return state, params["t"].astype(ctx.dtype)[None, :]
+
+
+def test_trigger_sample_accurate():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(_TrigProbe())
+        n.to_graph_out()
+        return n.param("t")
+
+    p = g.edit(build)
+    p.trig_at(_samples(7))
+    p.trig_at(_samples(11))
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    expected = np.zeros(16, np.float32)
+    expected[7] = 1.0
+    expected[11] = 1.0
+    np.testing.assert_array_equal(out, expected)
+
+
+class _IntProbe(UGen):
+    __test__ = False
+    inputs = 0
+    outputs = 1
+    params = (pinteger("sel", 0),)
+
+    def process(self, ctx, state, inputs, params):
+        return state, params["sel"].astype(ctx.dtype)[None, :]
+
+
+def test_integer_param_steps_at_frame():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(_IntProbe())
+        n.to_graph_out()
+        return n.param("sel")
+
+    p = g.edit(build)
+    p.set_at(3, _samples(5))
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    np.testing.assert_array_equal(out[:5], 0.0)
+    np.testing.assert_array_equal(out[5:], 3.0)
+    # persists into the next block
+    proc.run_without_inputs()
+    np.testing.assert_array_equal(proc.output_block()[0], 3.0)
+
+
+def test_late_event_applies_asap():
+    """Events scheduled in the past apply at frame 0 of the next block
+    (reference to_samples_until_due clamps to 'now')."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    proc.run_without_inputs()  # clock at 16
+    p.set_at(5.0, _samples(3))  # already in the past
+    proc.run_without_inputs()
+    assert np.all(proc.output_block()[0] == 5.0)
+
+
+def test_audio_rate_param_modulation():
+    """connect_param: a node's float param follows another node's output
+    (WrArParams parity)."""
+    from knaster_tpu import Phasor
+
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        lfo = g.push(Phasor(48000.0 / 16.0))  # one full ramp per block
+        n = g.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        g.connect_param(lfo, 0, n, "number")
+
+    g.edit(build)
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    np.testing.assert_allclose(out, np.arange(16) / 16.0, atol=1e-5)
