@@ -46,15 +46,60 @@ from .graph.graph import Done, Graph, GraphError, CircularConnection
 from .graph.handles import Handle, Parameter, Source
 from .graph.processor import AudioProcessor, AudioProcessorOptions
 from .graph.scheduling import Time
+from .ugens.buffer import Buffer, BufferReader
+from .ugens.closure import ClosureUGen, ugen_from_sample_fn
+from .ugens.delay import (
+    AllpassDelay,
+    AllpassFeedbackDelay,
+    SampleDelay,
+    StaticSampleDelay,
+)
+from .ugens.dynamics import SafetyLimiter
+from .ugens.envelopes import EnvAr, EnvAsr, Envelope, EnvelopeSegment
+from .ugens.filters import OnePoleHpf, OnePoleLpf, SvfFilter, SvfFilterType
 from .ugens.math import Math1UGen, MathUGen
+from .ugens.noise import (
+    BrownNoise,
+    PinkNoise,
+    RandomLin,
+    WhiteNoise,
+    next_randomness_seed,
+)
 from .ugens.osc import OscWt, Phasor, SinNumeric, SinWt
+from .ugens.pan import Pan2
+from .ugens.polyblep import PolyBlep, Waveform
 from .ugens.util import Constant, DoneOnTrig, LogProbe
 from .ugens.wavetable import NonAaWavetable, Wavetable
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AllpassDelay",
+    "AllpassFeedbackDelay",
     "AudioCtx",
+    "Buffer",
+    "BufferReader",
+    "BrownNoise",
+    "ClosureUGen",
+    "EnvAr",
+    "EnvAsr",
+    "Envelope",
+    "EnvelopeSegment",
+    "OnePoleHpf",
+    "OnePoleLpf",
+    "Pan2",
+    "PinkNoise",
+    "PolyBlep",
+    "RandomLin",
+    "SafetyLimiter",
+    "SampleDelay",
+    "StaticSampleDelay",
+    "SvfFilter",
+    "SvfFilterType",
+    "Waveform",
+    "WhiteNoise",
+    "next_randomness_seed",
+    "ugen_from_sample_fn",
     "AudioProcessor",
     "AudioProcessorOptions",
     "Beats",

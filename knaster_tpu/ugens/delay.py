@@ -1,0 +1,228 @@
+"""Delay UGens (reference: knaster_core_dsp/src/ugens/delay.rs).
+
+Ring buffers live in the state pytree; the per-sample read/modify/write loop
+runs in ``lax.scan`` with dynamic indexing. When the delay is guaranteed
+longer than one block, :class:`StaticSampleDelay` takes a fully vectorized
+block path (whole-block gather + scatter), mirroring the reference's
+runtime block/sample path choice (delay.rs StaticSampleDelay::process) —
+that's the path the reverb/FDN effects use, and it's fast on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ugen import AudioCtx, UGen
+from ..primitives.params import ParameterKind, pfloat
+from ..primitives.time import Seconds
+
+
+def _as_seconds(x) -> Seconds:
+    return x if isinstance(x, Seconds) else Seconds.from_secs_f64(float(x))
+
+
+class SampleDelay(UGen):
+    """Integer-sample delay, no interpolation (delay.rs:14-50 SampleDelay).
+
+    Good for triggers. Delay time in seconds, truncated to whole samples.
+    A delay of 0 passes the input through (write happens before read)."""
+
+    inputs = 1
+    outputs = 1
+    params = (pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),)
+
+    def __init__(self, max_delay_length):
+        self.max_delay_length = _as_seconds(max_delay_length)
+
+    def init(self, ctx: AudioCtx):
+        n = max(1, int(self.max_delay_length.to_secs_f64() * ctx.sample_rate))
+        self._length = n
+        return {
+            "buf": jnp.zeros((n,), ctx.dtype),
+            "pos": jnp.zeros((), jnp.int32),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        L = self._length
+        d = jnp.clip(
+            (params["delay_time"] * ctx.sample_rate).astype(jnp.int32), 0, L - 1
+        )
+
+        def step(carry, x):
+            buf, pos = carry
+            buf = buf.at[pos].set(x["in"])
+            out = buf[(pos + L - x["d"]) % L]
+            return (buf, (pos + 1) % L), out
+
+        (buf, pos), out = jax.lax.scan(
+            step, (state["buf"], state["pos"]), {"in": inputs[0], "d": d}
+        )
+        return {"buf": buf, "pos": pos}, out[None, :]
+
+
+class AllpassDelay(UGen):
+    """Fractional delay with Schroeder allpass interpolation
+    (delay.rs:53-205 AllpassDelay + AllpassInterpolator).
+
+    The read head is re-anchored from the per-sample delay time, which is
+    equivalent to the reference's set_delay_in_frames on parameter change."""
+
+    inputs = 1
+    outputs = 1
+    params = (pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),)
+
+    def __init__(self, max_delay_time):
+        self.max_delay_time = _as_seconds(max_delay_time)
+
+    def init(self, ctx: AudioCtx):
+        n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
+        self._length = n
+        return {
+            "buf": jnp.zeros((n,), ctx.dtype),
+            "wp": jnp.zeros((), jnp.int32),
+            # allpass interpolator state; reference inits prevs to 1.0
+            "ap_in": jnp.ones((), ctx.dtype),
+            "ap_out": jnp.ones((), ctx.dtype),
+        }
+
+    @staticmethod
+    def _delay_geometry(delay_frames, L, dtype):
+        """num_frames + allpass delta with the 0.5-frame trick
+        (delay.rs set_delay_in_frames:160-178)."""
+        nf_f = jnp.floor(delay_frames)
+        delta = delay_frames - nf_f
+        adjust = (delay_frames > 0.5) & (delta < 0.5)
+        delta = jnp.where(adjust, delta + 1.0, delta)
+        nf = nf_f.astype(jnp.int32) - adjust.astype(jnp.int32)
+        nf = jnp.clip(nf, 0, L - 1)
+        coeff = (1.0 - delta) / (1.0 + delta)
+        return nf, coeff.astype(dtype)
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        L = self._length
+        df = jnp.clip(params["delay_time"] * ctx.sample_rate, 0.0, float(L))
+        nf, coeff = self._delay_geometry(df, L, ctx.dtype)
+
+        def step(carry, x):
+            buf, wp, ap_in, ap_out = carry
+            rp = (wp + L - x["nf"]) % L
+            raw = buf[rp]
+            out = x["coeff"] * (raw - ap_out) + ap_in
+            ap_out, ap_in = out, raw
+            buf = buf.at[wp].set(x["in"])
+            return (buf, (wp + 1) % L, ap_in, ap_out), out
+
+        carry0 = (state["buf"], state["wp"], state["ap_in"], state["ap_out"])
+        (buf, wp, ap_in, ap_out), out = jax.lax.scan(
+            step, carry0, {"in": inputs[0], "nf": nf, "coeff": coeff}
+        )
+        return {"buf": buf, "wp": wp, "ap_in": ap_in, "ap_out": ap_out}, out[None, :]
+
+
+class AllpassFeedbackDelay(UGen):
+    """Schroeder allpass with feedback (delay.rs:210-305 AllpassFeedbackDelay):
+        delayed = read(); write(delayed*fb + x); out = delayed - fb*written."""
+
+    inputs = 1
+    outputs = 1
+    params = (
+        pfloat("feedback", 0.0),
+        pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),
+    )
+
+    def __init__(self, max_delay_time, feedback: float = 0.0):
+        self.max_delay_time = _as_seconds(max_delay_time)
+        self.pdefaults = {
+            "feedback": float(feedback),
+            # default delay = max (reference previous_delay_time init)
+            "delay_time": self.max_delay_time.to_secs_f64(),
+        }
+
+    def init(self, ctx: AudioCtx):
+        n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
+        self._length = n
+        return {
+            "buf": jnp.zeros((n,), ctx.dtype),
+            "wp": jnp.zeros((), jnp.int32),
+            "ap_in": jnp.ones((), ctx.dtype),
+            "ap_out": jnp.ones((), ctx.dtype),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        L = self._length
+        df = jnp.clip(params["delay_time"] * ctx.sample_rate, 0.0, float(L))
+        nf, coeff = AllpassDelay._delay_geometry(df, L, ctx.dtype)
+        fb = params["feedback"]
+
+        def step(carry, x):
+            buf, wp, ap_in, ap_out = carry
+            rp = (wp + L - x["nf"]) % L
+            raw = buf[rp]
+            delayed = x["coeff"] * (raw - ap_out) + ap_in
+            ap_out, ap_in = delayed, raw
+            write = delayed * x["fb"] + x["in"]
+            buf = buf.at[wp].set(write)
+            out = delayed - x["fb"] * write
+            return (buf, (wp + 1) % L, ap_in, ap_out), out
+
+        carry0 = (state["buf"], state["wp"], state["ap_in"], state["ap_out"])
+        (buf, wp, ap_in, ap_out), out = jax.lax.scan(
+            step, carry0, {"in": inputs[0], "nf": nf, "coeff": coeff, "fb": fb}
+        )
+        return {"buf": buf, "wp": wp, "ap_in": ap_in, "ap_out": ap_out}, out[None, :]
+
+
+# ---------------------------------------------------------------------------
+# StaticSampleDelay: fixed-length delay building block (not a UGen)
+# ---------------------------------------------------------------------------
+class StaticSampleDelay:
+    """Fixed-length sample delay, functional state (delay.rs:308-416).
+
+    Used as a building block by reverbs/FDNs (e.g. airwindows Galactic).
+    When ``length > block_size`` the whole block is processed with one
+    gather + one scatter (the vectorized fast path)."""
+
+    def __init__(self, delay_length_in_samples: int):
+        if delay_length_in_samples <= 0:
+            raise ValueError("delay_length_in_samples must be > 0")
+        self.length = int(delay_length_in_samples)
+
+    def make_state(self, dtype=np.float32):
+        return {
+            "buf": jnp.zeros((self.length,), dtype),
+            "pos": jnp.zeros((), jnp.int32),
+        }
+
+    def process_block(self, state, x):
+        """Delay a whole block: returns (state', delayed_block).
+
+        Equivalent to per-sample read-then-write with a ring buffer."""
+        B = x.shape[-1]
+        L = self.length
+        buf, pos = state["buf"], state["pos"]
+        if L > B:
+            idx = (pos + jnp.arange(B, dtype=jnp.int32)) % L
+            out = buf[idx]
+            buf = buf.at[idx].set(x)
+            pos = (pos + B) % L
+            return {"buf": buf, "pos": pos}, out
+
+        def step(carry, xi):
+            buf, pos = carry
+            out = buf[pos]
+            buf = buf.at[pos].set(xi)
+            return (buf, (pos + 1) % L), out
+
+        (buf, pos), out = jax.lax.scan(step, (buf, pos), x)
+        return {"buf": buf, "pos": pos}, out
+
+    def read_at_lin(self, state, index):
+        """Linear-interpolated read at a (possibly traced) fractional index."""
+        L = self.length
+        buf = state["buf"]
+        low = jnp.floor(index).astype(jnp.int32) % L
+        high = (low + 1) % L
+        frac = index - jnp.floor(index)
+        return buf[low] + (buf[high] - buf[low]) * frac
