@@ -1,0 +1,104 @@
+"""Headline benchmark: polyphonic voice throughput (many_sines workload).
+
+The reference's demonstrated scale is 600 simultaneous enveloped, panned
+sine voices in realtime at 48 kHz on a desktop (knaster/examples/
+many_sines.rs, BASELINE.md). We render an N-voice enveloped/panned sine bank
+fully on device (lax.scan over blocks) and report voice-samples/second;
+``vs_baseline`` is the ratio to the reference's 600 × 48000 voice-samples/s.
+
+Run on TPU (default env) or CPU (JAX_PLATFORMS=cpu for a sanity check).
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_VOICES = int(os.environ.get("BENCH_VOICES", 20480))
+SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
+BLOCK = 64
+SR = 48000
+BASELINE_VOICE_SAMPLES = 600 * 48000  # reference: 600 voices realtime @48k
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx, SineVoice, VoiceBank
+
+    ctx = AudioCtx(sample_rate=SR, block_size=BLOCK, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": rng.uniform(100.0, 4000.0, N_VOICES).astype(np.float32),
+        "amp": np.full(N_VOICES, 0.01, np.float32),
+        "pan": rng.uniform(-1.0, 1.0, N_VOICES).astype(np.float32),
+    }
+    bank = VoiceBank(SineVoice(), N_VOICES, voice_defaults=defaults)
+    state = bank.init(ctx)
+    # start all envelopes via one event block, then run event-free blocks
+    # (steady-state throughput, the realtime-equivalent measure)
+    trig_idx = bank.trig_index("t_restart")
+    first_events = bank.node_events_from_lists(
+        [(0, v, trig_idx, 1, 0.0) for v in range(min(N_VOICES, bank.event_capacity))]
+    )
+    empty = bank.empty_node_events()
+
+    n_blocks = max(1, int(SECONDS * SR) // BLOCK)
+    no_in = jnp.zeros((0, BLOCK), ctx.dtype)
+
+    def block_step(st, ev):
+        st, out, _ = bank.process(ctx, st, no_in, {}, events=ev)
+        return st, out
+
+    @jax.jit
+    def render(state):
+        state, _ = block_step(state, first_events)
+
+        def body(st, _):
+            st, out = block_step(st, empty)
+            # keep only the mix bus mean per block: avoids materializing
+            # the full output while forcing full computation
+            return st, out.mean()
+
+        state, means = jax.lax.scan(body, state, None, length=n_blocks)
+        return state, means
+
+    # compile + warm up
+    t0 = time.time()
+    st, means = render(state)
+    jax.block_until_ready(means)
+    compile_and_first = time.time() - t0
+
+    # timed steady-state run
+    t0 = time.time()
+    st, means = render(st)
+    jax.block_until_ready(means)
+    dt = time.time() - t0
+
+    frames = n_blocks * BLOCK
+    voice_samples_per_sec = N_VOICES * frames / dt
+    realtime_voices = voice_samples_per_sec / SR
+    result = {
+        "metric": "voice_samples_per_sec",
+        "value": round(voice_samples_per_sec),
+        "unit": "voice-samples/s",
+        "vs_baseline": round(voice_samples_per_sec / BASELINE_VOICE_SAMPLES, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {N_VOICES} voices, {frames} frames in {dt:.3f}s -> "
+        f"{realtime_voices:.0f} realtime voices @48kHz "
+        f"(compile+warmup {compile_and_first:.1f}s, platform "
+        f"{jax.devices()[0].platform})",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,11 +70,19 @@ from .ugens.pan import Pan2
 from .ugens.polyblep import PolyBlep, Waveform
 from .ugens.util import Constant, DoneOnTrig, LogProbe
 from .ugens.wavetable import NonAaWavetable, Wavetable
+from .parallel.voicebank import VoiceBank
+from .parallel.mesh import ShardedVoiceBank
+from .models.voices import FMVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AllpassDelay",
+    "FMVoice",
+    "ShardedVoiceBank",
+    "SineVoice",
+    "SubtractiveVoice",
+    "VoiceBank",
     "AllpassFeedbackDelay",
     "AudioCtx",
     "Buffer",

@@ -72,6 +72,16 @@ class UGen:
     inputs: int = 0
     outputs: int = 1
     params: Tuple[Param, ...] = ()
+    # Nodes with a private event channel (e.g. VoiceBank's per-voice events)
+    # set this > 0; the compiler then passes an `events` kwarg to process()
+    # built by empty_node_events / node_events_from_lists.
+    event_capacity: int = 0
+
+    def empty_node_events(self, dtype=np.float32):
+        raise NotImplementedError
+
+    def node_events_from_lists(self, events, dtype=np.float32):
+        raise NotImplementedError
 
     # ---- overridable ------------------------------------------------------
     def init(self, ctx: AudioCtx):

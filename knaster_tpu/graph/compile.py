@@ -98,7 +98,12 @@ class CompiledGraph:
         return {"nodes": nodes, "pe": pe, "fb": fb}
 
     def empty_events(self):
-        return empty_events(self.event_capacity, dtype=self.ctx.dtype)
+        ev = empty_events(self.event_capacity, dtype=self.ctx.dtype)
+        for nid in self.order:
+            ugen = self.entries[nid].ugen
+            if ugen.event_capacity > 0:
+                ev[f"n{nid}"] = ugen.empty_node_events(dtype=self.ctx.dtype)
+        return ev
 
     @property
     def node_index(self) -> Dict[int, int]:
@@ -319,9 +324,14 @@ def _build_render(cg: CompiledGraph):
                     params[spec.name] = pt[slot]
                 else:
                     params[spec.name] = pi[slot]
-            st, out, done = normalize_process_result(
-                ugen.process(ctx, state["nodes"][str(nid)], inputs, params), ctx
-            )
+            if ugen.event_capacity > 0:
+                result = ugen.process(
+                    ctx, state["nodes"][str(nid)], inputs, params,
+                    events=events[f"n{nid}"],
+                )
+            else:
+                result = ugen.process(ctx, state["nodes"][str(nid)], inputs, params)
+            st, out, done = normalize_process_result(result, ctx)
             outs[nid] = out
             new_nodes[str(nid)] = st
             done_flags.append(jnp.any(done))

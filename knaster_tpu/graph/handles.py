@@ -164,6 +164,17 @@ class Handle(Source):
         except KeyError:
             return None
 
+    def voice_param(self, name: str) -> "VoiceParameter":
+        """Per-voice control of a VoiceBank node (see parallel/voicebank.py)."""
+        entry = self.graph._node(self.node_id)
+        return VoiceParameter(self.graph, self.node_id, entry.ugen, name)
+
+    def set_voice_active(self, voice: int, active: bool, t: Optional[Time] = None):
+        self.graph._queue_event(
+            self.node_id, 0, ("voice_active", int(voice), bool(active)),
+            t or Time.asap(),
+        )
+
     def disconnect_output(self, source_channel: int = 0) -> None:
         self.graph.disconnect_output_from_source(self.node_id, source_channel)
 
@@ -256,6 +267,65 @@ class Parameter:
         if self.ptype != "trigger":
             raise TypeError(f"parameter {self.name!r} is not a trigger")
         self.graph._queue_event(self.node_id, self.param_idx, ("trig",), t)
+
+
+class VoiceParameter:
+    """Per-voice parameter of a VoiceBank: ``vp.set(voice, value)`` /
+    ``vp.trig(voice)``, each schedulable with the usual Time forms.
+
+    Float/int sets apply at block rate; triggers are sample-accurate (see
+    parallel/voicebank.py for the rationale)."""
+
+    def __init__(self, graph, node_id: int, bank, name: str):
+        self.graph = graph
+        self.node_id = node_id
+        self.bank = bank
+        self.name = name
+        spec = None
+        for p in bank.voice.params:
+            if p.name == name:
+                spec = p
+        if spec is None:
+            raise KeyError(f"voice has no parameter {name!r}")
+        self.ptype = spec.ptype
+        if self.ptype == "float":
+            self.index = bank.float_index(name)
+        elif self.ptype == "trigger":
+            self.index = bank.trig_index(name)
+        else:
+            self.index = bank.int_index(name)
+
+    def set(self, voice: int, value, t: Optional[Time] = None) -> None:
+        t = t or Time.asap()
+        if self.ptype == "float":
+            payload = ("voice_float", int(voice), self.index, float(value))
+        elif self.ptype in ("integer", "bool"):
+            if hasattr(value, "value"):
+                value = value.value
+            payload = ("voice_int", int(voice), self.index, int(value))
+        else:
+            payload = ("voice_trig", int(voice), self.index)
+        self.graph._queue_event(self.node_id, self.index, payload, t)
+
+    def set_at(self, voice: int, value, at) -> None:
+        self.set(voice, value, Time.at(at))
+
+    def set_after(self, voice: int, value, after) -> None:
+        self.set(voice, value, Time.after(after))
+
+    def trig(self, voice: int, t: Optional[Time] = None) -> None:
+        if self.ptype != "trigger":
+            raise TypeError(f"voice parameter {self.name!r} is not a trigger")
+        self.graph._queue_event(
+            self.node_id, self.index, ("voice_trig", int(voice), self.index),
+            t or Time.asap(),
+        )
+
+    def trig_at(self, voice: int, at) -> None:
+        self.trig(voice, Time.at(at))
+
+    def trig_after(self, voice: int, after) -> None:
+        self.trig(voice, Time.after(after))
 
 
 def _as_channel_list(chs) -> List[int]:

@@ -96,14 +96,30 @@ class AudioProcessor:
                 keep.append(ev)
         self.graph.event_queue = keep
 
-        per_block: List[Tuple[list, list, list]] = [
-            ([], [], []) for _ in range(horizon_blocks)
+        per_block: List[Tuple[list, list, list, dict]] = [
+            ([], [], [], {}) for _ in range(horizon_blocks)
         ]
         layout = self.compiled.layout
         for ev in sorted(due, key=lambda e: (max(e.due_frame, clock), e.order)):
             frame_abs = max(ev.due_frame, clock)
             bi = (frame_abs - clock) // B
             frame = frame_abs - clock - bi * B
+            fl, tl, il, nd = per_block[bi]
+            p = ev.payload
+            if p[0].startswith("voice_"):
+                # per-node event channel (e.g. VoiceBank per-voice control)
+                if ev.node_id not in self.compiled.entries:
+                    continue  # node freed: expire silently
+                lst = nd.setdefault(ev.node_id, [])
+                if p[0] == "voice_float":
+                    lst.append((frame, p[1], p[2], 0, p[3]))
+                elif p[0] == "voice_trig":
+                    lst.append((frame, p[1], p[2], 1, 0.0))
+                elif p[0] == "voice_int":
+                    lst.append((frame, p[1], p[2], 2, float(p[3])))
+                elif p[0] == "voice_active":
+                    lst.append((frame, p[1], 0, 3, 1.0 if p[2] else 0.0))
+                continue
             key = None
             # resolve slot; events for freed nodes expire silently
             # (reference graph_gen.rs:122-126)
@@ -113,8 +129,6 @@ class AudioProcessor:
             if key is None:
                 continue
             typ, slot = key
-            fl, tl, il = per_block[bi]
-            p = ev.payload
             if p[0] == "set_float" and typ == "float":
                 fl.append((frame, slot, p[1], 0, 0, 0, 0))
             elif p[0] == "smooth_cfg" and typ == "float":
@@ -126,10 +140,17 @@ class AudioProcessor:
         return per_block
 
     def _events_tensor(self, lists):
-        fl, tl, il = lists
-        return events_from_lists(
+        fl, tl, il, nd = lists
+        ev = events_from_lists(
             self.compiled.event_capacity, fl, tl, il, dtype=self.graph.dtype
         )
+        for nid in self.compiled.order:
+            ugen = self.compiled.entries[nid].ugen
+            if ugen.event_capacity > 0:
+                ev[f"n{nid}"] = ugen.node_events_from_lists(
+                    nd.get(nid, []), dtype=self.graph.dtype
+                )
+        return ev
 
     def _zero_inputs(self):
         return jnp.zeros(

@@ -1,0 +1,238 @@
+"""Voice models: ready-made instrument voices for VoiceBank batching.
+
+These compose library UGens *functionally* (a UGen's process is a pure
+function, so composition is ordinary function calls — no graph nodes needed
+inside a voice). They are the flagship workloads:
+
+* :class:`SineVoice` — the reference's ``many_sines`` voice
+  (knaster/examples/many_sines.rs: EnvAr * (SinWt.wr_mul(amp)) >> Pan2).
+* :class:`FMVoice` — 2-operator FM with an AR envelope (the fm_bench
+  workload family, knaster_benchmarks/src/bin/fm_bench.rs).
+* :class:`SubtractiveVoice` — AA saw -> SVF lowpass -> ASR envelope
+  (BASELINE.md config: "Subtractive voice: wavetable saw → SVF → ADSR").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.ugen import AudioCtx, UGen, normalize_process_result
+from ..primitives.params import ParameterKind, pfloat, ptrigger
+from ..ugens.envelopes import EnvAr, EnvAsr
+from ..ugens.filters import SvfFilter, SvfFilterType
+from ..ugens.osc import SinWt
+from ..ugens.pan import Pan2
+from ..ugens.polyblep import PolyBlep, Waveform
+
+
+class SineVoice(UGen):
+    """Enveloped, panned sine voice (many_sines.rs parity)."""
+
+    inputs = 0
+    outputs = 2
+    params = (
+        pfloat("freq", 440.0, kind=ParameterKind.FREQUENCY),
+        pfloat("amp", 0.0125),
+        pfloat("pan", 0.0),
+        ptrigger("t_restart"),
+        ptrigger("t_release"),
+    )
+
+    def __init__(self, freq: float = 440.0, amp: float = 0.0125, pan: float = 0.0,
+                 attack: float = 0.01, release: float = 0.1):
+        self.pdefaults = {"freq": float(freq), "amp": float(amp), "pan": float(pan)}
+        self.osc = SinWt(freq)
+        self.env = EnvAsr(attack, release)
+        self.panner = Pan2(pan)
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "osc": self.osc.init(ctx),
+            "env": self.env.init(ctx),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        no_in = jnp.zeros((0, B), ctx.dtype)
+        atk = getattr(self.env, "pdefaults", {})
+        osc_state, osc_out, _ = normalize_process_result(
+            self.osc.process(
+                ctx, state["osc"],
+                no_in,
+                {
+                    "freq": params["freq"],
+                    "phase_offset": jnp.zeros((B,), ctx.dtype),
+                    "reset_phase": jnp.zeros((B,), bool),
+                },
+            ),
+            ctx,
+        )
+        env_state, env_out, done = normalize_process_result(
+            self.env.process(
+                ctx, state["env"],
+                no_in,
+                {
+                    "attack_time": jnp.full((B,), atk.get("attack_time", 0.01), ctx.dtype),
+                    "release_time": jnp.full((B,), atk.get("release_time", 0.1), ctx.dtype),
+                    "t_restart": params["t_restart"],
+                    "t_release": params["t_release"],
+                },
+            ),
+            ctx,
+        )
+        sig = osc_out * env_out * params["amp"]
+        _, out = self.panner.process(ctx, {}, sig, {"pan": params["pan"]})
+        return {"osc": osc_state, "env": env_state}, out, done
+
+
+class FMVoice(UGen):
+    """2-operator FM voice: modulator sine FMs a carrier sine, AR envelope.
+
+    carrier_freq, ratio (mod freq = carrier*ratio), index (mod depth in units
+    of carrier freq) — the classic FM patch the reference's fm_bench cascades.
+    """
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("freq", 220.0, kind=ParameterKind.FREQUENCY),
+        pfloat("ratio", 2.0),
+        pfloat("index", 1.5),
+        pfloat("amp", 0.1),
+        ptrigger("t_restart"),
+    )
+
+    def __init__(self, freq: float = 220.0, ratio: float = 2.0, index: float = 1.5,
+                 amp: float = 0.1, attack: float = 0.005, release: float = 0.3):
+        self.pdefaults = {
+            "freq": float(freq),
+            "ratio": float(ratio),
+            "index": float(index),
+            "amp": float(amp),
+        }
+        self.mod = SinWt(freq * ratio)
+        self.car = SinWt(freq)
+        self.env = EnvAr(attack, release)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "mod": self.mod.init(ctx),
+            "car": self.car.init(ctx),
+            "env": self.env.init(ctx),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        no_in = jnp.zeros((0, B), ctx.dtype)
+        zeros = jnp.zeros((B,), ctx.dtype)
+        no_trig = jnp.zeros((B,), bool)
+        mod_state, mod_out, _ = normalize_process_result(
+            self.mod.process(
+                ctx, state["mod"], no_in,
+                {"freq": params["freq"] * params["ratio"],
+                 "phase_offset": zeros, "reset_phase": no_trig},
+            ),
+            ctx,
+        )
+        # audio-rate FM: carrier freq modulated per sample (WrArParams parity)
+        car_freq = params["freq"] * (1.0 + params["index"] * mod_out[0])
+        car_state, car_out, _ = normalize_process_result(
+            self.car.process(
+                ctx, state["car"], no_in,
+                {"freq": car_freq, "phase_offset": zeros, "reset_phase": no_trig},
+            ),
+            ctx,
+        )
+        env_state, env_out, done = normalize_process_result(
+            self.env.process(
+                ctx, state["env"], no_in,
+                {
+                    "attack_time": jnp.full((B,), self._attack, ctx.dtype),
+                    "release_time": jnp.full((B,), self._release, ctx.dtype),
+                    "t_restart": params["t_restart"],
+                },
+            ),
+            ctx,
+        )
+        out = car_out * env_out * params["amp"]
+        return {"mod": mod_state, "car": car_state, "env": env_state}, out, done
+
+
+class SubtractiveVoice(UGen):
+    """PolyBLEP saw -> SVF lowpass -> ASR envelope (BASELINE config #2)."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("freq", 110.0, kind=ParameterKind.FREQUENCY),
+        pfloat("cutoff", 2000.0, kind=ParameterKind.FREQUENCY),
+        pfloat("q", 1.0),
+        pfloat("amp", 0.2),
+        ptrigger("t_restart"),
+        ptrigger("t_release"),
+    )
+
+    def __init__(self, freq: float = 110.0, cutoff: float = 2000.0, q: float = 1.0,
+                 amp: float = 0.2, attack: float = 0.01, release: float = 0.2):
+        self.pdefaults = {
+            "freq": float(freq),
+            "cutoff": float(cutoff),
+            "q": float(q),
+            "amp": float(amp),
+        }
+        self.osc = PolyBlep(Waveform.Sawtooth, freq)
+        self.filt = SvfFilter(SvfFilterType.Low, cutoff, q, 0.0)
+        self.env = EnvAsr(attack, release)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "osc": self.osc.init(ctx),
+            "filt": self.filt.init(ctx),
+            "env": self.env.init(ctx),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        no_in = jnp.zeros((0, B), ctx.dtype)
+        osc_state, osc_out, _ = normalize_process_result(
+            self.osc.process(
+                ctx, state["osc"], no_in,
+                {
+                    "waveform": jnp.zeros((B,), jnp.int32),
+                    "freq": params["freq"],
+                    "pulse_width": jnp.full((B,), 0.5, ctx.dtype),
+                },
+            ),
+            ctx,
+        )
+        filt_state, filt_out, _ = normalize_process_result(
+            self.filt.process(
+                ctx, state["filt"], osc_out,
+                {
+                    "filter": jnp.zeros((B,), jnp.int32),
+                    "cutoff_freq": params["cutoff"],
+                    "q": params["q"],
+                    "gain": jnp.zeros((B,), ctx.dtype),
+                    "t_calculate_coefficients": jnp.zeros((B,), bool),
+                },
+            ),
+            ctx,
+        )
+        env_state, env_out, done = normalize_process_result(
+            self.env.process(
+                ctx, state["env"], no_in,
+                {
+                    "attack_time": jnp.full((B,), self._attack, ctx.dtype),
+                    "release_time": jnp.full((B,), self._release, ctx.dtype),
+                    "t_restart": params["t_restart"],
+                    "t_release": params["t_release"],
+                },
+            ),
+            ctx,
+        )
+        out = filt_out * env_out * params["amp"]
+        return {"osc": osc_state, "filt": filt_state, "env": env_state}, out, done

@@ -1,1 +1,6 @@
+"""Voice-level and multi-chip parallelism (SURVEY §2.9/§5.8 TPU mapping)."""
 
+from .voicebank import VoiceBank
+from .mesh import ShardedVoiceBank
+
+__all__ = ["VoiceBank", "ShardedVoiceBank"]

@@ -1,0 +1,169 @@
+"""Multi-chip scaling: shard a VoiceBank over a device mesh.
+
+Voice synthesis is embarrassingly parallel over voices (SURVEY §5.8): each
+chip renders a contiguous shard of the bank's voices and the mix bus is a
+``psum`` over ICI. Events are replicated (tiny) and masked to the local
+voice range inside ``shard_map``; all DSP state lives sharded on-device, so
+the only per-block collective is the [channels, block] mix-down.
+
+Layout: mesh axis "voices"; state leaves sharded on their leading [V] axis;
+output replicated. This is classic data parallelism riding ICI — no DCN
+traffic, no resharding inside the step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.ugen import AudioCtx
+from .voicebank import VoiceBank
+
+
+class ShardedVoiceBank:
+    """A VoiceBank whose voices are sharded across a mesh axis.
+
+    Usage::
+
+        mesh = jax.make_mesh((n_devices,), ("voices",))
+        bank = VoiceBank(FMVoice(), n_voices=8192)
+        sb = ShardedVoiceBank(bank, mesh, ctx)
+        state = sb.init_state()
+        state, out = sb.step(state, sb.empty_events())   # out: [ch, block]
+    """
+
+    def __init__(self, bank: VoiceBank, mesh: Mesh, ctx: AudioCtx,
+                 axis: str = "voices"):
+        if bank.mix != "sum":
+            raise ValueError("sharded banks must use mix='sum'")
+        self.bank = bank
+        self.mesh = mesh
+        self.ctx = ctx
+        self.axis = axis
+        self.n_devices = mesh.shape[axis]
+        if bank.n_voices % self.n_devices:
+            raise ValueError(
+                f"n_voices ({bank.n_voices}) must divide the mesh axis "
+                f"({self.n_devices})"
+            )
+        self.local_voices = bank.n_voices // self.n_devices
+        # a local bank instance describing one shard's worth of voices
+        self._local = VoiceBank(
+            bank.voice,
+            self.local_voices,
+            mix="sum",
+            event_capacity=bank.event_capacity,
+        )
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        """Build the sharded state: leading axis = voices, laid out on the mesh."""
+        V = self.bank.n_voices
+
+        def make_global(local_init):
+            # init per shard then stack — all shards identical except params
+            return local_init
+
+        # init a full-size bank on host semantics, then shard its arrays
+        full_state = self.bank.init(self.ctx)
+        shard_spec = {
+            "voices": jax.tree_util.tree_map(lambda _: P(self.axis), full_state["voices"]),
+            "fvals": P(None, self.axis),
+            "ivals": P(None, self.axis),
+            "active": P(self.axis),
+        }
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return {
+            "voices": jax.tree_util.tree_map(
+                put, full_state["voices"], shard_spec["voices"]
+            ),
+            "fvals": put(full_state["fvals"], shard_spec["fvals"]),
+            "ivals": put(full_state["ivals"], shard_spec["ivals"]),
+            "active": put(full_state["active"], shard_spec["active"]),
+        }
+
+    def empty_events(self):
+        return self.bank.empty_node_events(dtype=self.ctx.dtype)
+
+    def events_from_lists(self, events):
+        return self.bank.node_events_from_lists(events, dtype=self.ctx.dtype)
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        ctx = self.ctx
+        local_bank = self._local
+        axis = self.axis
+        Vl = self.local_voices
+
+        def local_step(state, events):
+            # globalize -> localize voice indices; out-of-shard events are
+            # masked to the sacrificial pad (voice = -1)
+            shard = jax.lax.axis_index(axis)
+            lo = shard * Vl
+            v = events["voice"]
+            local_v = v - lo
+            in_shard = (v >= 0) & (local_v >= 0) & (local_v < Vl)
+            ev = dict(events)
+            ev["voice"] = jnp.where(in_shard, local_v, -1)
+            new_state, out, _done = local_bank.process(
+                ctx, state, jnp.zeros((0, ctx.block_size), ctx.dtype), {}, events=ev
+            )
+            # mix bus rides ICI
+            out = jax.lax.psum(out, axis)
+            return new_state, out
+
+        state_specs = {
+            "voices": jax.tree_util.tree_map(
+                lambda _: P(axis), self.bank.voice.init(ctx)
+            ),
+            "fvals": P(None, axis),
+            "ivals": P(None, axis),
+            "active": P(axis),
+        }
+        ev_specs = jax.tree_util.tree_map(
+            lambda _: P(), self.empty_events()
+        )
+
+        shard_fn = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(state_specs, ev_specs),
+            out_specs=(state_specs, P()),
+        )
+        return jax.jit(shard_fn, donate_argnums=(0,))
+
+    def step(self, state, events):
+        """Render one block: returns (state', mixed [channels, block])."""
+        return self._step(state, events)
+
+    def render(self, n_blocks: int, events_per_block=None):
+        """Convenience bounce: scan n_blocks on the mesh, return [ch, frames]."""
+        state = self.init_state()
+        if events_per_block is None:
+            ev = self.empty_events()
+            events_stacked = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (n_blocks,) + x.shape), ev
+            )
+        else:
+            events_stacked = events_per_block
+
+        def body(st, ev):
+            st, out = self._step(st, ev)
+            return st, out
+
+        outs = []
+        for i in range(n_blocks):
+            ev = jax.tree_util.tree_map(lambda x: x[i], events_stacked)
+            state, out = self._step(state, ev)
+            outs.append(out)
+        cat = jnp.stack(outs)  # [NB, ch, B]
+        return jnp.swapaxes(cat, 0, 1).reshape(self.bank.voice.outputs, -1)

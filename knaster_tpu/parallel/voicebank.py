@@ -1,0 +1,243 @@
+"""VoiceBank: thousands of voices batched across VPU lanes.
+
+This is the TPU-native answer to the reference's voice-level parallelism
+story (SURVEY §2.9): knaster's ``many_sines`` example pushes 600 individual
+enveloped sine nodes and relies on fast sequential Rust; here a single
+:class:`VoiceBank` node ``vmap``s one voice UGen over a ``[n_voices]`` axis,
+so a 10k-voice bank is one fused program whose scans run 10k lanes wide.
+The bank's summed output is the mix bus.
+
+Per-voice control rides a private **bank event channel** (the node-level
+events extension in compile.py): float params apply at block rate (value per
+voice), triggers are sample-accurate per voice — matching how knaster
+patches are actually driven (env trigs need sample placement, freq changes
+don't).
+
+Voices can be masked inactive; inactive voices render but are muted — the
+"free" that never needs a recompile (SURVEY §7.4 voice-pool masking).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ugen import AudioCtx, UGen, normalize_process_result
+
+
+class VoiceBank(UGen):
+    """``n_voices`` copies of a voice UGen, vmapped, mixed to one bus.
+
+    voice:          any UGen with no audio inputs (a generator/voice model).
+    n_voices:       number of parallel voices.
+    voice_defaults: optional {param_name: np.ndarray[n_voices]} per-voice
+                    initial parameter values (e.g. detuned freqs).
+    mix:            'sum' (mix bus) or 'stack' (outputs = voices*voice.outputs,
+                    for per-voice post-processing).
+    """
+
+    event_capacity = 256
+
+    def __init__(
+        self,
+        voice: UGen,
+        n_voices: int,
+        voice_defaults: Optional[Dict[str, np.ndarray]] = None,
+        mix: str = "sum",
+        event_capacity: int = 256,
+    ):
+        if voice.inputs != 0:
+            raise ValueError("VoiceBank voices must be generators (no audio inputs)")
+        self.voice = voice
+        self.n_voices = int(n_voices)
+        self.inputs = 0
+        self.mix = mix
+        if mix == "sum":
+            self.outputs = voice.outputs
+        elif mix == "stack":
+            self.outputs = voice.outputs * self.n_voices
+        else:
+            raise ValueError("mix must be 'sum' or 'stack'")
+        self.event_capacity = int(event_capacity)
+        self.voice_defaults = dict(voice_defaults or {})
+        # bank-level params deliberately empty: control flows via voice events
+        self.params = ()
+        self._float_names = [p.name for p in voice.params if p.ptype == "float"]
+        self._trig_names = [p.name for p in voice.params if p.ptype == "trigger"]
+        self._int_names = [
+            p.name for p in voice.params if p.ptype in ("integer", "bool")
+        ]
+
+    def name(self) -> str:
+        return f"VoiceBank[{self.n_voices}x{self.voice.name()}]"
+
+    # ------------------------------------------------------------- indices
+    def float_index(self, name: str) -> int:
+        return self._float_names.index(name)
+
+    def trig_index(self, name: str) -> int:
+        return self._trig_names.index(name)
+
+    def int_index(self, name: str) -> int:
+        return self._int_names.index(name)
+
+    # --------------------------------------------------------------- state
+    def init(self, ctx: AudioCtx):
+        V = self.n_voices
+        voice_state = self.voice.init(ctx)
+        # replicate the single-voice state across the voice axis
+        state_v = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x)[None, ...], (V,) + jnp.asarray(x).shape).copy(),
+            voice_state,
+        )
+        fvals = np.zeros((len(self._float_names), V), dtype=ctx.dtype)
+        for i, name in enumerate(self._float_names):
+            default = None
+            for p in self.voice.params:
+                if p.name == name:
+                    default = getattr(self.voice, "pdefaults", {}).get(
+                        name, p.default_value()
+                    )
+            fvals[i, :] = default
+            if name in self.voice_defaults:
+                fvals[i, :] = np.asarray(self.voice_defaults[name], dtype=ctx.dtype)
+        ivals = np.zeros((len(self._int_names), V), dtype=np.int32)
+        for i, name in enumerate(self._int_names):
+            for p in self.voice.params:
+                if p.name == name:
+                    d = getattr(self.voice, "pdefaults", {}).get(name, p.default_value())
+                    ivals[i, :] = int(d)
+            if name in self.voice_defaults:
+                ivals[i, :] = np.asarray(self.voice_defaults[name], dtype=np.int32)
+        return {
+            "voices": state_v,
+            "fvals": jnp.asarray(fvals),
+            "ivals": jnp.asarray(ivals),
+            "active": jnp.ones((V,), dtype=bool),
+        }
+
+    # --------------------------------------------------------------- events
+    def empty_node_events(self, dtype=np.float32):
+        E = self.event_capacity
+        return {
+            "frame": jnp.zeros((E,), jnp.int32),
+            "voice": jnp.full((E,), -1, jnp.int32),
+            "param": jnp.zeros((E,), jnp.int32),
+            # kind: 0 float set, 1 trigger, 2 int set, 3 set-active
+            "kind": jnp.zeros((E,), jnp.int32),
+            "value": jnp.zeros((E,), dtype),
+        }
+
+    def node_events_from_lists(self, events, dtype=np.float32):
+        """events: list of (frame, voice, param_idx, kind, value), in order.
+
+        Block-rate kinds (float/int/active set) are deduplicated host-side —
+        last event per (kind, param, voice) wins — so the device can apply
+        them with one vectorized scatter. Triggers keep every event."""
+        dedup = {}
+        trigs = []
+        for e in events:
+            f, v, p, k, val = e
+            if k == 1:
+                trigs.append(e)
+            else:
+                dedup[(k, p, v)] = e
+        flat = list(dedup.values()) + trigs
+        if len(flat) > self.event_capacity:
+            raise ValueError(
+                f"more than {self.event_capacity} voice events in one block; "
+                f"raise VoiceBank(event_capacity=...)"
+            )
+        ev = {k: np.array(v, copy=True) for k, v in self.empty_node_events(dtype).items()}
+        for i, (f, v, p, k, val) in enumerate(flat):
+            ev["frame"][i] = f
+            ev["voice"][i] = v
+            ev["param"][i] = p
+            ev["kind"][i] = k
+            ev["value"][i] = val
+        return {k: jnp.asarray(v) for k, v in ev.items()}
+
+    # -------------------------------------------------------------- process
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        V = self.n_voices
+        B = ctx.block_size
+        dtype = ctx.dtype
+        if events is None:
+            events = self.empty_node_events(dtype)
+
+        fvals = state["fvals"]  # [nf, V]
+        ivals = state["ivals"]  # [ni, V]
+        active = state["active"]
+        n_trig = len(self._trig_names)
+
+        voice = events["voice"]
+        param = events["param"]
+        kind = events["kind"]
+        value = events["value"]
+        frame = events["frame"]
+        valid = voice >= 0
+
+        # one vectorized scatter per kind; invalid/other-kind events land in
+        # a sacrificial voice column V that is sliced off (host deduped the
+        # block-rate kinds, so duplicate indices only occur in that column)
+        def apply_set(arr, k, vals):
+            sel = valid & (kind == k)
+            v_sel = jnp.where(sel, voice, V)
+            p_sel = jnp.clip(param, 0, max(arr.shape[0] - 1, 0))
+            padded = jnp.concatenate(
+                [arr, jnp.zeros((arr.shape[0], 1), arr.dtype)], axis=1
+            )
+            return padded.at[p_sel, v_sel].set(vals)[:, :V]
+
+        if fvals.shape[0]:
+            fvals = apply_set(fvals, 0, value)
+        if ivals.shape[0]:
+            ivals = apply_set(ivals, 2, value.astype(jnp.int32))
+        sel_a = valid & (kind == 3)
+        v_a = jnp.where(sel_a, voice, V)
+        active = jnp.concatenate([active, jnp.zeros((1,), bool)]).at[v_a].set(
+            value > 0.5
+        )[:V]
+
+        trig = jnp.zeros((max(n_trig, 1), V + 1, B), dtype=bool)
+        sel_t = valid & (kind == 1)
+        v_t = jnp.where(sel_t, voice, V)
+        trig = trig.at[jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame].set(True)
+        trig = trig[:, :V, :]
+
+        # build per-voice param dict: [V, B] leaves for vmap axis 0
+        voice_params = {}
+        for i, name in enumerate(self._float_names):
+            voice_params[name] = jnp.broadcast_to(fvals[i][:, None], (V, B))
+        for i, name in enumerate(self._int_names):
+            voice_params[name] = jnp.broadcast_to(ivals[i][:, None], (V, B))
+        for i, name in enumerate(self._trig_names):
+            voice_params[name] = trig[i]
+
+        zero_in = jnp.zeros((V, 0, B), dtype=dtype)
+
+        def one_voice(vstate, vin, vparams):
+            return normalize_process_result(
+                self.voice.process(ctx, vstate, vin, vparams), ctx
+            )
+
+        new_vstate, outs, dones = jax.vmap(one_voice)(
+            state["voices"], zero_in, voice_params
+        )
+        # outs: [V, out_ch, B]
+        outs = jnp.where(active[:, None, None], outs, jnp.zeros_like(outs))
+        if self.mix == "sum":
+            out = jnp.sum(outs, axis=0)
+        else:
+            out = outs.reshape(V * self.voice.outputs, B)
+        done = jnp.zeros((B,), dtype=bool)  # banks never free themselves
+        new_state = {
+            "voices": new_vstate,
+            "fvals": fvals,
+            "ivals": ivals,
+            "active": active,
+        }
+        return new_state, out, done

@@ -1,0 +1,164 @@
+"""VoiceBank + sharding tests: batched voices, per-voice events, mesh psum."""
+
+import jax
+import numpy as np
+import pytest
+
+from knaster_tpu import (
+    AudioCtx,
+    AudioProcessor,
+    AudioProcessorOptions,
+    FMVoice,
+    Seconds,
+    ShardedVoiceBank,
+    SineVoice,
+    SubtractiveVoice,
+    VoiceBank,
+)
+
+SR = 48000
+OPTS = AudioProcessorOptions(block_size=64, sample_rate=SR)
+
+
+def _samples(n):
+    return Seconds.from_samples(n, SR)
+
+
+def test_voicebank_equals_sum_of_single_voices():
+    """A bank of V voices must equal V separate voice nodes mixed."""
+    freqs = np.array([220.0, 330.0, 550.0], np.float32)
+
+    # bank version
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(SineVoice(amp=0.1), 3, voice_defaults={"freq": freqs}))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    vp = bank.voice_param("t_restart")
+    for v in range(3):
+        vp.trig(v)
+    a = proc.render(frames=256)
+
+    # separate-nodes version
+    g2, proc2 = AudioProcessor.new(0, 2, OPTS)
+
+    def build2(gg):
+        ps = []
+        for f in freqs:
+            h = gg.push(SineVoice(freq=float(f), amp=0.1))
+            h.to_graph_out()
+            ps.append(h.param("t_restart"))
+        return ps
+
+    ps = g2.edit(build2)
+    for p in ps:
+        p.trig()
+    b = proc2.render(frames=256)
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_voicebank_per_voice_events():
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(SineVoice(amp=0.1), 4))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    freq = bank.voice_param("freq")
+    trig = bank.voice_param("t_restart")
+    freq.set(0, 1000.0)
+    freq.set(2, 2000.0)
+    trig.trig(0)
+    # voice 2 triggers at sample 100 (sample-accurate)
+    trig.trig_at(2, _samples(100))
+    a = proc.render(frames=256)
+    # before sample 100 only voice 0 sounds; envelope attack is 0.01s so
+    # amplitude is tiny but non-zero after a few samples
+    assert np.abs(a[:, 5:90]).max() > 0
+    # voice 2 contributes only from sample 100 (+1 for env attack from 0)
+    g3, p3 = AudioProcessor.new(0, 2, OPTS)
+
+    def build3(gg):
+        bank = gg.push(VoiceBank(SineVoice(amp=0.1), 4))
+        bank.to_graph_out()
+        return bank
+
+    b3 = g3.edit(build3)
+    b3.voice_param("freq").set(0, 1000.0)
+    b3.voice_param("t_restart").trig(0)
+    only0 = p3.render(frames=256)
+    np.testing.assert_allclose(a[:, :100], only0[:, :100], atol=1e-7)
+    assert not np.allclose(a[:, 105:], only0[:, 105:])
+
+
+def test_voicebank_active_masking():
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(SineVoice(amp=0.1), 2))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    bank.voice_param("t_restart").trig(0)
+    bank.voice_param("t_restart").trig(1)
+    bank.set_voice_active(1, False)
+    a = proc.render(frames=128)
+    # with voice 1 muted, equals a single-voice render
+    g2, p2 = AudioProcessor.new(0, 2, OPTS)
+    b2 = g2.edit(lambda gg: (lambda h: (h.to_graph_out(), h)[1])(
+        gg.push(VoiceBank(SineVoice(amp=0.1), 2))))
+    b2.voice_param("t_restart").trig(0)
+    b = p2.render(frames=128)
+    np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+@pytest.mark.parametrize("voice_cls", [FMVoice, SubtractiveVoice])
+def test_voice_models_render(voice_cls):
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(voice_cls(), 8))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    for v in range(8):
+        bank.voice_param("t_restart").trig(v)
+    a = proc.render(frames=2048)
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() > 1e-4
+
+
+def test_sharded_voicebank_matches_single_device():
+    """shard_map over the 8 virtual CPU devices == unsharded bank."""
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"expected 8 virtual devices, got {n_dev}"
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    ctx = AudioCtx(SR, 64, np.float32)
+    freqs = 220.0 * (1 + np.arange(16, dtype=np.float32) / 16.0)
+    bank = VoiceBank(SineVoice(amp=0.05), 16, voice_defaults={"freq": freqs})
+    sb = ShardedVoiceBank(bank, mesh, ctx)
+
+    # trigger all voices at frame 0, voice 13 at frame 10
+    events = [(0, v, 0, 1, 0.0) for v in range(13)] + [(10, 13, 0, 1, 0.0)]
+    ev = sb.events_from_lists(events)
+    state = sb.init_state()
+    state, out1 = sb.step(state, ev)
+    state, out2 = sb.step(state, sb.empty_events())
+    sharded = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=1)
+
+    # unsharded reference
+    ubank_state = bank.init(ctx)
+    uev = bank.node_events_from_lists(events)
+    st, o1, _ = bank.process(ctx, ubank_state, np.zeros((0, 64), np.float32), {}, events=uev)
+    st, o2, _ = bank.process(ctx, st, np.zeros((0, 64), np.float32), {},
+                             events=bank.node_events_from_lists([]))
+    unsharded = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+    np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+    assert np.abs(sharded).max() > 0
