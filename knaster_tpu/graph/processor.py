@@ -221,6 +221,15 @@ class AudioProcessor:
         if freed_any:
             self.graph.commit()
 
+    # ---------------------------------------------------------------- logs
+    def probe_log(self):
+        """Latest LogProbe captures (reference ArLogReceiver drain analog)."""
+        from ..core.log import collect_probes
+
+        if self.compiled is None or self.state is None:
+            return []
+        return collect_probes(self.compiled, self.state)
+
     # ------------------------------------------------------------- bounce
     def render(
         self,

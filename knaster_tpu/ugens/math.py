@@ -59,6 +59,23 @@ class MathUGen(UGen):
         return state, _BINOPS[self.op](inputs[:c], inputs[c:])
 
 
+# free constructor functions (reference knaster/src/math_ugens.rs)
+def mul(channels: int = 1) -> "MathUGen":
+    return MathUGen("mul", channels)
+
+
+def add(channels: int = 1) -> "MathUGen":
+    return MathUGen("add", channels)
+
+
+def sub(channels: int = 1) -> "MathUGen":
+    return MathUGen("sub", channels)
+
+
+def div(channels: int = 1) -> "MathUGen":
+    return MathUGen("div", channels)
+
+
 class Math1UGen(UGen):
     """Unary math (math.rs:168-320 Math1UGen)."""
 

@@ -1,0 +1,92 @@
+"""Inspection, dot export, and probe-logging tests."""
+
+import numpy as np
+
+from knaster_tpu import (
+    AudioProcessor,
+    AudioProcessorOptions,
+    Constant,
+    LogProbe,
+    SinWt,
+)
+from knaster_tpu.graph.inspection import inspect, to_dot
+
+OPTS = AudioProcessorOptions(block_size=16, sample_rate=48000)
+
+
+def _patch():
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        s = gg.push(SinWt(440.0), name="sine")
+        a = gg.push(Constant(0.5), name="amp")
+        sig = s * a
+        sig.out([0, 0]).to_graph_out()
+        probe = gg.push(LogProbe("mix", samples_between_logs=8), name="probe")
+        sig.to(probe)
+
+    g.edit(build)
+    return g, proc
+
+
+def test_inspect_structure():
+    g, proc = _patch()
+    gi = inspect(g)
+    names = {n.name for n in gi.nodes}
+    assert {"sine", "amp", "probe"} <= names
+    # operator sugar created an auto Math node
+    assert any(n.auto for n in gi.nodes)
+    kinds = {e.kind for e in gi.edges}
+    assert "graph_out" in kinds and "node" in kinds
+    assert gi.frame_clock == 0
+    # params carried through
+    sine = next(n for n in gi.nodes if n.name == "sine")
+    assert ("freq", "float") in sine.params
+
+
+def test_dot_export():
+    g, proc = _patch()
+    dot = to_dot(g)
+    assert dot.startswith("digraph")
+    assert "sine" in dot and "gout" in dot
+    # feedback edges are marked
+    from tests.utils import TestInPlusParamUGen
+
+    def fb(gg):
+        a = gg.push(TestInPlusParamUGen())
+        b = gg.push(TestInPlusParamUGen())
+        a.to(b)
+        b.to_feedback(a)
+        b.to_graph_out_channels(0)
+
+    g.edit(fb)
+    assert "color=red" in to_dot(g)
+
+
+def test_probe_log_drain():
+    g, proc = _patch()
+    proc.run_without_inputs()
+    probes = proc.probe_log()
+    assert len(probes) == 1
+    p = probes[0]
+    assert p.name == "mix"
+    assert p.fired  # period 8 < block 16, so it fired this block
+    assert np.isfinite(p.value)
+
+
+def test_rt_log_inside_jit(capfd):
+    """rt_log must work under jit (debug.print host callback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu.core.log import rt_log
+
+    @jax.jit
+    def f(x):
+        rt_log("peak {p}", p=jnp.abs(x).max())
+        return x * 2
+
+    f(jnp.asarray([1.0, -3.0])).block_until_ready()
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "peak 3.0" in out.out or "peak 3.0" in out.err

@@ -1,0 +1,121 @@
+"""Subgraph tests: a child Graph as a node, inlined at compile time
+(reference graph.rs subgraph_init:1436-1459; GraphGen-as-UGen recursion)."""
+
+import numpy as np
+import pytest
+
+from knaster_tpu import (
+    AudioProcessor,
+    AudioProcessorOptions,
+    Constant,
+    Done,
+    DoneOnTrig,
+    Graph,
+)
+from tests.utils import TestInPlusParamUGen, TestNumUGen
+
+OPTS = AudioProcessorOptions(block_size=16, sample_rate=48000)
+
+
+def test_subgraph_basic_routing():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        child, ch = g.subgraph(inputs=1, outputs=1, name="inner")
+        # inside the child: input + 0.5
+        n = child.push(TestInPlusParamUGen())
+        n.param(0).set(0.5)
+        child.from_inputs(0).to(n)
+        n.to_graph_out()
+        # outside: 2.0 -> child -> out
+        src = g.push(TestNumUGen(2.0))
+        src.to(ch)
+        ch.to_graph_out()
+
+    g.edit(build)
+    proc.run_without_inputs()
+    assert proc.output_block()[0, 0] == 2.5
+
+
+def test_subgraph_nested():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        child, ch = g.subgraph(inputs=0, outputs=1, name="mid")
+        grand, gh = child.subgraph(inputs=0, outputs=1, name="deep")
+        n = grand.push(TestNumUGen(0.25))
+        n.to_graph_out()
+        inner_scale = child.push(TestInPlusParamUGen())
+        inner_scale.param(0).set(1.0)
+        gh.to(inner_scale)
+        inner_scale.to_graph_out()
+        ch.to_graph_out()
+
+    g.edit(build)
+    proc.run_without_inputs()
+    assert proc.output_block()[0, 0] == 1.25
+
+
+def test_subgraph_param_scheduling_reaches_inner_nodes():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        child, ch = g.subgraph(inputs=0, outputs=1)
+        n = child.push(TestInPlusParamUGen())
+        n.to_graph_out()
+        ch.to_graph_out()
+        return n.param(0)
+
+    p = g.edit(build)
+    p.set(3.0)
+    proc.run_without_inputs()
+    assert np.all(proc.output_block()[0] == 3.0)
+
+
+def test_subgraph_free_parent_frees_subgraph_node():
+    """A child node with Done.FREE_PARENT frees its enclosing subgraph."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        child, ch = g.subgraph(inputs=0, outputs=1, name="voice")
+        n = child.push(TestNumUGen(1.0))
+        n.to_graph_out()
+        d = child.push_with_done_action(DoneOnTrig(), Done.FREE_PARENT)
+        keep = g.push(TestNumUGen(0.25))
+        ch.to_graph_out()
+        keep.to_graph_out()
+        return d.param("t_done"), ch.id()
+
+    trig, chid = g.edit(build)
+    proc.run_without_inputs()
+    assert proc.output_block()[0, 0] == 1.25
+    trig.trig()
+    proc.run_without_inputs()  # done fires; subgraph freed after this block
+    proc.run_without_inputs()
+    assert proc.output_block()[0, 0] == pytest.approx(0.25)
+    assert chid not in g.nodes
+
+
+def test_subgraph_state_survives_parent_edit():
+    from knaster_tpu import SinWt
+
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        child, ch = g.subgraph(inputs=0, outputs=1)
+        s = child.push(SinWt(440.0))
+        s.to_graph_out()
+        ch.to_graph_out()
+
+    g.edit(build)
+    proc.run_without_inputs()
+    b1 = proc.output_block().copy()
+
+    def edit2(g):
+        extra = g.push(TestNumUGen(0.0))
+        extra.to_graph_out()
+
+    g.edit(edit2)
+    proc.run_without_inputs()
+    b2 = proc.output_block()
+    assert not np.allclose(b1, b2)  # phase advanced, not restarted
