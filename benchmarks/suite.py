@@ -1,0 +1,217 @@
+"""Benchmark suite reproducing the reference's criterion workloads.
+
+knaster_benchmarks parity (SURVEY §6 / BASELINE.md):
+  sines_const   — 256 × (SinWt × Constant) → mono out, block 16/32/128
+                  (graph_dsp_performance.rs:12-36), as *graph nodes* to
+                  measure the generic compiled-graph path
+  fm_cascade    — chain of sines, each FM-modulating the next via audio-rate
+                  param edges (graph_dsp_performance.rs:38-80)
+  wrappers      — wr_mul wrapper fusion vs a separate Mul node
+                  (wrappers_vs_nodes.rs)
+  voicebank     — the many_sines voice-bank headline (see ../bench.py)
+  galactic      — stereo bus: feedback delay + Galactic chain (BASELINE
+                  config #5)
+
+Each prints one JSON line: {"bench", "config", "value", "unit", ...}.
+Usage: python benchmarks/suite.py [name ...]   (default: all quick ones)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _bounce_rate(proc, seconds=0.5, runs=2):
+    """Render `seconds` repeatedly; return rendered-samples/sec (best run)."""
+    best = 0.0
+    proc.render(seconds=0.2)  # compile warmup
+    for _ in range(runs):
+        t0 = time.time()
+        audio = proc.render(seconds=seconds)
+        dt = time.time() - t0
+        best = max(best, audio.shape[1] / dt)
+    return best
+
+
+def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
+    from knaster_tpu import (
+        AudioProcessor,
+        AudioProcessorOptions,
+        Constant,
+        SinWt,
+    )
+
+    for bs in block_sizes:
+        g, proc = AudioProcessor.new(
+            0, 1, AudioProcessorOptions(block_size=bs)
+        )
+
+        def build(gg):
+            rng = np.random.default_rng(1)
+            for _ in range(n_nodes):
+                s = gg.push(SinWt(float(rng.uniform(100, 1000))))
+                (s * 0.001).to_graph_out()
+
+        t0 = time.time()
+        g.edit(build)
+        proc._ensure_compiled()
+        build_time = time.time() - t0
+        rate = _bounce_rate(proc)
+        print(
+            json.dumps(
+                {
+                    "bench": "sines_const",
+                    "config": f"{n_nodes}nodes_block{bs}",
+                    "value": round(rate),
+                    "unit": "samples/s",
+                    "realtime_x": round(rate / 48000, 1),
+                    "compile_s": round(build_time, 2),
+                }
+            )
+        )
+
+
+def bench_fm_cascade(n_nodes=256, block_sizes=(64,)):
+    from knaster_tpu import (
+        AudioProcessor,
+        AudioProcessorOptions,
+        SinWt,
+    )
+
+    for bs in block_sizes:
+        g, proc = AudioProcessor.new(
+            0, 1, AudioProcessorOptions(block_size=bs)
+        )
+
+        def build(gg):
+            prev = None
+            for i in range(n_nodes):
+                s = gg.push(SinWt(100.0 + i))
+                if prev is not None:
+                    # prev sine FM-modulates this one's freq at audio rate:
+                    # freq = 200 + prev*100 (Constant/Math sugar + param edge)
+                    mod = (prev * 100.0) + 200.0
+                    # route the math node's output into the freq param
+                    gg.connect_param(
+                        gg.handle(mod.channels[0][1]), 0, s, "freq"
+                    )
+                prev = s
+            (prev * 0.1).to_graph_out()
+
+        t0 = time.time()
+        g.edit(build)
+        proc._ensure_compiled()
+        build_time = time.time() - t0
+        rate = _bounce_rate(proc)
+        print(
+            json.dumps(
+                {
+                    "bench": "fm_cascade",
+                    "config": f"{n_nodes}nodes_block{bs}",
+                    "value": round(rate),
+                    "unit": "samples/s",
+                    "realtime_x": round(rate / 48000, 1),
+                    "compile_s": round(build_time, 2),
+                }
+            )
+        )
+
+
+def bench_wrappers(block_size=64):
+    from knaster_tpu import (
+        AudioProcessor,
+        AudioProcessorOptions,
+        SinWt,
+    )
+
+    # wrapper fusion
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=block_size))
+
+    def build_wr(gg):
+        for _ in range(64):
+            gg.push(SinWt(440.0).wr_mul(0.01)).to_graph_out()
+
+    g.edit(build_wr)
+    r_wr = _bounce_rate(proc)
+
+    # separate math nodes
+    g2, proc2 = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=block_size))
+
+    def build_nodes(gg):
+        for _ in range(64):
+            (gg.push(SinWt(440.0)) * 0.01).to_graph_out()
+
+    g2.edit(build_nodes)
+    r_nodes = _bounce_rate(proc2)
+    print(
+        json.dumps(
+            {
+                "bench": "wrappers_vs_nodes",
+                "config": "64x_sinwt_mul",
+                "value": round(r_wr),
+                "unit": "samples/s",
+                "wrapper_rate": round(r_wr),
+                "node_rate": round(r_nodes),
+                "ratio": round(r_wr / max(r_nodes, 1), 3),
+            }
+        )
+    )
+
+
+def bench_galactic(block_size=64):
+    from knaster_tpu import (
+        AllpassFeedbackDelay,
+        AudioProcessor,
+        AudioProcessorOptions,
+        PinkNoise,
+    )
+    from knaster_tpu.airwindows import Galactic
+
+    g, proc = AudioProcessor.new(0, 2, AudioProcessorOptions(block_size=block_size))
+
+    def build(gg):
+        src = gg.push(PinkNoise())
+        echo = gg.push(AllpassFeedbackDelay(0.25, feedback=0.5))
+        verb = gg.push(Galactic(wet=0.5))
+        src.to(echo)
+        (echo.out([0, 0])).to(verb)
+        verb.to_graph_out()
+
+    g.edit(build)
+    rate = _bounce_rate(proc, seconds=1.0)
+    print(
+        json.dumps(
+            {
+                "bench": "galactic_chain",
+                "config": f"pink_echo_galactic_block{block_size}",
+                "value": round(rate),
+                "unit": "samples/s",
+                "realtime_x": round(rate / 48000, 1),
+            }
+        )
+    )
+
+
+def bench_voicebank():
+    os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), '..', 'bench.py')}")
+
+
+ALL = {
+    "sines_const": bench_sines_const,
+    "fm_cascade": bench_fm_cascade,
+    "wrappers": bench_wrappers,
+    "galactic": bench_galactic,
+    "voicebank": bench_voicebank,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["sines_const", "wrappers", "galactic"]
+    for n in names:
+        ALL[n]()

@@ -1,1 +1,5 @@
+"""Audio backends: offline (primary) and native-ring streaming."""
 
+from .stream import AudioBackend, OfflineBackend, StreamBackend
+
+__all__ = ["AudioBackend", "OfflineBackend", "StreamBackend"]

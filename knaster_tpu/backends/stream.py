@@ -1,0 +1,171 @@
+"""Audio backends: the runner side of the framework.
+
+Parity with knaster_graph/src/audio_backend.rs (AudioBackend trait + CPAL/
+JACK backends). The TPU inversion: the device renders blocks *ahead* of the
+consumer through the native SPSC ring (backends/native.py), so compile
+hiccups or host jitter don't glitch the stream as long as the ring holds
+enough lookahead — the same role CPAL's device buffer plays in the reference.
+
+* :class:`OfflineBackend` — the primary path (non-realtime bounce to array/
+  WAV), mirroring processor.rs's run-in-a-loop usage.
+* :class:`StreamBackend` — two-thread realtime-ish streaming: a producer
+  thread runs the AudioProcessor (graph edits stay live from the control
+  thread, exactly like the reference's control/audio split) and a consumer
+  pulls at the audio rate. The consumer is pluggable: a callback (stand-in
+  for a device callback — this container has no audio hardware) or a WAV
+  sink.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..graph.processor import AudioProcessor
+
+
+def jnp_copy(x):
+    import jax.numpy as jnp
+
+    return jnp.array(x, copy=True)
+
+
+class AudioBackend:
+    """Backend trait (audio_backend.rs:23-42)."""
+
+    def sample_rate(self) -> int:
+        raise NotImplementedError
+
+    def block_size(self) -> Optional[int]:
+        raise NotImplementedError
+
+    def start_processing(self, processor: AudioProcessor) -> None:
+        raise NotImplementedError
+
+    def stop(self) -> None:
+        pass
+
+
+class OfflineBackend(AudioBackend):
+    """Non-realtime rendering backend — the TPU build's primary path."""
+
+    def __init__(self, sample_rate: int = 48000, block_size: int = 64):
+        self._sr = sample_rate
+        self._block = block_size
+        self.processor: Optional[AudioProcessor] = None
+
+    def sample_rate(self) -> int:
+        return self._sr
+
+    def block_size(self) -> Optional[int]:
+        return self._block
+
+    def start_processing(self, processor: AudioProcessor) -> None:
+        self.processor = processor
+
+    def render(self, seconds=None, frames=None, inputs=None) -> np.ndarray:
+        return self.processor.render(seconds=seconds, frames=frames, inputs=inputs)
+
+    def render_to_wav(self, path: str, seconds=None, frames=None,
+                      subtype: str = "float32") -> np.ndarray:
+        from ..utils.wav import write_wav
+
+        audio = self.render(seconds=seconds, frames=frames)
+        write_wav(path, audio, self._sr, subtype)
+        return audio
+
+
+class StreamBackend(AudioBackend):
+    """Streaming backend over the native lock-free ring.
+
+    consumer: callable(block [channels, frames]) invoked at the audio rate
+    from the consumer thread (the 'device callback'). Defaults to a pacing
+    null sink. ``lookahead_blocks`` is how far the producer may render ahead
+    (the latency/robustness tradeoff)."""
+
+    def __init__(
+        self,
+        sample_rate: int = 48000,
+        block_size: int = 64,
+        lookahead_blocks: int = 8,
+        consumer: Optional[Callable[[np.ndarray], None]] = None,
+    ):
+        self._sr = sample_rate
+        self._block = block_size
+        self.lookahead = int(lookahead_blocks)
+        self.consumer = consumer
+        self.processor: Optional[AudioProcessor] = None
+        self.ring = None
+        self._threads = []
+        self._running = threading.Event()
+
+    def sample_rate(self) -> int:
+        return self._sr
+
+    def block_size(self) -> Optional[int]:
+        return self._block
+
+    # -- the two-thread engine -------------------------------------------
+    def start_processing(self, processor: AudioProcessor) -> None:
+        import jax
+
+        from .native import NativeRing
+
+        self.processor = processor
+        channels = processor.graph.outputs
+        self.ring = NativeRing(self._block * max(self.lookahead * 2, 4), channels)
+
+        # pre-warm BOTH block programs (fast + eventful) so the first live
+        # parameter change doesn't stall the stream with a jit compile —
+        # the role knaster's ahead-of-time task compilation plays
+        processor._ensure_compiled()
+        ev = processor.compiled.empty_events()
+        inp = processor._zero_inputs()
+        st = jax.tree_util.tree_map(jnp_copy, processor.state)
+        processor.compiled.render(st, ev, inp)
+        st = jax.tree_util.tree_map(jnp_copy, processor.state)
+        processor.compiled.render_fast(st, inp)
+
+        self._running.set()
+
+        def producer():
+            while self._running.is_set():
+                if self.ring.available_write() >= self._block:
+                    processor.run_without_inputs()
+                    self.ring.write(processor.output_block())
+                else:
+                    time.sleep(self._block / self._sr / 4)
+
+        def consume():
+            period = self._block / self._sr
+            next_t = time.monotonic()
+            while self._running.is_set():
+                block = self.ring.read(self._block)
+                if self.consumer is not None:
+                    self.consumer(block)
+                next_t += period
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                else:
+                    next_t = time.monotonic()  # fell behind; resync
+
+        self._threads = [
+            threading.Thread(target=producer, daemon=True, name="knaster-producer"),
+            threading.Thread(target=consume, daemon=True, name="knaster-consumer"),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def stop(self) -> None:
+        self._running.clear()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []
+
+    @property
+    def underruns(self) -> int:
+        return self.ring.underruns if self.ring else 0

@@ -83,6 +83,20 @@ class UGen:
     def node_events_from_lists(self, events, dtype=np.float32):
         raise NotImplementedError
 
+    def batch_key(self):
+        """Key for the compiler's auto-batching pass, or None.
+
+        Nodes at the same dataflow depth whose batch_key is equal (and not
+        None) are executed as ONE vmapped call — the optimization that makes
+        a graph of hundreds of small same-type nodes (the reference's
+        256-sines benchmark shape) run at VPU width instead of op-by-op.
+
+        Return None (default) if ``process`` reads instance attributes that
+        can differ between instances (tables, lengths, nested UGens);
+        otherwise return a tuple identifying everything ``process`` closes
+        over. State shapes must be identical for equal keys."""
+        return None
+
     # ---- overridable ------------------------------------------------------
     def init(self, ctx: AudioCtx):
         """Return the initial state pytree. Default: stateless."""

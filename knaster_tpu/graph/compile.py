@@ -54,22 +54,56 @@ class CompiledGraph:
     enclosing: Dict[int, List[int]]
     render: Any = None  # jitted fn(state, events, inputs) -> (state, out, done)
     render_raw: Any = None  # the untraced fn, for embedding in outer scans
+    plan: Any = None  # execution plan: ('single', nid) | ('batch', [nids])
+    done_order: Any = None  # node ids in done_vec order (plan order)
+    render_fast: Any = None  # jitted no-events program (state, inputs)
+    render_fast_raw: Any = None
     revision: int = -1
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def group_key(nids: List[int]) -> str:
+        return f"b{nids[0]}"
+
+    def _extract_node_state(self, state: dict, nid: int):
+        """Pull one node's state out of this compile's (possibly batched)
+        state layout; None if absent."""
+        for kind, item in self.plan:
+            if kind == "single" and item == nid:
+                return state["nodes"].get(str(nid))
+            if kind == "batch" and nid in item:
+                stacked = state["nodes"].get(self.group_key(item))
+                if stacked is None:
+                    return None
+                k = item.index(nid)
+                return jax.tree_util.tree_map(lambda x: x[k], stacked)
+        return None
+
     def init_state(self, prev: Optional[dict] = None,
                    prev_compiled: Optional["CompiledGraph"] = None) -> dict:
         """Build the state pytree, carrying state over from a previous commit
-        (TakeFromTask parity: same node id => same state)."""
+        (TakeFromTask parity: same node id => same state).
+
+        Batched groups store their members' states stacked on a leading axis
+        — that keeps the scan carry small and lets the render read/write
+        group state without per-block restacking."""
         ctx = self.ctx
+
+        def node_state(nid):
+            if prev is not None and prev_compiled is not None:
+                old = prev_compiled._extract_node_state(prev, nid)
+                if old is not None:
+                    return old
+            return self.entries[nid].ugen.init(ctx)
+
         nodes = {}
-        prev_nodes = (prev or {}).get("nodes", {})
-        for nid in self.order:
-            key = str(nid)
-            if key in prev_nodes:
-                nodes[key] = prev_nodes[key]
+        for kind, item in self.plan:
+            if kind == "single":
+                nodes[str(item)] = node_state(item)
             else:
-                nodes[key] = self.entries[nid].ugen.init(ctx)
+                nodes[self.group_key(item)] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[node_state(n) for n in item]
+                )
         pe = pe_init_state(self.layout, dtype=ctx.dtype)
         if prev is not None and prev_compiled is not None:
             pe = dict(pe)
@@ -109,8 +143,16 @@ class CompiledGraph:
     def node_index(self) -> Dict[int, int]:
         return {nid: i for i, nid in enumerate(self.order)}
 
+    @property
+    def has_done_actions(self) -> bool:
+        """True if any node reacts to done flags — only then does the host
+        need to read them back each block (a device→host sync)."""
+        return any(e.done_action != Done.NONE for e in self.entries.values())
 
-def compile_graph(graph: Graph, event_capacity: int = 64) -> CompiledGraph:
+
+def compile_graph(
+    graph: Graph, event_capacity: int = 64, auto_batch: bool = True
+) -> CompiledGraph:
     root = graph.root()
     ctx = AudioCtx(root.sample_rate, root.block_size, root.dtype)
 
@@ -258,9 +300,55 @@ def compile_graph(graph: Graph, event_capacity: int = 64) -> CompiledGraph:
         enclosing=enclosing,
         revision=root.revision,
     )
+    cg.plan = _plan_batches(cg) if auto_batch else [("single", nid) for nid in order]
     cg.render_raw = _build_render(cg)
     cg.render = jax.jit(cg.render_raw, donate_argnums=(0,))
+    cg.render_fast_raw = _build_render(cg, fast=True)
+    cg.render_fast = jax.jit(cg.render_fast_raw, donate_argnums=(0,))
     return cg
+
+
+def _plan_batches(cg: CompiledGraph):
+    """The auto-batching pass: group same-kind nodes at equal dataflow depth
+    into one vmapped execution.
+
+    This is what makes the reference's 'hundreds of small nodes' graph shape
+    (e.g. its 256-sines benchmark) run at VPU width: 256 SinWt nodes become a
+    single [256]-wide call instead of 256 op-by-op dispatches. Depth-layered
+    execution is a valid topological order because same-block dependencies
+    always have strictly smaller depth."""
+    depth: Dict[int, int] = {}
+    for nid in cg.order:
+        deps = [
+            s
+            for per in cg.resolved_in[nid]
+            for (k, s, _c) in per
+            if k == "node"
+        ]
+        deps += [
+            src
+            for (dst, _p), (src, _ch) in cg.resolved_param_edges.items()
+            if dst == nid
+        ]
+        depth[nid] = 1 + max((depth[d] for d in deps), default=-1)
+
+    groups: Dict[Any, List[int]] = {}
+    for nid in sorted(cg.order, key=lambda n: (depth[n], n)):
+        ugen = cg.entries[nid].ugen
+        key = None if ugen.event_capacity > 0 else ugen.batch_key()
+        gk = (depth[nid], key) if key is not None else ("single", nid)
+        groups.setdefault(gk, []).append(nid)
+
+    plan = []
+    for gk in sorted(
+        groups, key=lambda k: (depth[groups[k][0]], groups[k][0])
+    ):
+        nids = groups[gk]
+        if len(nids) == 1:
+            plan.append(("single", nids[0]))
+        else:
+            plan.append(("batch", nids))
+    return plan
 
 
 def _instance_default(ugen, pidx: int):
@@ -274,21 +362,41 @@ def _instance_default(ugen, pidx: int):
     return spec.default_value()
 
 
-def _build_render(cg: CompiledGraph):
+def _build_render(cg: CompiledGraph, fast: bool = False):
+    """Trace the block program. ``fast=True`` builds the no-events variant
+    (base ramps only; node event channels get all-padding constants) — the
+    steady-state program the bounce scan uses."""
     ctx = cg.ctx
     B = ctx.block_size
     dtype = ctx.dtype
     n_nodes = len(cg.order)
 
+    # done-flag output order: singles first per plan, then batch vectors
+    done_order: List[int] = []
+    for kind, item in cg.plan:
+        if kind == "single":
+            done_order.append(item)
+        else:
+            done_order.extend(item)
+    cg.done_order = done_order
+
     def render(state, events, graph_inputs):
-        pf, pt, pi, pe_state = cg.engine.materialize(state["pe"], events)
+        if fast:
+            pf, pt, pi, pe_state = cg.engine.materialize_fast(state["pe"])
+        else:
+            pf, pt, pi, pe_state = cg.engine.materialize(state["pe"], events)
 
         outs: Dict[int, jnp.ndarray] = {}
+        # batched groups: nid -> (group_key, index); group outputs [N, ch, B]
+        node_loc: Dict[int, Tuple[str, int]] = {}
+        group_out: Dict[str, jnp.ndarray] = {}
         new_nodes: Dict[str, Any] = {}
-        done_flags = []
 
         def read_source(kind, s, c):
             if kind == "node":
+                if s in node_loc:
+                    gk, k = node_loc[s]
+                    return group_out[gk][k, c]
                 return outs[s][c]
             if kind == "feedback":
                 return state["fb"][_fb_key(s, c)]
@@ -299,23 +407,42 @@ def _build_render(cg: CompiledGraph):
         def sum_sources(srcs):
             if not srcs:
                 return jnp.zeros((B,), dtype=dtype)
-            acc = read_source(*srcs[0])
-            for sp in srcs[1:]:
-                acc = acc + read_source(*sp)
-            return acc
+            if len(srcs) <= 2:
+                acc = read_source(*srcs[0])
+                for sp in srcs[1:]:
+                    acc = acc + read_source(*sp)
+                return acc
+            # many additive sources (big mix busses): one stacked reduction
+            return jnp.sum(gather_rows(srcs), axis=0)
 
-        for nid in cg.order:
+        def gather_rows(srcs):
+            """[len(srcs), B] rows; one fused gather when every source is a
+            single 'node' output living in the same batched group."""
+            if len(srcs) > 1 and all(
+                k == "node" and s in node_loc for (k, s, _c) in srcs
+            ):
+                gks = {node_loc[s][0] for (_k, s, _c) in srcs}
+                if len(gks) == 1:
+                    gk = gks.pop()
+                    ks = jnp.asarray([node_loc[s][1] for (_k, s, _c) in srcs])
+                    cs = jnp.asarray([c for (_k, _s, c) in srcs])
+                    return group_out[gk][ks, cs]
+            return jnp.stack([read_source(*sp) for sp in srcs])
+
+        def node_inputs(nid):
             entry = cg.entries[nid]
-            ugen = entry.ugen
-            rows = [sum_sources(cg.resolved_in[nid][ch]) for ch in range(entry.inputs)]
-            inputs = (
-                jnp.stack(rows) if rows else jnp.zeros((0, B), dtype=dtype)
-            )
+            rows = [
+                sum_sources(cg.resolved_in[nid][ch]) for ch in range(entry.inputs)
+            ]
+            return jnp.stack(rows) if rows else jnp.zeros((0, B), dtype=dtype)
+
+        def node_params(nid):
+            ugen = cg.entries[nid].ugen
             params = {}
             for pidx, spec in enumerate(ugen.params):
                 if (nid, pidx) in cg.resolved_param_edges:
                     src, ch = cg.resolved_param_edges[(nid, pidx)]
-                    params[spec.name] = outs[src][ch]
+                    params[spec.name] = read_source("node", src, ch)
                     continue
                 typ, slot = cg.layout.lookup(nid, pidx)
                 if typ == "float":
@@ -324,20 +451,99 @@ def _build_render(cg: CompiledGraph):
                     params[spec.name] = pt[slot]
                 else:
                     params[spec.name] = pi[slot]
-            if ugen.event_capacity > 0:
-                result = ugen.process(
-                    ctx, state["nodes"][str(nid)], inputs, params,
-                    events=events[f"n{nid}"],
+            return params
+
+        def batch_params(nids):
+            """Per-sample parameter arrays for a batch, [N, B] per name.
+
+            When every member reads the same engine-slot type for a param,
+            this is ONE row-gather from the materialized param matrix."""
+            rep = cg.entries[nids[0]].ugen
+            out_params = {}
+            for pidx, spec in enumerate(rep.params):
+                slots = []
+                uniform = True
+                for n in nids:
+                    if (n, pidx) in cg.resolved_param_edges:
+                        uniform = False
+                        break
+                    slots.append(cg.layout.lookup(n, pidx)[1])
+                if uniform:
+                    idx = jnp.asarray(slots, jnp.int32)
+                    typ = cg.layout.lookup(nids[0], pidx)[0]
+                    src = {"float": pf, "trigger": pt, "int": pi}[typ]
+                    out_params[spec.name] = src[idx]
+                else:
+                    rows = [node_params(n)[spec.name] for n in nids]
+                    out_params[spec.name] = jnp.stack(rows)
+            return out_params
+
+        def batch_inputs(nids, rep):
+            """[N, in_ch, B] inputs for a batch; per input channel, one fused
+            gather when all members read a single same-group node output
+            (the dominant case: e.g. 256 Mul nodes reading 256 sines on ch0
+            and 256 Constants on ch1)."""
+            N = len(nids)
+            if rep.inputs == 0:
+                return jnp.zeros((N, 0, B), dtype=dtype)
+            ch_arrays = []
+            for ch in range(rep.inputs):
+                per_node = [cg.resolved_in[n][ch] for n in nids]
+                if all(
+                    len(s) == 1 and s[0][0] == "node" and s[0][1] in node_loc
+                    for s in per_node
+                ):
+                    gks = {node_loc[s[0][1]][0] for s in per_node}
+                    if len(gks) == 1:
+                        gk = gks.pop()
+                        ks = jnp.asarray([node_loc[s[0][1]][1] for s in per_node])
+                        cs = jnp.asarray([s[0][2] for s in per_node])
+                        ch_arrays.append(group_out[gk][ks, cs])
+                        continue
+                ch_arrays.append(
+                    jnp.stack([sum_sources(cg.resolved_in[n][ch]) for n in nids])
                 )
-            else:
-                result = ugen.process(ctx, state["nodes"][str(nid)], inputs, params)
-            st, out, done = normalize_process_result(result, ctx)
-            outs[nid] = out
-            new_nodes[str(nid)] = st
-            done_flags.append(jnp.any(done))
+            return jnp.stack(ch_arrays, axis=1)
+
+        done_parts: List[jnp.ndarray] = []
+        for kind, item in cg.plan:
+            if kind == "single":
+                nid = item
+                ugen = cg.entries[nid].ugen
+                if ugen.event_capacity > 0:
+                    result = ugen.process(
+                        ctx, state["nodes"][str(nid)], node_inputs(nid),
+                        node_params(nid), events=events[f"n{nid}"],
+                    )
+                else:
+                    result = ugen.process(
+                        ctx, state["nodes"][str(nid)], node_inputs(nid),
+                        node_params(nid),
+                    )
+                st, out, done = normalize_process_result(result, ctx)
+                outs[nid] = out
+                new_nodes[str(nid)] = st
+                done_parts.append(jnp.any(done)[None])
+            else:  # batched execution of same-kind nodes (auto-batching pass)
+                nids = item
+                rep = cg.entries[nids[0]].ugen
+                inp_stack = batch_inputs(nids, rep)
+                params_stack = batch_params(nids)
+                gkey = CompiledGraph.group_key(nids)
+                states = state["nodes"][gkey]
+
+                def one(s, i, p):
+                    return normalize_process_result(rep.process(ctx, s, i, p), ctx)
+
+                st, out, done = jax.vmap(one)(states, inp_stack, params_stack)
+                new_nodes[gkey] = st
+                group_out[gkey] = out
+                for k, n in enumerate(nids):
+                    node_loc[n] = (gkey, k)
+                done_parts.append(jnp.any(done, axis=1))
 
         new_fb = {
-            _fb_key(s, c): outs[s][c] for (s, c) in cg.fb_sources
+            _fb_key(s, c): read_source("node", s, c) for (s, c) in cg.fb_sources
         }
 
         out_rows = [sum_sources(cg.resolved_out[ch]) for ch in range(cg.graph.outputs)]
@@ -347,9 +553,18 @@ def _build_render(cg: CompiledGraph):
             else jnp.zeros((0, B), dtype=dtype)
         )
         done_vec = (
-            jnp.stack(done_flags) if done_flags else jnp.zeros((0,), dtype=bool)
+            jnp.concatenate(done_parts)
+            if done_parts
+            else jnp.zeros((0,), dtype=bool)
         )
         new_state = {"nodes": new_nodes, "pe": pe_state, "fb": new_fb}
         return new_state, out_block, done_vec
 
+    if fast:
+        const_events = cg.empty_events()  # trace-time constants
+
+        def render_fast(state, graph_inputs):
+            return render(state, const_events, graph_inputs)
+
+        return render_fast
     return render

@@ -186,6 +186,49 @@ class PEngine:
         new_state["int_value"] = int_value
         return pf, pt, pi, new_state
 
+    def materialize_fast(self, state):
+        """The no-events path: base ramps only, no folds, no scatters.
+
+        The host knows statically whether a block has scheduled events, so
+        the compiler builds a second, much cheaper program around this —
+        the steady-state render never pays for the event machinery."""
+        B = self.block_size
+        dtype = self.dtype
+        Pf = self.layout.n_float
+        t = jnp.arange(B + 1, dtype=jnp.int32)
+        value, target = state["value"], state["target"]
+        step, rem = state["step"], state["remaining"]
+        smode, sdur, srate = state["smode"], state["sdur"], state["srate"]
+        if Pf:
+            ar_prog = jnp.minimum(t[None, :], rem[:, None])
+            br_prog = jnp.where(t[None, :] == B, jnp.minimum(B, rem[:, None]), 0)
+            prog = jnp.where((srate == RATE_AUDIO)[:, None], ar_prog, br_prog)
+            vals = jnp.where(
+                prog >= rem[:, None],
+                target[:, None],
+                value[:, None] + step[:, None] * prog.astype(dtype),
+            )
+            pf = vals[:, :B]
+            new_value = vals[:, B]
+        else:
+            pf = jnp.zeros((0, B), dtype=dtype)
+            new_value = value
+        pt = jnp.zeros((self.layout.n_trig, B), dtype=bool)
+        pi = jnp.broadcast_to(
+            state["int_value"][:, None], (self.layout.n_int, B)
+        )
+        new_state = {
+            "value": new_value,
+            "target": target,
+            "step": step,
+            "remaining": jnp.maximum(rem - B, 0),
+            "smode": smode,
+            "sdur": sdur,
+            "srate": srate,
+            "int_value": state["int_value"],
+        }
+        return pf, pt, pi, new_state
+
     def _materialize_floats(self, state, events):
         B = self.block_size
         Pf = self.layout.n_float
@@ -278,8 +321,14 @@ class PEngine:
                 u(srate, new_srate),
             )
 
-        vals, target, step, rem_next, smode, sdur, srate = jax.lax.fori_loop(
-            0, E, body, carry
+        # the sequential event fold only runs when this block has any float
+        # events — most blocks don't, and the fold is the expensive part
+        has_events = jnp.any(events["f_slot"] >= 0)
+        vals, target, step, rem_next, smode, sdur, srate = jax.lax.cond(
+            has_events,
+            lambda c: jax.lax.fori_loop(0, E, body, c),
+            lambda c: c,
+            carry,
         )
 
         pf = vals[:, :B]
@@ -330,5 +379,11 @@ class PEngine:
             nxt = nxt.at[s].set(jnp.where(valid, v, nxt[s]))
             return vals, nxt
 
-        vals, int_next = jax.lax.fori_loop(0, E, body, (vals, int_value))
+        has_events = jnp.any(events["i_slot"] >= 0)
+        vals, int_next = jax.lax.cond(
+            has_events,
+            lambda c: jax.lax.fori_loop(0, E, body, c),
+            lambda c: c,
+            (vals, int_value),
+        )
         return vals, int_next

@@ -38,6 +38,11 @@ class AudioProcessorOptions:
     # max scheduled events applied per block (ring_buffer_size analog)
     event_capacity: int = 64
     log_channel_capacity: int = 100
+    # compiler: vmap same-kind nodes at equal depth into one call
+    auto_batch: bool = True
+    # bounce path: blocks per on-device scan call (fixed so the scan is
+    # compiled once; remainders run block-by-block)
+    render_chunk_blocks: int = 128
 
 
 class AudioProcessor:
@@ -79,7 +84,9 @@ class AudioProcessor:
             return
         prev_compiled = self.compiled
         prev_state = self.state
-        self.compiled = compile_graph(self.graph, self.options.event_capacity)
+        self.compiled = compile_graph(
+            self.graph, self.options.event_capacity, self.options.auto_batch
+        )
         self.state = self.compiled.init_state(prev_state, prev_compiled)
 
     def _collect_due_events(self, horizon_blocks: int = 1):
@@ -139,8 +146,26 @@ class AudioProcessor:
                 il.append((frame, slot, p[1]))
         return per_block
 
+    def _empty_events_np(self):
+        """Host (numpy) copy of the all-padding event tensors, cached."""
+        cached = getattr(self, "_empty_ev_np", None)
+        if cached is not None and cached[0] is self.compiled:
+            return cached[1]
+        ev = {
+            k: np.asarray(v) for k, v in self.compiled.empty_events().items()
+        }
+        self._empty_ev_np = (self.compiled, ev)
+        return ev
+
     def _events_tensor(self, lists):
         fl, tl, il, nd = lists
+        if not (fl or tl or il or nd):
+            cached = getattr(self, "_empty_ev_dev", None)
+            if cached is not None and cached[0] is self.compiled:
+                return cached[1]
+            ev = self.compiled.empty_events()
+            self._empty_ev_dev = (self.compiled, ev)
+            return ev
         ev = events_from_lists(
             self.compiled.event_capacity, fl, tl, il, dtype=self.graph.dtype
         )
@@ -168,15 +193,21 @@ class AudioProcessor:
             return
         self._ensure_compiled()
         (lists,) = self._collect_due_events(1)
-        events = self._events_tensor(lists)
         if inputs is None:
             inputs = self._zero_inputs()
         else:
             inputs = jnp.asarray(inputs, dtype=self.graph.dtype)
-        self.state, out, done = self.compiled.render(self.state, events, inputs)
+        fl, tl, il, nd = lists
+        if fl or tl or il or nd:
+            events = self._events_tensor(lists)
+            self.state, out, done = self.compiled.render(self.state, events, inputs)
+        else:
+            # the cheap steady-state program (no event machinery traced in)
+            self.state, out, done = self.compiled.render_fast(self.state, inputs)
         self._last_out = out
         self.graph.clock.frames += self.graph.block_size
-        self._apply_done_flags(np.asarray(done))
+        if self.compiled.has_done_actions:
+            self._apply_done_flags(np.asarray(done))
 
     def run_without_inputs(self):
         self.run(None)
@@ -194,7 +225,7 @@ class AudioProcessor:
         if self.compiled is None or not done_vec.any():
             return
         freed_any = False
-        for i, nid in enumerate(self.compiled.order):
+        for i, nid in enumerate(self.compiled.done_order):
             if not done_vec[i]:
                 continue
             entry = self.compiled.entries.get(nid)
@@ -270,7 +301,18 @@ class AudioProcessor:
             frames_needed = frames
 
         n_blocks = (frames_needed + B - 1) // B
-        chunk = check_done_every or n_blocks
+        chunk = self.options.render_chunk_blocks
+        if check_done_every:
+            chunk = min(chunk, check_done_every)
+
+        def block_inputs(bi):
+            if inputs is None:
+                return self._zero_inputs()
+            i0 = bi * B
+            seg = np.zeros((self.graph.inputs, B), self.graph.dtype)
+            avail = np.asarray(inputs)[:, i0 : i0 + B]
+            seg[:, : avail.shape[1]] = avail
+            return jnp.asarray(seg)
 
         outs = []
         rendered = 0
@@ -278,9 +320,35 @@ class AudioProcessor:
             n = min(chunk, n_blocks - rendered)
             self._ensure_compiled()
             per_block = self._collect_due_events(n)
-            ev_stack = _stack_pytrees(
-                [self._events_tensor(lists) for lists in per_block]
+            any_events = any(
+                fl or tl or il or nd for (fl, tl, il, nd) in per_block
             )
+            if n < chunk or any_events:
+                # eventful or remainder blocks run one-by-one, picking the
+                # full program only for blocks that actually have events
+                dones = []
+                for bi in range(n):
+                    fl, tl, il, nd = per_block[bi]
+                    inp = block_inputs(rendered + bi)
+                    if fl or tl or il or nd:
+                        ev = self._events_tensor(per_block[bi])
+                        self.state, out, done = self.compiled.render(
+                            self.state, ev, inp
+                        )
+                    else:
+                        self.state, out, done = self.compiled.render_fast(
+                            self.state, inp
+                        )
+                    outs.append(out[None])
+                    dones.append(done)
+                self.graph.clock.frames += n * B
+                rendered += n
+                if dones and self.compiled.has_done_actions:
+                    self._apply_done_flags(
+                        np.stack([np.asarray(d) for d in dones]).any(axis=0)
+                    )
+                continue
+            # event-free chunk: one on-device scan of the fast program
             if inputs is not None:
                 i0 = rendered * B
                 avail = np.asarray(inputs)[:, i0 : i0 + n * B]
@@ -295,16 +363,15 @@ class AudioProcessor:
                 )
 
             scan_fn = _get_scan_fn(self.compiled)
-            self.state, out_stack, done_stack = scan_fn(
-                self.state, ev_stack, in_stack
-            )
-            outs.append(np.asarray(out_stack))
+            self.state, out_stack, done_stack = scan_fn(self.state, in_stack)
+            outs.append(out_stack)
             self.graph.clock.frames += n * B
             rendered += n
-            done_any = np.asarray(done_stack).any(axis=0)
-            self._apply_done_flags(done_any)
+            if self.compiled.has_done_actions:
+                self._apply_done_flags(np.asarray(done_stack).any(axis=0))
 
         if outs:
+            outs = jax.device_get(outs)  # ONE host fetch for all audio
             cat = np.concatenate(outs, axis=0)  # [NB, ch, B]
             audio = np.moveaxis(cat, 0, 1).reshape(self.graph.outputs, -1)
         else:
@@ -317,25 +384,21 @@ class AudioProcessor:
         return audio
 
 
-def _stack_pytrees(trees):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
-
-
 _SCAN_CACHE: Dict[int, object] = {}
 
 
 def _get_scan_fn(compiled: CompiledGraph):
+    """Jitted scan of the fast (no-events) program over a fixed chunk."""
     key = id(compiled)
     fn = _SCAN_CACHE.get(key)
     if fn is None:
 
-        def scan_fn(state, ev_stack, in_stack):
-            def body(st, xs):
-                ev, inp = xs
-                st, out, done = compiled.render_raw(st, ev, inp)
+        def scan_fn(state, in_stack):
+            def body(st, inp):
+                st, out, done = compiled.render_fast_raw(st, inp)
                 return st, (out, done)
 
-            state, (outs, dones) = jax.lax.scan(body, state, (ev_stack, in_stack))
+            state, (outs, dones) = jax.lax.scan(body, state, in_stack)
             return state, outs, dones
 
         fn = jax.jit(scan_fn, donate_argnums=(0,))

@@ -14,6 +14,9 @@ class SafetyLimiter(UGen):
     outputs = 1
     params = ()
 
+    def batch_key(self):
+        return (type(self),)
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         x = inputs[0]
         x = jnp.clip(x, -1.0, 1.0)

@@ -41,6 +41,9 @@ class EnvAsr(UGen):
         ptrigger("t_restart"),
     )
 
+    def batch_key(self):
+        return (type(self),)
+
     def __init__(self, attack_time: float = 0.0, release_time: float = 0.0):
         self.pdefaults = {
             "attack_time": float(attack_time),
@@ -118,6 +121,9 @@ class EnvAr(UGen):
         pfloat("release_time", 0.0, kind=ParameterKind.SECONDS),
         ptrigger("t_restart"),
     )
+
+    def batch_key(self):
+        return (type(self),)
 
     def __init__(self, attack_time: float = 0.0, release_time: float = 0.0):
         self.pdefaults = {

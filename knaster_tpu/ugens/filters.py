@@ -122,6 +122,9 @@ class SvfFilter(UGen):
         ptrigger("t_calculate_coefficients"),
     )
 
+    def batch_key(self):
+        return (type(self),)
+
     def __init__(
         self,
         ty: SvfFilterType = SvfFilterType.Low,
@@ -194,6 +197,9 @@ class _OnePoleBase(UGen):
 class OnePoleLpf(_OnePoleBase):
     """One-pole lowpass, 6 dB/oct (onepole.rs:111-141 OnePoleLpf)."""
 
+    def batch_key(self):
+        return (type(self),)
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         y, y_final = self._lp(ctx, state, inputs[0], params["cutoff_freq"])
         return {"last": y_final}, y[None, :]
@@ -202,6 +208,9 @@ class OnePoleLpf(_OnePoleBase):
 class OnePoleHpf(_OnePoleBase):
     """One-pole highpass: input minus the lowpass (onepole.rs:144-186;
     the reference's set_freq_highpass delegates to the lowpass coeffs)."""
+
+    def batch_key(self):
+        return (type(self),)
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         x = inputs[0]

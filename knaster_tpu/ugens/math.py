@@ -43,6 +43,9 @@ class MathUGen(UGen):
 
     params = ()
 
+    def batch_key(self):
+        return (type(self), self.op, self.channels)
+
     def __init__(self, op: str, channels: int = 1):
         if op not in _BINOPS:
             raise ValueError(f"unknown binary op {op!r}; have {sorted(_BINOPS)}")
@@ -80,6 +83,9 @@ class Math1UGen(UGen):
     """Unary math (math.rs:168-320 Math1UGen)."""
 
     params = ()
+
+    def batch_key(self):
+        return (type(self), self.op, self.channels)
 
     def __init__(self, op: str, channels: int = 1):
         if op not in _UNOPS:

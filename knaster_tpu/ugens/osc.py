@@ -92,6 +92,9 @@ class SinWt(UGen):
         ptrigger("reset_phase"),
     )
 
+    def batch_key(self):
+        return (type(self), self.lookup)
+
     def __init__(self, freq: float = 440.0, lookup: bool = False):
         self.pdefaults = {"freq": float(freq)}
         self.lookup = bool(lookup)
@@ -178,6 +181,9 @@ class SinNumeric(UGen):
         ptrigger("reset_phase"),
     )
 
+    def batch_key(self):
+        return (type(self),)
+
     def __init__(self, freq: float = 440.0):
         self.pdefaults = {"freq": float(freq)}
 
@@ -202,6 +208,9 @@ class Phasor(UGen):
     inputs = 0
     outputs = 1
     params = (pfloat("freq", 0.0, kind=ParameterKind.FREQUENCY),)
+
+    def batch_key(self):
+        return (type(self),)
 
     def __init__(self, freq: float = 0.0):
         self.pdefaults = {"freq": float(freq)}

@@ -20,6 +20,9 @@ class Pan2(UGen):
     outputs = 2
     params = (pfloat("pan", 0.0),)
 
+    def batch_key(self):
+        return (type(self),)
+
     def __init__(self, pan: float = 0.0):
         self.pdefaults = {"pan": float(pan)}
 

@@ -16,6 +16,9 @@ class Constant(UGen):
     outputs = 1
     params = (pfloat("value"),)
 
+    def batch_key(self):
+        return (type(self),)
+
     def __init__(self, value: float = 0.0):
         self.pdefaults = {"value": float(value)}
 

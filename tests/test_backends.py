@@ -1,0 +1,114 @@
+"""Native ring buffer + backend tests (the rtrb/audio-callback analog)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from knaster_tpu import AudioProcessor, AudioProcessorOptions, Constant, SinWt
+from knaster_tpu.backends import OfflineBackend, StreamBackend
+from knaster_tpu.backends.native import NativeRing
+
+
+def test_native_ring_basic():
+    r = NativeRing(256, 2)
+    assert r.capacity >= 256
+    blk = np.arange(2 * 64, dtype=np.float32).reshape(2, 64)
+    assert r.write(blk) == 64
+    assert r.available_read() == 64
+    out = r.read(64)
+    np.testing.assert_array_equal(out, blk)
+    assert r.underruns == 0
+
+
+def test_native_ring_underrun_zero_fill():
+    r = NativeRing(128, 1)
+    r.write(np.ones((1, 10), np.float32))
+    out = r.read(20)
+    np.testing.assert_array_equal(out[0, :10], 1.0)
+    np.testing.assert_array_equal(out[0, 10:], 0.0)
+    assert r.underruns == 1
+
+
+def test_native_ring_wraparound_and_overrun():
+    r = NativeRing(64, 1)
+    cap = r.capacity
+    # fill completely, then one more write overruns
+    assert r.write(np.zeros((1, cap), np.float32)) == cap
+    assert r.write(np.ones((1, 8), np.float32)) == 0
+    assert r.overruns == 1
+    r.read(cap)
+    # wraparound correctness: sequence survives crossing the boundary
+    seq = np.arange(cap // 2, dtype=np.float32)[None, :]
+    r.write(seq)
+    np.testing.assert_array_equal(r.read(cap // 2), seq)
+
+
+def test_native_ring_threaded_spsc():
+    """Stream 100 blocks through producer/consumer threads losslessly."""
+    r = NativeRing(1024, 1)
+    n_blocks, B = 100, 64
+    src = np.arange(n_blocks * B, dtype=np.float32)
+    got = []
+
+    def producer():
+        for i in range(n_blocks):
+            blk = src[i * B : (i + 1) * B][None, :]
+            while r.write(blk) < B:
+                time.sleep(0.0001)
+
+    def consumer():
+        read = 0
+        while read < n_blocks * B:
+            avail = r.available_read()
+            if avail:
+                n = min(avail, B)
+                got.append(r.read(n)[0])
+                read += n
+            else:
+                time.sleep(0.0001)
+
+    tp, tc = threading.Thread(target=producer), threading.Thread(target=consumer)
+    tp.start(); tc.start(); tp.join(timeout=10); tc.join(timeout=10)
+    np.testing.assert_array_equal(np.concatenate(got), src)
+    assert r.underruns == 0
+    # overruns may be counted by the producer's busy-retry when the ring is
+    # momentarily full — that's the counter working, not data loss
+
+
+def test_offline_backend_wav(tmp_path):
+    opts = AudioProcessorOptions(block_size=64)
+    g, proc = AudioProcessor.new(0, 2, opts)
+    g.edit(lambda gg: (gg.push(SinWt(440.0)) * 0.2).out([0, 0]).to_graph_out())
+    be = OfflineBackend(48000, 64)
+    be.start_processing(proc)
+    path = str(tmp_path / "out.wav")
+    audio = be.render_to_wav(path, seconds=0.25)
+    assert audio.shape == (2, 12000)
+    from knaster_tpu.utils.wav import read_wav
+
+    back, sr = read_wav(path)
+    np.testing.assert_allclose(back, audio, atol=0)
+
+
+def test_stream_backend_live_edit():
+    """The control thread edits the graph while the stream runs."""
+    opts = AudioProcessorOptions(block_size=64)
+    g, proc = AudioProcessor.new(0, 1, opts)
+    amp = g.edit(lambda gg: (lambda c: (c.to_graph_out(), c.param("value"))[1])(
+        gg.push(Constant(0.25))))
+    proc.run_without_inputs()  # warm up the jit compile before going live
+    captured = []
+    be = StreamBackend(48000, 64, lookahead_blocks=4,
+                       consumer=lambda blk: captured.append(blk.copy()))
+    be.start_processing(proc)
+    time.sleep(0.25)
+    amp.set(0.75)  # live parameter change from the control thread
+    time.sleep(0.25)
+    be.stop()
+    data = np.concatenate(captured, axis=1)[0]
+    vals = set(np.round(np.unique(data), 3).tolist())
+    assert 0.25 in vals and 0.75 in vals
+    # realtime pacing: ~0.5s walltime -> roughly that much audio (not a bounce)
+    assert 0.2 * 48000 < data.shape[0] < 1.5 * 48000
