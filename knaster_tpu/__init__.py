@@ -41,6 +41,7 @@ from .primitives import (
     pinteger,
     ptrigger,
 )
+from .core.decorator import TRIG, ugen
 from .core.ugen import AudioCtx, UGen, sample_scan
 from .graph.graph import Done, Graph, GraphError, CircularConnection
 from .graph.handles import Handle, Parameter, Source
@@ -137,7 +138,9 @@ __all__ = [
     "Time",
     "UGen",
     "Wavetable",
+    "TRIG",
     "default_dtype",
+    "ugen",
     "enable_f64",
     "pbool",
     "pfloat",

@@ -404,3 +404,49 @@ def _get_scan_fn(compiled: CompiledGraph):
         fn = jax.jit(scan_fn, donate_argnums=(0,))
         _SCAN_CACHE[key] = fn
     return fn
+
+
+# ----------------------------------------------------------- checkpointing
+def save_state(processor: AudioProcessor, path: str) -> None:
+    """Checkpoint a running processor's complete DSP state to disk.
+
+    The reference has no checkpoint/resume (SURVEY §5.4); in the functional
+    design it falls out for free — the state pytree plus the frame clock IS
+    the engine state. Restore into a processor whose graph has the same
+    topology (same node ids)."""
+    import pickle
+
+    processor._ensure_compiled()
+    leaves, treedef = jax.tree_util.tree_flatten(processor.state)
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "leaves": [np.asarray(x) for x in leaves],
+                "treedef": treedef,
+                "clock": processor.graph.clock.frames,
+                "revision": processor.graph.revision,
+                # sub-block remainder so non-block-aligned bounces resume
+                # sample-exactly
+                "pending": processor._pending,
+            },
+            f,
+        )
+
+
+def load_state(processor: AudioProcessor, path: str) -> None:
+    """Restore a checkpoint written by :func:`save_state`."""
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    processor._ensure_compiled()
+    state = jax.tree_util.tree_unflatten(
+        blob["treedef"], [jnp.asarray(x) for x in blob["leaves"]]
+    )
+    processor.state = state
+    processor.graph.clock.frames = blob["clock"]
+    processor._pending = blob.get("pending")
+
+
+AudioProcessor.save_state = lambda self, path: save_state(self, path)
+AudioProcessor.load_state = lambda self, path: load_state(self, path)

@@ -9,6 +9,7 @@ Parity with the reference facade's ``knaster::prelude`` / ``preludef32``
 
 from . import knaster  # noqa: F401
 from .core.log import rt_log  # noqa: F401
+from .core.decorator import TRIG, ugen  # noqa: F401
 from .core.ugen import AudioCtx, UGen, sample_scan  # noqa: F401
 from .graph.graph import CircularConnection, Done, Graph, GraphError  # noqa: F401
 from .graph.handles import Handle, Parameter, Source, VoiceParameter  # noqa: F401
