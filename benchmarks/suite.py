@@ -178,7 +178,7 @@ def bench_galactic(block_size=64):
 
     def build(gg):
         src = gg.push(PinkNoise())
-        echo = gg.push(AllpassFeedbackDelay(0.25, feedback=0.5))
+        echo = gg.push(AllpassFeedbackDelay(0.25, feedback=0.5, long=True))
         verb = gg.push(Galactic(wet=0.5))
         src.to(echo)
         (echo.out([0, 0])).to(verb)

@@ -67,14 +67,22 @@ class AllpassDelay(UGen):
     (delay.rs:53-205 AllpassDelay + AllpassInterpolator).
 
     The read head is re-anchored from the per-sample delay time, which is
-    equivalent to the reference's set_delay_in_frames on parameter change."""
+    equivalent to the reference's set_delay_in_frames on parameter change.
+
+    ``long=True`` declares the delay time will stay >= one block (echoes,
+    reverb lines): reads then never alias in-block writes, the ring ops
+    vectorize over the whole block and the interpolator becomes an affine
+    scan — much faster on TPU. The effective delay is clamped to the block
+    size in that mode. Leave ``long=False`` for flanger/chorus-length
+    delays."""
 
     inputs = 1
     outputs = 1
     params = (pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),)
 
-    def __init__(self, max_delay_time):
+    def __init__(self, max_delay_time, long: bool = False):
         self.max_delay_time = _as_seconds(max_delay_time)
+        self.long = bool(long)
 
     def init(self, ctx: AudioCtx):
         n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
@@ -100,10 +108,44 @@ class AllpassDelay(UGen):
         coeff = (1.0 - delta) / (1.0 + delta)
         return nf, coeff.astype(dtype)
 
+    @staticmethod
+    def _blockwise_read(state, nf, coeff, L, B, dtype):
+        """Blockwise ring read + allpass interpolation (requires nf >= B).
+
+        Returns (delayed [B], write_slots [B], ap_in', ap_out' fn) — the
+        interpolator out[t] = coeff·raw[t] − coeff·out[t−1] + raw[t−1] is a
+        1-pole affine recurrence, evaluated via associative scan."""
+        from ..core.dsp import affine_scan_1d
+
+        t = jnp.arange(B, dtype=jnp.int32)
+        wp = state["wp"]
+        rp = (wp + t + L - nf) % L
+        raw = state["buf"][rp]
+        raw_prev = jnp.concatenate([state["ap_in"][None], raw[:-1]])
+        a = -coeff
+        b = coeff * raw + raw_prev
+        out_pre, _ = affine_scan_1d(a, b, state["ap_out"])
+        delayed = a * out_pre + b
+        return raw, delayed, (wp + t) % L
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         L = self._length
+        B = ctx.block_size
         df = jnp.clip(params["delay_time"] * ctx.sample_rate, 0.0, float(L))
         nf, coeff = self._delay_geometry(df, L, ctx.dtype)
+
+        if self.long and L >= B:
+            nf = jnp.maximum(nf, B)
+            raw, delayed, wslots = self._blockwise_read(
+                state, nf, coeff, L, B, ctx.dtype
+            )
+            buf = state["buf"].at[wslots].set(inputs[0])
+            return {
+                "buf": buf,
+                "wp": (state["wp"] + B) % L,
+                "ap_in": raw[-1],
+                "ap_out": delayed[-1],
+            }, delayed[None, :]
 
         def step(carry, x):
             buf, wp, ap_in, ap_out = carry
@@ -132,8 +174,9 @@ class AllpassFeedbackDelay(UGen):
         pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),
     )
 
-    def __init__(self, max_delay_time, feedback: float = 0.0):
+    def __init__(self, max_delay_time, feedback: float = 0.0, long: bool = False):
         self.max_delay_time = _as_seconds(max_delay_time)
+        self.long = bool(long)  # see AllpassDelay.long
         self.pdefaults = {
             "feedback": float(feedback),
             # default delay = max (reference previous_delay_time init)
@@ -152,9 +195,25 @@ class AllpassFeedbackDelay(UGen):
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         L = self._length
+        B = ctx.block_size
         df = jnp.clip(params["delay_time"] * ctx.sample_rate, 0.0, float(L))
         nf, coeff = AllpassDelay._delay_geometry(df, L, ctx.dtype)
         fb = params["feedback"]
+
+        if self.long and L >= B:
+            nf = jnp.maximum(nf, B)
+            raw, delayed, wslots = AllpassDelay._blockwise_read(
+                state, nf, coeff, L, B, ctx.dtype
+            )
+            write = delayed * fb + inputs[0]
+            buf = state["buf"].at[wslots].set(write)
+            out = delayed - fb * write
+            return {
+                "buf": buf,
+                "wp": (state["wp"] + B) % L,
+                "ap_in": raw[-1],
+                "ap_out": delayed[-1],
+            }, out[None, :]
 
         def step(carry, x):
             buf, wp, ap_in, ap_out = carry

@@ -32,6 +32,18 @@ class WrapUGen(UGen):
     def name(self) -> str:
         return f"{type(self).__name__}({self.inner.name()})"
 
+    def batch_key(self):
+        # wrappers batch when their inner UGen does and the epilogue config
+        # matches (auto-batching pass, compile.py)
+        inner_key = self.inner.batch_key()
+        if inner_key is None:
+            return None
+        extra = getattr(self, "c", None)
+        extra = getattr(self, "n", extra)
+        if type(self) is WrClosure:
+            return None  # arbitrary closures aren't comparable
+        return (type(self), inner_key, extra)
+
     def init(self, ctx: AudioCtx):
         return self.inner.init(ctx)
 

@@ -278,3 +278,27 @@ def test_wav_roundtrip(tmp_path):
         back, sr = read_wav(p)
         assert sr == 48000 and back.shape == data.shape
         np.testing.assert_allclose(back, data, atol=atol)
+
+
+def test_wr_ar_param_to_input():
+    """WrArParamToInput: an input channel drives a float param
+    (wrappers_core/audio_rate.rs parity)."""
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions, Phasor
+    from knaster_tpu.wrappers import WrArParamToInput
+    from tests.utils import TestInPlusParamUGen
+
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=16))
+
+    def build(gg):
+        lfo = gg.push(Phasor(48000.0 / 16.0))
+        wrapped = gg.push(WrArParamToInput(TestInPlusParamUGen(), "number"))
+        # channel 1 (the appended channel) drives the 'number' param;
+        # channel 0 (the real audio input) stays silent
+        gg.connect(lfo, 0, 1, wrapped)
+        wrapped.to_graph_out()
+
+    g.edit(build)
+    proc.run_without_inputs()
+    np.testing.assert_allclose(
+        proc.output_block()[0], np.arange(16) / 16.0, atol=1e-6
+    )
