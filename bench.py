@@ -1,5 +1,9 @@
 """Headline benchmark: polyphonic voice throughput (many_sines workload).
 
+Uses the flagship PallasSineVoiceBank (fused osc+env+pan+mix kernel, voices
+on VPU lanes, state in VMEM); the composable vmap VoiceBank path reaches
+~40% of this (see benchmarks/RESULTS.md).
+
 The reference's demonstrated scale is 600 simultaneous enveloped, panned
 sine voices in realtime at 48 kHz on a desktop (knaster/examples/
 many_sines.rs, BASELINE.md). We render an N-voice enveloped/panned sine bank
@@ -19,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_VOICES = int(os.environ.get("BENCH_VOICES", 20480))
+N_VOICES = int(os.environ.get("BENCH_VOICES", 131072))
 SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
 BLOCK = 64
 SR = 48000
@@ -30,7 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from knaster_tpu import AudioCtx, SineVoice, VoiceBank
+    from knaster_tpu import AudioCtx, PallasSineVoiceBank
 
     ctx = AudioCtx(sample_rate=SR, block_size=BLOCK, dtype=np.float32)
     rng = np.random.default_rng(0)
@@ -39,7 +43,7 @@ def main():
         "amp": np.full(N_VOICES, 0.01, np.float32),
         "pan": rng.uniform(-1.0, 1.0, N_VOICES).astype(np.float32),
     }
-    bank = VoiceBank(SineVoice(), N_VOICES, voice_defaults=defaults)
+    bank = PallasSineVoiceBank(N_VOICES, voice_defaults=defaults)
     state = bank.init(ctx)
     # start all envelopes via one event block, then run event-free blocks
     # (steady-state throughput, the realtime-equivalent measure)
@@ -53,8 +57,8 @@ def main():
     no_in = jnp.zeros((0, BLOCK), ctx.dtype)
 
     def block_step(st, ev):
-        st, out, _ = bank.process(ctx, st, no_in, {}, events=ev)
-        return st, out
+        result = bank.process(ctx, st, no_in, {}, events=ev)
+        return result[0], result[1]
 
     @jax.jit
     def render(state):

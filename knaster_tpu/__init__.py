@@ -73,6 +73,7 @@ from .ugens.util import Constant, DoneOnTrig, LogProbe
 from .ugens.wavetable import NonAaWavetable, Wavetable
 from .parallel.voicebank import VoiceBank
 from .parallel.mesh import ShardedVoiceBank
+from .parallel.pallas_bank import PallasSineVoiceBank
 from .models.voices import FMVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
@@ -80,6 +81,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AllpassDelay",
     "FMVoice",
+    "PallasSineVoiceBank",
     "ShardedVoiceBank",
     "SineVoice",
     "SubtractiveVoice",

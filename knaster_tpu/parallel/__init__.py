@@ -2,5 +2,6 @@
 
 from .voicebank import VoiceBank
 from .mesh import ShardedVoiceBank
+from .pallas_bank import PallasSineVoiceBank
 
-__all__ = ["VoiceBank", "ShardedVoiceBank"]
+__all__ = ["PallasSineVoiceBank", "ShardedVoiceBank", "VoiceBank"]

@@ -1,0 +1,213 @@
+"""PallasSineVoiceBank: the fused hot-path kernel for massed sine voices.
+
+The VoiceBank path builds the voice from composable UGens (vmap over a scan
+for the envelope, cumsum for the oscillator). This kernel fuses the whole
+many_sines voice — fixed-point sine oscillator, ASR envelope state machine,
+equal-power pan, mix-down — into ONE Pallas kernel: state lives in VMEM,
+voices ride the 8×128 vector lanes, and the per-sample loop is a register
+loop instead of an XLA scan. Same control surface as VoiceBank (per-voice
+float sets at block rate, sample-accurate triggers via the event channel).
+
+Layout: voices as [V/128, 128] tiles (sublane × lane); the grid walks voice
+tiles of ``tile_rows``×128 voices; each grid step emits its partial stereo
+mix [B, 2], summed in XLA afterwards.
+
+Triggers are packed host→kernel as uint32 bitmasks (2 words per voice for
+block sizes up to 64), so the kernel reads one bit per sample instead of a
+[B, V] boolean array.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.ugen import AudioCtx
+from ..models.voices import SineVoice
+from ..ugens.wavetable import FRACTIONAL_PART, TABLE_HIGH_MASK, TABLE_SIZE
+from .voicebank import VoiceBank
+
+LANES = 128
+
+
+def _env_rate(seconds, sr):
+    return jnp.where(seconds == 0, jnp.ones_like(seconds), 1.0 / (seconds * sr))
+
+
+def _bank_kernel(
+    B: int,
+    phase_ref, inc_ref, stage_ref, t_ref, rscale_ref,
+    atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
+    restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
+    out_ref, phase_out, stage_out, t_out, rscale_out,
+):
+    scale = np.float32(2.0 * np.pi / TABLE_SIZE)
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+
+    def body(i, carry):
+        phase, stage, t, rscale = carry
+        iu = i.astype(jnp.uint32)
+        word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
+        word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
+        bit = jnp.where(i < 32, iu, iu - 32)
+        restart = ((word_restart >> bit) & 1) == 1
+        release = ((word_release >> bit) & 1) == 1
+
+        # --- EnvAsr triggers (stages: 0 stop, 1 atk, 2 sus, 3 rel) ---
+        stage = jnp.where(restart, one, stage)
+        rel_from_atk = release & (stage == 1.0)
+        rel_from_sus = release & (stage == 2.0)
+        rscale = jnp.where(rel_from_atk, t, jnp.where(rel_from_sus, one, rscale))
+        t = jnp.where(rel_from_atk | rel_from_sus, one, t)
+        stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
+
+        # --- envelope value + advance ---
+        env = jnp.where(
+            stage == 1.0, t,
+            jnp.where(stage == 2.0, one,
+                      jnp.where(stage == 3.0, t * t * t * rscale, zero)),
+        )
+        t_next = jnp.where(
+            stage == 1.0, t + atk_ref[:],
+            jnp.where(stage == 3.0, t - rel_ref[:], t),
+        )
+        to_sus = (stage == 1.0) & (t_next >= one)
+        done = (stage == 3.0) & (t_next <= zero)
+        stage = jnp.where(to_sus, np.float32(2.0), stage)
+        stage = jnp.where(done, zero, stage)
+        t_next = jnp.where(done, zero, t_next)
+
+        # --- SinWt: fixed-point phase, computed sine ---
+        # (Mosaic can't cast u32->f32 directly; the masked index fits i32)
+        idx_u = (phase >> 16) & np.uint32(TABLE_HIGH_MASK)
+        idx = pltpu.bitcast(idx_u, jnp.int32).astype(jnp.float32)
+        sine = jnp.sin(idx * scale)
+        phase = phase + inc_ref[:]
+
+        sig = sine * env * amp_ref[:] * active_ref[:]
+        out_ref[0, i, :] = jnp.stack(
+            [jnp.sum(sig * panl_ref[:]), jnp.sum(sig * panr_ref[:])]
+        )
+        return phase, stage, t_next, rscale
+
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    phase, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
+    phase_out[:] = phase
+    stage_out[:] = stage
+    t_out[:] = t
+    rscale_out[:] = rscale
+
+
+class PallasSineVoiceBank(VoiceBank):
+    """Drop-in VoiceBank for SineVoice with a fused Pallas kernel core."""
+
+    def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
+                 attack: float = 0.01, release: float = 0.1, tile_rows: int = 128):
+        if n_voices % (tile_rows * LANES):
+            raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
+        super().__init__(
+            SineVoice(attack=attack, release=release),
+            n_voices,
+            voice_defaults=voice_defaults,
+            event_capacity=event_capacity,
+        )
+        self.tile_rows = int(tile_rows)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def name(self):
+        return f"PallasSineBank[{self.n_voices}]"
+
+    def init(self, ctx: AudioCtx):
+        if ctx.block_size > 64:
+            raise ValueError("PallasSineVoiceBank supports block_size <= 64")
+        base = super().init(ctx)
+        R = self.n_voices // LANES
+        base["phase"] = jnp.zeros((R, LANES), jnp.uint32)
+        base["stage"] = jnp.zeros((R, LANES), ctx.dtype)
+        base["t"] = jnp.zeros((R, LANES), ctx.dtype)
+        base["rscale"] = jnp.ones((R, LANES), ctx.dtype)
+        # the nested per-voice UGen state from VoiceBank is unused here
+        del base["voices"]
+        return base
+
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = ctx.block_size
+        V = self.n_voices
+        R = V // LANES
+        TR = self.tile_rows
+        n_tiles = R // TR
+        dtype = ctx.dtype
+
+        fvals, ivals, active, trig = self._apply_events(ctx, state, events)
+
+        def grid2(x):
+            return x.reshape(R, LANES)
+
+        freq = grid2(fvals[self.float_index("freq")])
+        amp = grid2(fvals[self.float_index("amp")])
+        pan = grid2(fvals[self.float_index("pan")])
+        p = pan * 0.5 + 0.5
+        panl = jnp.cos(p * (np.pi / 2)).astype(dtype)
+        panr = jnp.sin(p * (np.pi / 2)).astype(dtype)
+        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
+        inc = (freq * np.float32(f2pi)).astype(jnp.uint32)
+        atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
+        rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
+        act = grid2(active.astype(dtype))
+
+        # pack trigger masks: [V, B] bool -> two uint32 words per voice
+        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
+
+        def pack(mask):  # [V, B] -> (lo [R,L], hi [R,L])
+            m = mask.astype(jnp.uint32)
+            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
+            if B > 32:
+                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
+            else:
+                hi = jnp.zeros((V,), jnp.uint32)
+            return grid2(lo), grid2(hi)
+
+        restart_lo, restart_hi = pack(trig[self.trig_index("t_restart")])
+        release_lo, release_hi = pack(trig[self.trig_index("t_release")])
+
+        tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        # tests run on CPU: use the pallas interpreter there
+        interpret = jax.devices()[0].platform == "cpu"
+        outs = pl.pallas_call(
+            functools.partial(_bank_kernel, B),
+            grid=(n_tiles,),
+            in_specs=[tile() for _ in range(15)],
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles, B, 2), dtype),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+            ),
+            out_specs=(
+                pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                tile(), tile(), tile(), tile(),
+            ),
+            interpret=interpret,
+        )(
+            state["phase"], inc, state["stage"], state["t"], state["rscale"],
+            atk, rel, amp, panl, panr, act,
+            restart_lo, restart_hi, release_lo, release_hi,
+        )
+        partial_mix, phase, stage, t, rscale = outs
+        out = jnp.sum(partial_mix, axis=0).T  # [2, B]
+        new_state = {
+            "fvals": fvals, "ivals": ivals, "active": active,
+            "phase": phase, "stage": stage, "t": t, "rscale": rscale,
+        }
+        return new_state, out

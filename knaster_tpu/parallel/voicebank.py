@@ -161,7 +161,9 @@ class VoiceBank(UGen):
         return {k: jnp.asarray(v) for k, v in ev.items()}
 
     # -------------------------------------------------------------- process
-    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+    def _apply_events(self, ctx: AudioCtx, state, events):
+        """Apply the bank event channel: returns (fvals, ivals, active,
+        trig [n_trig, V, B])."""
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
@@ -207,6 +209,13 @@ class VoiceBank(UGen):
         v_t = jnp.where(sel_t, voice, V)
         trig = trig.at[jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame].set(True)
         trig = trig[:, :V, :]
+        return fvals, ivals, active, trig
+
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        V = self.n_voices
+        B = ctx.block_size
+        dtype = ctx.dtype
+        fvals, ivals, active, trig = self._apply_events(ctx, state, events)
 
         # build per-voice param dict: [V, B] leaves for vmap axis 0
         voice_params = {}

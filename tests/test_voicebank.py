@@ -162,3 +162,41 @@ def test_sharded_voicebank_matches_single_device():
     unsharded = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
     np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
     assert np.abs(sharded).max() > 0
+
+
+def test_pallas_bank_matches_vmap_bank():
+    """The fused Pallas kernel bank == the composable vmap bank
+    (runs in pallas interpreter mode on CPU)."""
+    from knaster_tpu import PallasSineVoiceBank
+    import jax.numpy as jnp
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 1024
+    rng = np.random.default_rng(3)
+    defaults = {
+        "freq": rng.uniform(100, 4000, V).astype(np.float32),
+        "amp": np.full(V, 0.01, np.float32),
+        "pan": rng.uniform(-1, 1, V).astype(np.float32),
+    }
+    pb = PallasSineVoiceBank(V, voice_defaults=defaults, tile_rows=8,
+                             event_capacity=1024)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=defaults, event_capacity=1024)
+    events = [(0, v, pb.trig_index("t_restart"), 1, 0.0) for v in range(0, V, 5)]
+    events += [(17, 5, pb.trig_index("t_release"), 1, 0.0)]
+    events += [(0, 7, pb.float_index("freq"), 0, 1234.0)]
+    ev_p = pb.node_events_from_lists(events)
+    ev_v = vb.node_events_from_lists(events)
+    no_in = np.zeros((0, 64), np.float32)
+    sp, sv = pb.init(ctx), vb.init(ctx)
+    outs_p, outs_v = [], []
+    for i in range(4):
+        e_p = ev_p if i == 0 else pb.empty_node_events()
+        e_v = ev_v if i == 0 else vb.empty_node_events()
+        sp, op = pb.process(ctx, sp, no_in, {}, events=e_p)
+        sv, ov, _ = vb.process(ctx, sv, no_in, {}, events=e_v)
+        outs_p.append(np.asarray(op))
+        outs_v.append(np.asarray(ov))
+    a = np.concatenate(outs_p, 1)
+    b = np.concatenate(outs_v, 1)
+    assert np.abs(b).max() > 1e-4  # something actually played
+    np.testing.assert_allclose(a, b, atol=1e-6)
