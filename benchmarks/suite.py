@@ -199,6 +199,69 @@ def bench_galactic(block_size=64):
     )
 
 
+def bench_fm_cascade_model(n_stages=256):
+    """The same 256-stage cascade as fm_cascade, expressed the TPU-native
+    way (models.FMCascade: scan over stages in one UGen)."""
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions, FMCascade
+
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=64))
+    g.edit(lambda gg: gg.push(FMCascade(n_stages)).to_graph_out())
+    rate = _bounce_rate(proc, seconds=2.0)
+    print(json.dumps({
+        "bench": "fm_cascade_model",
+        "config": f"{n_stages}stages_scan",
+        "value": round(rate),
+        "unit": "samples/s",
+        "realtime_x": round(rate / 48000, 1),
+    }))
+
+
+def bench_fm_bank(n_voices=8192):
+    """BASELINE config #3: detuned FM voice bank (vmap path)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx, FMVoice, VoiceBank
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": (220.0 * 2 ** rng.uniform(-1, 1, n_voices)).astype(np.float32),
+        "ratio": rng.choice([0.5, 1.0, 2.0, 3.0], n_voices).astype(np.float32),
+        "index": rng.uniform(0.5, 3.0, n_voices).astype(np.float32),
+        "amp": np.full(n_voices, 0.005, np.float32),
+    }
+    bank = VoiceBank(FMVoice(), n_voices, voice_defaults=defaults)
+    st = bank.init(ctx)
+    empty = bank.empty_node_events()
+    no_in = jnp.zeros((0, 64), np.float32)
+
+    def block(s, _):
+        s, out, _ = bank.process(ctx, s, no_in, {}, events=empty)
+        return s, out.mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    jax.block_until_ready(m)
+    t0 = time.time()
+    s, m = render(s)
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+    vs = n_voices * 48000 / dt
+    print(json.dumps({
+        "bench": "fm_voice_bank",
+        "config": f"{n_voices}voices_vmap",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    }))
+
+
 def bench_voicebank():
     os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), '..', 'bench.py')}")
 
@@ -208,6 +271,8 @@ ALL = {
     "fm_cascade": bench_fm_cascade,
     "wrappers": bench_wrappers,
     "galactic": bench_galactic,
+    "fm_bank": bench_fm_bank,
+    "fm_cascade_model": bench_fm_cascade_model,
     "voicebank": bench_voicebank,
 }
 

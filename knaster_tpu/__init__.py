@@ -74,12 +74,13 @@ from .ugens.wavetable import NonAaWavetable, Wavetable
 from .parallel.voicebank import VoiceBank
 from .parallel.mesh import ShardedVoiceBank
 from .parallel.pallas_bank import PallasSineVoiceBank
-from .models.voices import FMVoice, SineVoice, SubtractiveVoice
+from .models.voices import FMCascade, FMVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AllpassDelay",
+    "FMCascade",
     "FMVoice",
     "PallasSineVoiceBank",
     "ShardedVoiceBank",

@@ -1,5 +1,5 @@
 """Ready-made voice/instrument models for VoiceBank batching."""
 
-from .voices import FMVoice, SineVoice, SubtractiveVoice
+from .voices import FMCascade, FMVoice, SineVoice, SubtractiveVoice
 
-__all__ = ["FMVoice", "SineVoice", "SubtractiveVoice"]
+__all__ = ["FMCascade", "FMVoice", "SineVoice", "SubtractiveVoice"]

@@ -200,3 +200,17 @@ def test_pallas_bank_matches_vmap_bank():
     b = np.concatenate(outs_v, 1)
     assert np.abs(b).max() > 1e-4  # something actually played
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fm_cascade_model():
+    """FMCascade scan-over-stages == the cascade behavior sanity checks."""
+    from knaster_tpu import FMCascade
+
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+    g.edit(lambda gg: gg.push(FMCascade(16, freq=100.0)).to_graph_out())
+    a = proc.render(frames=4800)[0]
+    assert np.isfinite(a).all()
+    assert 0.05 < np.abs(a).max() <= 0.1  # amp=0.1 sine-ish output
+    # rich FM spectrum: energy spread across many bins
+    sp = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    assert (sp > sp.max() * 0.05).sum() > 10
