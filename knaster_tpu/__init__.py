@@ -72,6 +72,7 @@ from .ugens.polyblep import PolyBlep, Waveform
 from .ugens.util import Constant, DoneOnTrig, LogProbe
 from .ugens.wavetable import NonAaWavetable, Wavetable
 from .parallel.voicebank import VoiceBank
+from .airwindows.galactic import Galactic
 from .parallel.mesh import ShardedVoiceBank
 from .parallel.pallas_bank import PallasSineVoiceBank
 from .models.voices import FMCascade, FMVoice, SineVoice, SubtractiveVoice
@@ -81,6 +82,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AllpassDelay",
     "FMCascade",
+    "Galactic",
     "FMVoice",
     "PallasSineVoiceBank",
     "ShardedVoiceBank",

@@ -122,6 +122,9 @@ class StreamBackend(AudioBackend):
         # parameter change doesn't stall the stream with a jit compile —
         # the role knaster's ahead-of-time task compilation plays
         processor._ensure_compiled()
+        # structural edits while live compile on a worker and swap between
+        # blocks (the reference's TaskData swap semantics)
+        processor.enable_async_recompile()
         ev = processor.compiled.empty_events()
         inp = processor._zero_inputs()
         st = jax.tree_util.tree_map(jnp_copy, processor.state)

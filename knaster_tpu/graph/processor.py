@@ -82,12 +82,75 @@ class AudioProcessor:
     def _ensure_compiled(self) -> None:
         if self.compiled is not None and self.compiled.revision == self.graph.revision:
             return
+        if self._async_recompile and self.compiled is not None:
+            # glitch-free live edits (the reference's TaskData swap over the
+            # ring, graph_gen.rs:93-109): keep rendering the old program
+            # while a worker compiles the new one; swap between blocks
+            self._kick_async_compile()
+            return
         prev_compiled = self.compiled
         prev_state = self.state
         self.compiled = compile_graph(
             self.graph, self.options.event_capacity, self.options.auto_batch
         )
         self.state = self.compiled.init_state(prev_state, prev_compiled)
+
+    # -- async recompile (used by the streaming backend) -------------------
+    _async_recompile = False
+    _compile_thread = None
+    _compiled_next = None
+
+    def enable_async_recompile(self, enabled: bool = True) -> None:
+        """Compile graph edits on a worker thread and swap between blocks,
+        so a running stream keeps playing the old program during the (long)
+        XLA compile instead of stalling."""
+        self._async_recompile = bool(enabled)
+
+    def _kick_async_compile(self) -> None:
+        import threading
+
+        ready = self._compiled_next
+        if ready is not None and ready.revision == self.graph.revision:
+            # worker finished: swap program + carry state (TakeFromTask)
+            self.state = ready.init_state(self.state, self.compiled)
+            self.compiled = ready
+            self._compiled_next = None
+            return
+        if self._compile_thread is not None and self._compile_thread.is_alive():
+            return  # still compiling (possibly an older revision; re-kicked after)
+        if ready is not None and ready.revision != self.graph.revision:
+            self._compiled_next = None  # stale result; recompile
+
+        revision = self.graph.revision
+
+        live_state = self.state
+        live_compiled = self.compiled
+
+        def worker():
+            cg = compile_graph(
+                self.graph, self.options.event_capacity, self.options.auto_batch
+            )
+            # pre-warm everything the swap will execute: the state carry-over
+            # (many tiny eager ops compile on first use) and both programs,
+            # so the actual between-blocks swap is milliseconds
+            try:
+                st = cg.init_state(live_state, live_compiled)
+                # the carry-over passes unchanged node-state arrays through:
+                # COPY before the warmup renders donate them, or the live
+                # stream's buffers would be deleted under it
+                st = jax.tree_util.tree_map(jnp.copy, st)
+                ev = cg.empty_events()
+                inp = jnp.zeros(
+                    (self.graph.inputs, self.graph.block_size), self.graph.dtype
+                )
+                cg.render_fast(jax.tree_util.tree_map(jnp.copy, st), inp)
+                cg.render(st, ev, inp)
+            except Exception:
+                pass
+            self._compiled_next = cg
+
+        self._compile_thread = threading.Thread(target=worker, daemon=True)
+        self._compile_thread.start()
 
     def _collect_due_events(self, horizon_blocks: int = 1):
         """Pop events due within the next ``horizon_blocks`` blocks and
@@ -134,6 +197,15 @@ class AudioProcessor:
                 if pidx_key in layout.slots:
                     key = layout.slots[pidx_key]
             if key is None:
+                # during an async recompile the running layout may not know
+                # freshly-pushed nodes yet: keep their events queued so they
+                # apply (asap) after the program swap
+                if self._async_recompile:
+                    try:
+                        self.graph._node(ev.node_id)
+                        self.graph.event_queue.append(ev)
+                    except Exception:
+                        pass
                 continue
             typ, slot = key
             if p[0] == "set_float" and typ == "float":

@@ -53,43 +53,30 @@ class ShardedVoiceBank:
             )
         self.local_voices = bank.n_voices // self.n_devices
         # a local bank instance describing one shard's worth of voices
-        self._local = VoiceBank(
-            bank.voice,
-            self.local_voices,
-            mix="sum",
-            event_capacity=bank.event_capacity,
-        )
+        self._local = bank.make_local(self.local_voices)
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
+    def _state_specs(self, template):
+        axis = self.axis
+
+        def spec_for(path, _leaf):
+            name = path[0].key if path else None
+            if name in ("fvals", "ivals"):
+                return P(None, axis)  # [n_params, V]: shard the voice axis
+            return P(axis)  # everything else has voices leading
+
+        return jax.tree_util.tree_map_with_path(spec_for, template)
+
     def init_state(self):
-        """Build the sharded state: leading axis = voices, laid out on the mesh."""
-        V = self.bank.n_voices
-
-        def make_global(local_init):
-            # init per shard then stack — all shards identical except params
-            return local_init
-
-        # init a full-size bank on host semantics, then shard its arrays
+        """Build the sharded state: voice axes laid out on the mesh."""
         full_state = self.bank.init(self.ctx)
-        shard_spec = {
-            "voices": jax.tree_util.tree_map(lambda _: P(self.axis), full_state["voices"]),
-            "fvals": P(None, self.axis),
-            "ivals": P(None, self.axis),
-            "active": P(self.axis),
-        }
+        specs = self._state_specs(full_state)
 
         def put(x, spec):
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-        return {
-            "voices": jax.tree_util.tree_map(
-                put, full_state["voices"], shard_spec["voices"]
-            ),
-            "fvals": put(full_state["fvals"], shard_spec["fvals"]),
-            "ivals": put(full_state["ivals"], shard_spec["ivals"]),
-            "active": put(full_state["active"], shard_spec["active"]),
-        }
+        return jax.tree_util.tree_map(put, full_state, specs)
 
     def empty_events(self):
         return self.bank.empty_node_events(dtype=self.ctx.dtype)
@@ -114,21 +101,15 @@ class ShardedVoiceBank:
             in_shard = (v >= 0) & (local_v >= 0) & (local_v < Vl)
             ev = dict(events)
             ev["voice"] = jnp.where(in_shard, local_v, -1)
-            new_state, out, _done = local_bank.process(
+            result = local_bank.process(
                 ctx, state, jnp.zeros((0, ctx.block_size), ctx.dtype), {}, events=ev
             )
+            new_state, out = result[0], result[1]
             # mix bus rides ICI
             out = jax.lax.psum(out, axis)
             return new_state, out
 
-        state_specs = {
-            "voices": jax.tree_util.tree_map(
-                lambda _: P(axis), self.bank.voice.init(ctx)
-            ),
-            "fvals": P(None, axis),
-            "ivals": P(None, axis),
-            "active": P(axis),
-        }
+        state_specs = self._state_specs(self.bank.init(ctx))
         ev_specs = jax.tree_util.tree_map(
             lambda _: P(), self.empty_events()
         )
@@ -138,6 +119,8 @@ class ShardedVoiceBank:
             mesh=self.mesh,
             in_specs=(state_specs, ev_specs),
             out_specs=(state_specs, P()),
+            # pallas_call inside shard_map can't infer varying-mesh-axes
+            check_vma=False,
         )
         return jax.jit(shard_fn, donate_argnums=(0,))
 

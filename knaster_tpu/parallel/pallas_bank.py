@@ -123,6 +123,15 @@ class PallasSineVoiceBank(VoiceBank):
     def name(self):
         return f"PallasSineBank[{self.n_voices}]"
 
+    def make_local(self, n_local: int) -> "PallasSineVoiceBank":
+        return PallasSineVoiceBank(
+            n_local,
+            event_capacity=self.event_capacity,
+            attack=self._attack,
+            release=self._release,
+            tile_rows=min(self.tile_rows, n_local // LANES),
+        )
+
     def init(self, ctx: AudioCtx):
         if ctx.block_size > 64:
             raise ValueError("PallasSineVoiceBank supports block_size <= 64")

@@ -74,6 +74,13 @@ class VoiceBank(UGen):
     def name(self) -> str:
         return f"VoiceBank[{self.n_voices}x{self.voice.name()}]"
 
+    def make_local(self, n_local: int) -> "VoiceBank":
+        """A bank describing one mesh shard's voices (used by
+        ShardedVoiceBank); subclasses with different constructors override."""
+        return VoiceBank(
+            self.voice, n_local, mix="sum", event_capacity=self.event_capacity
+        )
+
     # ------------------------------------------------------------- indices
     def float_index(self, name: str) -> int:
         return self._float_names.index(name)

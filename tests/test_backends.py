@@ -112,3 +112,40 @@ def test_stream_backend_live_edit():
     assert 0.25 in vals and 0.75 in vals
     # realtime pacing: ~0.5s walltime -> roughly that much audio (not a bounce)
     assert 0.2 * 48000 < data.shape[0] < 1.5 * 48000
+
+
+def test_stream_backend_structural_edit_glitch_free():
+    """A structural edit while streaming must not stall the stream: the old
+    program keeps rendering during the background compile, then the new node
+    fades in (TaskData-swap parity)."""
+    opts = AudioProcessorOptions(block_size=64)
+    g, proc = AudioProcessor.new(0, 1, opts)
+    g.edit(lambda gg: (gg.push(Constant(0.25))).to_graph_out())
+    proc.run_without_inputs()  # warm
+    captured = []
+    # glitch-free swaps need the ring to cover background-compile CPU
+    # contention: ~0.5 s lookahead, like a live rig would use
+    be = StreamBackend(48000, 64, lookahead_blocks=200,
+                       consumer=lambda blk: captured.append(blk.copy()))
+    be.start_processing(proc)
+    time.sleep(0.8)  # let the producer fill the ring
+    underruns_before_edit = be.underruns
+    # structural edit from the control thread: add another constant
+    g.edit(lambda gg: (gg.push(Constant(0.5))).to_graph_out())
+    # background compile + warmup + swap: poll up to 6 s
+    for _ in range(60):
+        time.sleep(0.1)
+        if captured and np.any(np.round(captured[-1], 3) == 0.75):
+            break
+    time.sleep(0.2)
+    be.stop()
+    data = np.concatenate(captured, axis=1)[0]
+    vals = set(np.round(np.unique(data), 3).tolist())
+    assert 0.25 in vals        # old program kept playing
+    assert 0.75 in vals        # new program swapped in (0.25 + 0.5)
+    # once the stream is running, it never goes silent — zeros may only be
+    # startup underruns before the producer first fills the ring
+    first_nz = int(np.argmax(np.abs(data) > 0))
+    running = data[first_nz:]
+    assert running.size > 0
+    assert np.all(np.abs(running) > 0.2), "dropout during the program swap"

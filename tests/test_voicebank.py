@@ -214,3 +214,36 @@ def test_fm_cascade_model():
     # rich FM spectrum: energy spread across many bins
     sp = np.abs(np.fft.rfft(a * np.hanning(len(a))))
     assert (sp > sp.max() * 0.05).sum() > 10
+
+
+def test_sharded_pallas_bank_matches_unsharded():
+    """PallasSineVoiceBank shards over the mesh like any bank."""
+    from knaster_tpu import PallasSineVoiceBank
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 8 * 1024  # 1024 per device (tile constraint: multiple of 128)
+    rng = np.random.default_rng(5)
+    defaults = {
+        "freq": rng.uniform(100, 2000, V).astype(np.float32),
+        "amp": np.full(V, 0.01, np.float32),
+        "pan": rng.uniform(-1, 1, V).astype(np.float32),
+    }
+    bank = PallasSineVoiceBank(V, voice_defaults=defaults, tile_rows=8,
+                               event_capacity=512)
+    sb = ShardedVoiceBank(bank, mesh, ctx)
+    events = [(0, v, bank.trig_index("t_restart"), 1, 0.0) for v in range(0, V, 17)]
+    st = sb.init_state()
+    st, o1 = sb.step(st, sb.events_from_lists(events))
+    st, o2 = sb.step(st, sb.empty_events())
+    sharded = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+
+    ust = bank.init(ctx)
+    ust, u1 = bank.process(ctx, ust, np.zeros((0, 64), np.float32), {},
+                           events=bank.node_events_from_lists(events))
+    ust, u2 = bank.process(ctx, ust, np.zeros((0, 64), np.float32), {},
+                           events=bank.empty_node_events())
+    unsharded = np.concatenate([np.asarray(u1), np.asarray(u2)], axis=1)
+    assert np.abs(unsharded).max() > 1e-5
+    np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
