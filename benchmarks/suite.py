@@ -209,7 +209,7 @@ def bench_fm_cascade_model(n_stages=256):
     rate = _bounce_rate(proc, seconds=2.0)
     print(json.dumps({
         "bench": "fm_cascade_model",
-        "config": f"{n_stages}stages_scan",
+        "config": f"{n_stages}stages_fused",
         "value": round(rate),
         "unit": "samples/s",
         "realtime_x": round(rate / 48000, 1),

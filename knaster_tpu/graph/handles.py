@@ -313,6 +313,19 @@ class VoiceParameter:
     def set_after(self, voice: int, value, after) -> None:
         self.set(voice, value, Time.after(after))
 
+    def smooth(self, voice: int, time_seconds: float,
+               t: Optional[Time] = None) -> None:
+        """Configure per-voice linear smoothing: subsequent ``set``s for this
+        (param, voice) ramp linearly over ``time_seconds`` (0 disables).
+        Bank ramps start at block boundaries."""
+        if self.ptype != "float":
+            raise TypeError("smoothing only applies to float voice parameters")
+        dur = int(round(time_seconds * self.graph.sample_rate))
+        self.graph._queue_event(
+            self.node_id, self.index,
+            ("voice_smooth", int(voice), self.index, dur), t or Time.asap(),
+        )
+
     def trig(self, voice: int, t: Optional[Time] = None) -> None:
         if self.ptype != "trigger":
             raise TypeError(f"voice parameter {self.name!r} is not a trigger")

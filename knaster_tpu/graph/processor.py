@@ -189,6 +189,8 @@ class AudioProcessor:
                     lst.append((frame, p[1], p[2], 2, float(p[3])))
                 elif p[0] == "voice_active":
                     lst.append((frame, p[1], 0, 3, 1.0 if p[2] else 0.0))
+                elif p[0] == "voice_smooth":
+                    lst.append((frame, p[1], p[2], 4, float(p[3])))
                 continue
             key = None
             # resolve slot; events for freed nodes expire silently

@@ -62,7 +62,7 @@ class ShardedVoiceBank:
 
         def spec_for(path, _leaf):
             name = path[0].key if path else None
-            if name in ("fvals", "ivals"):
+            if name in ("fvals", "ftarget", "fstep", "frem", "fsdur", "ivals"):
                 return P(None, axis)  # [n_params, V]: shard the voice axis
             return P(axis)  # everything else has voices leading
 

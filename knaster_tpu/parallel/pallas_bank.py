@@ -156,7 +156,9 @@ class PallasSineVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fvals, ivals, active, trig = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        # the kernel reads block-rate floats: ramps advance as block stairs
+        fvals = fstate[0]
 
         def grid2(x):
             return x.reshape(R, LANES)
@@ -215,8 +217,13 @@ class PallasSineVoiceBank(VoiceBank):
         )
         partial_mix, phase, stage, t, rscale = outs
         out = jnp.sum(partial_mix, axis=0).T  # [2, B]
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
+            fstate, B, dtype
+        )
         new_state = {
-            "fvals": fvals, "ivals": ivals, "active": active,
+            "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
+            "frem": frem, "fsdur": fsdur,
+            "ivals": ivals, "active": active,
             "phase": phase, "stage": stage, "t": t, "rscale": rscale,
         }
         return new_state, out

@@ -119,9 +119,14 @@ class VoiceBank(UGen):
                     ivals[i, :] = int(d)
             if name in self.voice_defaults:
                 ivals[i, :] = np.asarray(self.voice_defaults[name], dtype=np.int32)
+        nf = len(self._float_names)
         return {
             "voices": state_v,
             "fvals": jnp.asarray(fvals),
+            "ftarget": jnp.asarray(fvals.copy()),
+            "fstep": jnp.zeros((nf, V), dtype=ctx.dtype),
+            "frem": jnp.zeros((nf, V), dtype=jnp.int32),
+            "fsdur": jnp.zeros((nf, V), dtype=jnp.int32),
             "ivals": jnp.asarray(ivals),
             "active": jnp.ones((V,), dtype=bool),
         }
@@ -169,15 +174,20 @@ class VoiceBank(UGen):
 
     # -------------------------------------------------------------- process
     def _apply_events(self, ctx: AudioCtx, state, events):
-        """Apply the bank event channel: returns (fvals, ivals, active,
-        trig [n_trig, V, B])."""
+        """Apply the bank event channel: returns (fstate, ivals, active,
+        trig [n_trig, V, B]) where fstate = (fvals, ftarget, fstep, frem,
+        fsdur) carrying per-(param, voice) linear smoothing ramps."""
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
         if events is None:
             events = self.empty_node_events(dtype)
 
-        fvals = state["fvals"]  # [nf, V]
+        fvals = state["fvals"]  # [nf, V] value at block start
+        ftarget = state["ftarget"]
+        fstep = state["fstep"]
+        frem = state["frem"]  # i32 frames of ramp left
+        fsdur = state["fsdur"]  # i32 configured smoothing duration
         ivals = state["ivals"]  # [ni, V]
         active = state["active"]
         n_trig = len(self._trig_names)
@@ -192,17 +202,37 @@ class VoiceBank(UGen):
         # one vectorized scatter per kind; invalid/other-kind events land in
         # a sacrificial voice column V that is sliced off (host deduped the
         # block-rate kinds, so duplicate indices only occur in that column)
+        def pad(arr):
+            return jnp.concatenate(
+                [arr, jnp.zeros((arr.shape[0], 1), arr.dtype)], axis=1
+            )
+
         def apply_set(arr, k, vals):
             sel = valid & (kind == k)
             v_sel = jnp.where(sel, voice, V)
             p_sel = jnp.clip(param, 0, max(arr.shape[0] - 1, 0))
-            padded = jnp.concatenate(
-                [arr, jnp.zeros((arr.shape[0], 1), arr.dtype)], axis=1
-            )
-            return padded.at[p_sel, v_sel].set(vals)[:, :V]
+            return pad(arr).at[p_sel, v_sel].set(vals)[:, :V]
 
         if fvals.shape[0]:
-            fvals = apply_set(fvals, 0, value)
+            # smoothing config (kind 4): value = ramp duration in frames
+            fsdur = apply_set(fsdur, 4, value.astype(jnp.int32))
+            # float set (kind 0): jump, or start a linear ramp if configured.
+            # Ramps start at the block boundary (bank floats are block-rate).
+            sel = valid & (kind == 0)
+            v_sel = jnp.where(sel, voice, V)
+            p_sel = jnp.clip(param, 0, fvals.shape[0] - 1)
+            dur = pad(fsdur)[p_sel, v_sel]
+            cur = pad(fvals)[p_sel, v_sel]
+            ramp = dur > 0
+            new_val = jnp.where(ramp, cur, value)
+            new_step = jnp.where(
+                ramp, (value - cur) / jnp.maximum(dur, 1).astype(dtype), 0.0
+            )
+            new_rem = jnp.where(ramp, dur, 0)
+            fvals = pad(fvals).at[p_sel, v_sel].set(new_val)[:, :V]
+            ftarget = apply_set(ftarget, 0, value)
+            fstep = pad(fstep).at[p_sel, v_sel].set(new_step)[:, :V]
+            frem = pad(frem).at[p_sel, v_sel].set(new_rem)[:, :V]
         if ivals.shape[0]:
             ivals = apply_set(ivals, 2, value.astype(jnp.int32))
         sel_a = valid & (kind == 3)
@@ -216,18 +246,38 @@ class VoiceBank(UGen):
         v_t = jnp.where(sel_t, voice, V)
         trig = trig.at[jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame].set(True)
         trig = trig[:, :V, :]
-        return fvals, ivals, active, trig
+        return (fvals, ftarget, fstep, frem, fsdur), ivals, active, trig
+
+    @staticmethod
+    def _advance_ramps(fstate, B, dtype):
+        """State after one block of per-sample ramping."""
+        fvals, ftarget, fstep, frem, fsdur = fstate
+        done = frem <= B
+        new_vals = jnp.where(
+            done, ftarget, fvals + fstep * jnp.asarray(B, dtype)
+        )
+        return (new_vals, ftarget, fstep, jnp.maximum(frem - B, 0), fsdur)
 
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
-        fvals, ivals, active, trig = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fvals, ftarget, fstep, frem, fsdur = fstate
 
-        # build per-voice param dict: [V, B] leaves for vmap axis 0
+        # build per-voice param dict: [V, B] leaves for vmap axis 0.
+        # Floats ramp per sample toward their target (per-voice smoothing),
+        # snapping exactly to the target when the ramp completes.
+        t_idx = jnp.arange(B, dtype=jnp.int32)
         voice_params = {}
         for i, name in enumerate(self._float_names):
-            voice_params[name] = jnp.broadcast_to(fvals[i][:, None], (V, B))
+            prog = jnp.minimum(t_idx[None, :], frem[i][:, None])
+            ramp_done = prog >= frem[i][:, None]
+            voice_params[name] = jnp.where(
+                ramp_done,
+                ftarget[i][:, None],
+                fvals[i][:, None] + fstep[i][:, None] * prog.astype(dtype),
+            )
         for i, name in enumerate(self._int_names):
             voice_params[name] = jnp.broadcast_to(ivals[i][:, None], (V, B))
         for i, name in enumerate(self._trig_names):
@@ -250,9 +300,14 @@ class VoiceBank(UGen):
         else:
             out = outs.reshape(V * self.voice.outputs, B)
         done = jnp.zeros((B,), dtype=bool)  # banks never free themselves
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
         new_state = {
             "voices": new_vstate,
             "fvals": fvals,
+            "ftarget": ftarget,
+            "fstep": fstep,
+            "frem": frem,
+            "fsdur": fsdur,
             "ivals": ivals,
             "active": active,
         }

@@ -247,3 +247,47 @@ def test_sharded_pallas_bank_matches_unsharded():
     unsharded = np.concatenate([np.asarray(u1), np.asarray(u2)], axis=1)
     assert np.abs(unsharded).max() > 1e-5
     np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+
+
+def test_voicebank_per_voice_smoothing():
+    """Per-voice float smoothing ramps linearly and lands exactly."""
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(SineVoice(amp=1.0), 2))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    amp = bank.voice_param("amp")
+    # voice 0 sustains so the amp is directly observable
+    bank.voice_param("t_restart").trig(0)
+    proc.render(frames=6400)  # attack done (0.01s = 480 frames)
+    amp.smooth(0, 128 / 48000)  # 128-frame ramp
+    amp.set(0, 3.0)
+    a = proc.render(frames=256)
+    # observable via the left channel gain: voice0 amp ramps 1 -> 3
+    # (use the sine output envelope: compare blockwise peak growth)
+    g2, p2 = AudioProcessor.new(0, 2, OPTS)
+    b2 = g2.edit(lambda gg: (lambda h: (h.to_graph_out(), h)[1])(
+        gg.push(VoiceBank(SineVoice(amp=1.0), 2))))
+    b2.voice_param("t_restart").trig(0)
+    p2.render(frames=6400)
+    b2.voice_param("amp").set(0, 3.0)  # no smoothing: jump
+    b = p2.render(frames=256)
+    # smoothed version differs from the jump during the ramp...
+    assert not np.allclose(a[:, :128], b[:, :128])
+    # ...and matches after it completes (same phase, same final amp)
+    np.testing.assert_allclose(a[:, 192:], b[:, 192:], atol=1e-5)
+
+
+def test_fm_cascade_pallas_matches_scan():
+    from knaster_tpu import FMCascade
+
+    def render(use_pallas):
+        g, proc = AudioProcessor.new(0, 1, OPTS)
+        g.edit(lambda gg: gg.push(
+            FMCascade(16, use_pallas=use_pallas)).to_graph_out())
+        return proc.render(frames=640)
+
+    np.testing.assert_allclose(render(True), render(False), atol=1e-6)
