@@ -31,6 +31,7 @@ from .primitives import (  # noqa: F401
     ptrigger,
 )
 from .airwindows import Galactic  # noqa: F401
+from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
 from .models.voices import FMVoice, SineVoice, SubtractiveVoice  # noqa: F401
 from .parallel.mesh import ShardedVoiceBank  # noqa: F401
 from .parallel.voicebank import VoiceBank  # noqa: F401
