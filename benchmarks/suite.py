@@ -233,14 +233,19 @@ def bench_fm_bank(n_voices=8192):
         "index": rng.uniform(0.5, 3.0, n_voices).astype(np.float32),
         "amp": np.full(n_voices, 0.005, np.float32),
     }
-    bank = VoiceBank(FMVoice(), n_voices, voice_defaults=defaults)
+    from knaster_tpu import PallasFMVoiceBank
+
+    if os.environ.get("FM_BANK_PALLAS", "0") == "1" and n_voices % 16384 == 0:
+        bank = PallasFMVoiceBank(n_voices, voice_defaults=defaults)
+    else:
+        bank = VoiceBank(FMVoice(), n_voices, voice_defaults=defaults)
     st = bank.init(ctx)
     empty = bank.empty_node_events()
     no_in = jnp.zeros((0, 64), np.float32)
 
     def block(s, _):
-        s, out, _ = bank.process(ctx, s, no_in, {}, events=empty)
-        return s, out.mean()
+        result = bank.process(ctx, s, no_in, {}, events=empty)
+        return result[0], result[1].mean()
 
     @jax.jit
     def render(s):

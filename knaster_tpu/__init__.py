@@ -74,7 +74,7 @@ from .ugens.wavetable import NonAaWavetable, Wavetable
 from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
 from .parallel.mesh import ShardedVoiceBank
-from .parallel.pallas_bank import PallasSineVoiceBank
+from .parallel.pallas_bank import PallasFMVoiceBank, PallasSineVoiceBank
 from .models.voices import FMCascade, FMVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
@@ -84,6 +84,7 @@ __all__ = [
     "FMCascade",
     "Galactic",
     "FMVoice",
+    "PallasFMVoiceBank",
     "PallasSineVoiceBank",
     "ShardedVoiceBank",
     "SineVoice",

@@ -298,7 +298,7 @@ class FMCascade(UGen):
 
         def stage(carry_block, ph0):
             freq = base + depth * carry_block
-            inc = (freq * f2pi).astype(jnp.uint32)
+            inc = jnp.clip(freq * f2pi, 0.0, 2.0**31 - 1).astype(jnp.uint32)
             ecs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.uint32), jnp.cumsum(inc)]
             )
@@ -308,7 +308,7 @@ class FMCascade(UGen):
 
         # stage 0 is driven by the plain `freq` param (constant "modulator")
         first_freq = params["freq"]
-        inc0 = (first_freq * f2pi).astype(jnp.uint32)
+        inc0 = jnp.clip(first_freq * f2pi, 0.0, 2.0**31 - 1).astype(jnp.uint32)
         ecs0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), jnp.cumsum(inc0)])
         idx0 = (((state["phases"][0] + ecs0[:B]) >> 16) & TABLE_HIGH_MASK).astype(dtype)
         out0 = jnp.sin(idx0 * scale)
@@ -344,7 +344,8 @@ class FMCascade(UGen):
             # p_ref (SMEM): [freq, base, depth, amp] at block rate
             def stage_osc(ph0, freq_blk):
                 inc = pltpu.bitcast(
-                    (freq_blk * f2pi).astype(jnp.int32), jnp.uint32
+                    jnp.clip(freq_blk * f2pi, 0.0, 2.0**31 - 1).astype(jnp.int32),
+                    jnp.uint32,
                 )
                 csum = cumsum_lanes(inc)
                 phase_t = ph0 + csum - inc

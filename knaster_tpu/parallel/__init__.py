@@ -2,6 +2,6 @@
 
 from .voicebank import VoiceBank
 from .mesh import ShardedVoiceBank
-from .pallas_bank import PallasSineVoiceBank
+from .pallas_bank import PallasFMVoiceBank, PallasSineVoiceBank
 
-__all__ = ["PallasSineVoiceBank", "ShardedVoiceBank", "VoiceBank"]
+__all__ = ["PallasFMVoiceBank", "PallasSineVoiceBank", "ShardedVoiceBank", "VoiceBank"]

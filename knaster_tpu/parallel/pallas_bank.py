@@ -170,7 +170,9 @@ class PallasSineVoiceBank(VoiceBank):
         panl = jnp.cos(p * (np.pi / 2)).astype(dtype)
         panr = jnp.sin(p * (np.pi / 2)).astype(dtype)
         f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
-        inc = (freq * np.float32(f2pi)).astype(jnp.uint32)
+        inc = jnp.clip(freq * np.float32(f2pi), 0.0, 2.0**31 - 1).astype(
+            jnp.uint32
+        )
         atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
         rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
         act = grid2(active.astype(dtype))
@@ -225,5 +227,201 @@ class PallasSineVoiceBank(VoiceBank):
             "frem": frem, "fsdur": fsdur,
             "ivals": ivals, "active": active,
             "phase": phase, "stage": stage, "t": t, "rscale": rscale,
+        }
+        return new_state, out
+
+
+def _fm_bank_kernel(
+    B: int,
+    phm_ref, phc_ref, stage_ref, t_ref,
+    freq_ref, ratio_ref, index_ref, amp_ref, atk_ref, rel_ref, active_ref,
+    restart_lo_ref, restart_hi_ref,
+    out_ref, phm_out, phc_out, stage_out, t_out,
+):
+    """2-op FM voice bank: modulator sine FMs the carrier per sample,
+    AR envelope (models.FMVoice semantics), mono mix."""
+    from ..ugens.wavetable import FRACTIONAL_PART, TABLE_HIGH_MASK, TABLE_SIZE
+
+    scale = np.float32(2.0 * np.pi / TABLE_SIZE)
+    f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / 48000.0)
+    mask = np.uint32(TABLE_HIGH_MASK)
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+
+    def to_inc(f):
+        # Rust `as u32` saturation for negative FM frequencies
+        return pltpu.bitcast(
+            jnp.clip(f, 0.0, 2.0**31 - 1).astype(jnp.int32), jnp.uint32
+        )
+
+    inc_m = to_inc(freq_ref[:] * ratio_ref[:] * f2pi)
+
+    def sine_of(phase):
+        idx = pltpu.bitcast((phase >> 16) & mask, jnp.int32).astype(jnp.float32)
+        return jnp.sin(idx * scale)
+
+    def body(i, carry):
+        phm, phc, stage, t = carry
+        iu = i.astype(jnp.uint32)
+        word = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
+        bit = jnp.where(i < 32, iu, iu - 32)
+        restart = ((word >> bit) & 1) == 1
+
+        # EnvAr (stages: 0 stopped, 1 attack, 2 release)
+        stage = jnp.where(restart, one, stage)
+        env = jnp.where(
+            stage == 1.0, t,
+            jnp.where(stage == 2.0, t * t * t, zero),
+        )
+        t_next = jnp.where(
+            stage == 1.0, t + atk_ref[:],
+            jnp.where(stage == 2.0, t - rel_ref[:], t),
+        )
+        to_rel = (stage == 1.0) & (t_next >= one)
+        stage = jnp.where(to_rel, np.float32(2.0), stage)
+        t_next = jnp.where(to_rel, one, t_next)
+        done = (stage == 2.0) & ~to_rel & (t_next <= zero)
+        stage = jnp.where(done, zero, stage)
+        t_next = jnp.where(done, zero, t_next)
+
+        mod = sine_of(phm)
+        phm = phm + inc_m
+        car_freq = freq_ref[:] * (one + index_ref[:] * mod)
+        inc_c = to_inc(car_freq * f2pi)
+        car = sine_of(phc)
+        phc = phc + inc_c
+
+        sig = car * env * amp_ref[:] * active_ref[:]
+        # Mosaic rejects scalar VMEM stores: write a (1,)-vector
+        out_ref[0, i, :] = jnp.sum(sig)[None]
+        return phm, phc, stage, t_next
+
+    carry = (phm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
+    phm, phc, stage, t = jax.lax.fori_loop(0, B, body, carry)
+    phm_out[:] = phm
+    phc_out[:] = phc
+    stage_out[:] = stage
+    t_out[:] = t
+
+
+class PallasFMVoiceBank(VoiceBank):
+    """Drop-in VoiceBank for FMVoice with a fused Pallas kernel core.
+
+    Caveats vs the vmap path: the modulator's own freq*ratio increment is
+    block-rate (the vmap path recomputes it per sample, identical when ratio
+    and freq are block-rate anyway), and the sample rate is baked at 48 kHz
+    in the kernel constants."""
+
+    def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
+                 attack: float = 0.005, release: float = 0.3,
+                 tile_rows: int = 128):
+        from ..models.voices import FMVoice
+
+        if n_voices % (tile_rows * LANES):
+            raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
+        super().__init__(
+            FMVoice(attack=attack, release=release),
+            n_voices,
+            voice_defaults=voice_defaults,
+            event_capacity=event_capacity,
+        )
+        self.tile_rows = int(tile_rows)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def name(self):
+        return f"PallasFMBank[{self.n_voices}]"
+
+    def make_local(self, n_local: int) -> "PallasFMVoiceBank":
+        return PallasFMVoiceBank(
+            n_local, event_capacity=self.event_capacity,
+            attack=self._attack, release=self._release,
+            tile_rows=min(self.tile_rows, n_local // LANES),
+        )
+
+    def init(self, ctx: AudioCtx):
+        if ctx.block_size > 64:
+            raise ValueError("PallasFMVoiceBank supports block_size <= 64")
+        if ctx.sample_rate != 48000:
+            raise ValueError("PallasFMVoiceBank is tuned for 48 kHz")
+        base = super().init(ctx)
+        R = self.n_voices // LANES
+        base["phm"] = jnp.zeros((R, LANES), jnp.uint32)
+        base["phc"] = jnp.zeros((R, LANES), jnp.uint32)
+        base["stage"] = jnp.zeros((R, LANES), ctx.dtype)
+        base["t"] = jnp.zeros((R, LANES), ctx.dtype)
+        del base["voices"]
+        return base
+
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        B = ctx.block_size
+        V = self.n_voices
+        R = V // LANES
+        TR = self.tile_rows
+        n_tiles = R // TR
+        dtype = ctx.dtype
+
+        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fvals = fstate[0]
+
+        def grid2(x):
+            return x.reshape(R, LANES)
+
+        freq = grid2(fvals[self.float_index("freq")])
+        ratio = grid2(fvals[self.float_index("ratio")])
+        index = grid2(fvals[self.float_index("index")])
+        amp = grid2(fvals[self.float_index("amp")])
+        atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
+        rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
+        act = grid2(active.astype(dtype))
+
+        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
+
+        def pack(mask_arr):
+            m = mask_arr.astype(jnp.uint32)
+            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
+            if B > 32:
+                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
+            else:
+                hi = jnp.zeros((V,), jnp.uint32)
+            return grid2(lo), grid2(hi)
+
+        r_lo, r_hi = pack(trig[self.trig_index("t_restart")])
+
+        tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        interpret = jax.devices()[0].platform == "cpu"
+        outs = pl.pallas_call(
+            functools.partial(_fm_bank_kernel, B),
+            grid=(n_tiles,),
+            in_specs=[tile() for _ in range(13)],
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles, B, 1), dtype),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+            ),
+            out_specs=(
+                pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                tile(), tile(), tile(), tile(),
+            ),
+            interpret=interpret,
+        )(
+            state["phm"], state["phc"], state["stage"], state["t"],
+            freq, ratio, index, amp, atk, rel, act, r_lo, r_hi,
+        )
+        partial_mix, phm, phc, stage, t = outs
+        out = jnp.sum(partial_mix, axis=0).T  # [1, B]
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        new_state = {
+            "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
+            "frem": frem, "fsdur": fsdur,
+            "ivals": ivals, "active": active,
+            "phm": phm, "phc": phc, "stage": stage, "t": t,
         }
         return new_state, out

@@ -27,6 +27,17 @@ from .wavetable import (
 )
 
 
+
+
+def _freq_to_inc_u32(freq, f2pi: float, dtype):
+    """freq -> u32 phase increment with Rust `as u32` saturation semantics
+    (negative -> 0; reference osc.rs computes `(freq * f2pi) as u32`).
+    Clamped before conversion so every backend (XLA CPU/TPU, Mosaic) agrees
+    — float->unsigned conversion of negatives is otherwise backend-defined."""
+    prod = jnp.clip(freq * jnp.asarray(f2pi, dtype), 0.0, 2.0**31 - 1)
+    return prod.astype(jnp.uint32)
+
+
 def _segmented_cumsum_u32(inc_u32, reset_mask, phase0_u32, block_size: int):
     """phases[t] for t in 0..B and the carried phase after the block.
 
@@ -105,7 +116,7 @@ class SinWt(UGen):
     def process(self, ctx: AudioCtx, state, inputs, params):
         B = ctx.block_size
         f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
-        inc = (params["freq"] * jnp.asarray(f2pi, ctx.dtype)).astype(jnp.uint32)
+        inc = _freq_to_inc_u32(params["freq"], f2pi, ctx.dtype)
         phases, carry = _segmented_cumsum_u32(
             inc, params["reset_phase"], state["phase"], B
         )
@@ -150,7 +161,7 @@ class OscWt(UGen):
         B = ctx.block_size
         f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
         freq = params["freq"]
-        inc = (freq * jnp.asarray(f2pi, ctx.dtype)).astype(jnp.uint32)
+        inc = _freq_to_inc_u32(freq, f2pi, ctx.dtype)
         phases, carry = _segmented_cumsum_u32(
             inc, params["reset_phase"], state["phase"], B
         )
