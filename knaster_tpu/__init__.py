@@ -74,7 +74,11 @@ from .ugens.wavetable import NonAaWavetable, Wavetable
 from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
 from .parallel.mesh import ShardedVoiceBank
-from .parallel.pallas_bank import PallasFMVoiceBank, PallasSineVoiceBank
+from .parallel.pallas_bank import (
+    PallasFMVoiceBank,
+    PallasSineVoiceBank,
+    PallasSubtractiveVoiceBank,
+)
 from .models.voices import FMCascade, FMVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
@@ -86,6 +90,7 @@ __all__ = [
     "FMVoice",
     "PallasFMVoiceBank",
     "PallasSineVoiceBank",
+    "PallasSubtractiveVoiceBank",
     "ShardedVoiceBank",
     "SineVoice",
     "SubtractiveVoice",

@@ -2,6 +2,10 @@
 
 from .voicebank import VoiceBank
 from .mesh import ShardedVoiceBank
-from .pallas_bank import PallasFMVoiceBank, PallasSineVoiceBank
+from .pallas_bank import (
+    PallasFMVoiceBank,
+    PallasSineVoiceBank,
+    PallasSubtractiveVoiceBank,
+)
 
-__all__ = ["PallasFMVoiceBank", "PallasSineVoiceBank", "ShardedVoiceBank", "VoiceBank"]
+__all__ = ["PallasFMVoiceBank", "PallasSineVoiceBank", "PallasSubtractiveVoiceBank", "ShardedVoiceBank", "VoiceBank"]

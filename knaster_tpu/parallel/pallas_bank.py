@@ -425,3 +425,227 @@ class PallasFMVoiceBank(VoiceBank):
             "phm": phm, "phc": phc, "stage": stage, "t": t,
         }
         return new_state, out
+
+
+def _sub_bank_kernel(
+    B: int,
+    t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
+    dt_ref, a1_ref, a2_ref, a3_ref, amp_ref, atk_ref, rel_ref, active_ref,
+    restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
+    out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out,
+):
+    """Subtractive voice bank: polyBLEP saw -> SVF lowpass -> ASR envelope.
+
+    Coefficients (dt = freq/sr; SVF a1/a2/a3 from cutoff & q) are computed
+    block-rate outside the kernel; the per-sample loop carries oscillator
+    phase, the SVF integrator pair and the envelope state machine in VMEM.
+    """
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    two = np.float32(2.0)
+
+    def blep(t, dt):
+        safe_dt = jnp.maximum(dt, np.float32(1e-9))
+        a = t / safe_dt - one
+        b = (t - one) / safe_dt + one
+        return jnp.where(
+            t < dt, -(a * a), jnp.where(t > one - dt, b * b, zero)
+        )
+
+    def body(i, carry):
+        t, ic1, ic2, stage, et, rscale = carry
+        iu = i.astype(jnp.uint32)
+        word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
+        word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
+        bit = jnp.where(i < 32, iu, iu - 32)
+        restart = ((word_restart >> bit) & 1) == 1
+        release = ((word_release >> bit) & 1) == 1
+
+        # EnvAsr (identical state machine to the sine bank kernel)
+        stage = jnp.where(restart, one, stage)
+        rel_from_atk = release & (stage == 1.0)
+        rel_from_sus = release & (stage == 2.0)
+        rscale = jnp.where(rel_from_atk, et, jnp.where(rel_from_sus, one, rscale))
+        et = jnp.where(rel_from_atk | rel_from_sus, one, et)
+        stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
+        env = jnp.where(
+            stage == 1.0, et,
+            jnp.where(stage == 2.0, one,
+                      jnp.where(stage == 3.0, et * et * et * rscale, zero)),
+        )
+        et_next = jnp.where(
+            stage == 1.0, et + atk_ref[:],
+            jnp.where(stage == 3.0, et - rel_ref[:], et),
+        )
+        to_sus = (stage == 1.0) & (et_next >= one)
+        done = (stage == 3.0) & (et_next <= zero)
+        stage = jnp.where(to_sus, np.float32(2.0), stage)
+        stage = jnp.where(done, zero, stage)
+        et_next = jnp.where(done, zero, et_next)
+
+        # polyBLEP sawtooth (polyblep.rs saw): y = 2*frac(t+0.5)-1 - blep
+        dt = dt_ref[:]
+        _t = t + np.float32(0.5)
+        _t = _t - jnp.floor(_t)
+        saw = two * _t - one - blep(_t, dt)
+        t = t + dt
+        t = t - jnp.floor(t)
+
+        # SVF lowpass (cytomic; svf.rs process_sample, m = (0, 0, 1))
+        a1, a2, a3 = a1_ref[:], a2_ref[:], a3_ref[:]
+        v3 = saw - ic2
+        v1 = a1 * ic1 + a2 * v3
+        v2 = ic2 + a2 * ic1 + a3 * v3
+        ic1 = two * v1 - ic1
+        ic2 = two * v2 - ic2
+
+        sig = v2 * env * amp_ref[:] * active_ref[:]
+        out_ref[0, i, :] = jnp.sum(sig)[None]
+        return t, ic1, ic2, stage, et_next, rscale
+
+    carry = (t_ref[:], ic1_ref[:], ic2_ref[:], stage_ref[:], et_ref[:],
+             rscale_ref[:])
+    t, ic1, ic2, stage, et, rscale = jax.lax.fori_loop(0, B, body, carry)
+    t_out[:] = t
+    ic1_out[:] = ic1
+    ic2_out[:] = ic2
+    stage_out[:] = stage
+    et_out[:] = et
+    rscale_out[:] = rscale
+
+
+class PallasSubtractiveVoiceBank(VoiceBank):
+    """Drop-in VoiceBank for SubtractiveVoice with a fused Pallas kernel.
+
+    Caveat vs the vmap path: the oscillator is the plain polyBLEP saw without
+    the >sr/4 sine fallback (keep fundamentals below 12 kHz), and parameters
+    are block-rate in the kernel."""
+
+    def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
+                 attack: float = 0.01, release: float = 0.2,
+                 tile_rows: int = 128):
+        from ..models.voices import SubtractiveVoice
+
+        if n_voices % (tile_rows * LANES):
+            raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
+        super().__init__(
+            SubtractiveVoice(attack=attack, release=release),
+            n_voices,
+            voice_defaults=voice_defaults,
+            event_capacity=event_capacity,
+        )
+        self.tile_rows = int(tile_rows)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def name(self):
+        return f"PallasSubtractiveBank[{self.n_voices}]"
+
+    def make_local(self, n_local: int) -> "PallasSubtractiveVoiceBank":
+        return PallasSubtractiveVoiceBank(
+            n_local, event_capacity=self.event_capacity,
+            attack=self._attack, release=self._release,
+            tile_rows=min(self.tile_rows, n_local // LANES),
+        )
+
+    def init(self, ctx: AudioCtx):
+        if ctx.block_size > 64:
+            raise ValueError("PallasSubtractiveVoiceBank supports block_size <= 64")
+        base = super().init(ctx)
+        R = self.n_voices // LANES
+        z = lambda: jnp.zeros((R, LANES), ctx.dtype)
+        base["t"] = z()
+        base["ic1"] = z()
+        base["ic2"] = z()
+        base["stage"] = z()
+        base["et"] = z()
+        base["rscale"] = jnp.ones((R, LANES), ctx.dtype)
+        del base["voices"]
+        return base
+
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        B = ctx.block_size
+        V = self.n_voices
+        R = V // LANES
+        TR = self.tile_rows
+        n_tiles = R // TR
+        dtype = ctx.dtype
+        sr = float(ctx.sample_rate)
+
+        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fvals = fstate[0]
+
+        def grid2(x):
+            return x.reshape(R, LANES)
+
+        freq = grid2(fvals[self.float_index("freq")])
+        cutoff = grid2(fvals[self.float_index("cutoff")])
+        q = grid2(fvals[self.float_index("q")])
+        amp = grid2(fvals[self.float_index("amp")])
+        dt = jnp.clip(freq / sr, 0.0, 0.5).astype(dtype)
+        # svf.rs set_coeffs, Low type
+        g = jnp.tan(jnp.asarray(np.pi, dtype) * cutoff / sr)
+        k = 1.0 / q
+        a1 = (1.0 / (1.0 + g * (g + k))).astype(dtype)
+        a2 = (g * a1).astype(dtype)
+        a3 = (g * a2).astype(dtype)
+        atk = jnp.full((R, LANES), 1.0 / max(self._attack * sr, 1.0), dtype)
+        rel = jnp.full((R, LANES), 1.0 / max(self._release * sr, 1.0), dtype)
+        act = grid2(active.astype(dtype))
+
+        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
+
+        def pack(mask_arr):
+            m = mask_arr.astype(jnp.uint32)
+            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
+            if B > 32:
+                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
+            else:
+                hi = jnp.zeros((V,), jnp.uint32)
+            return grid2(lo), grid2(hi)
+
+        r_lo, r_hi = pack(trig[self.trig_index("t_restart")])
+        rel_lo, rel_hi = pack(trig[self.trig_index("t_release")])
+
+        tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        interpret = jax.devices()[0].platform == "cpu"
+        outs = pl.pallas_call(
+            functools.partial(_sub_bank_kernel, B),
+            grid=(n_tiles,),
+            in_specs=[tile() for _ in range(18)],
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles, B, 1), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+            ),
+            out_specs=(
+                pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                tile(), tile(), tile(), tile(), tile(), tile(),
+            ),
+            interpret=interpret,
+        )(
+            state["t"], state["ic1"], state["ic2"], state["stage"],
+            state["et"], state["rscale"],
+            dt, a1, a2, a3, amp, atk, rel, act,
+            r_lo, r_hi, rel_lo, rel_hi,
+        )
+        partial_mix, t, ic1, ic2, stage, et, rscale = outs
+        out = jnp.sum(partial_mix, axis=0).T  # [1, B]
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        new_state = {
+            "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
+            "frem": frem, "fsdur": fsdur,
+            "ivals": ivals, "active": active,
+            "t": t, "ic1": ic1, "ic2": ic2, "stage": stage, "et": et,
+            "rscale": rscale,
+        }
+        return new_state, out

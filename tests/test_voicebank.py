@@ -322,3 +322,34 @@ def test_pallas_fm_bank_matches_vmap():
     b = np.concatenate(outs_v, 1)
     assert np.abs(b).max() > 1e-3
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_pallas_subtractive_bank_matches_vmap():
+    from knaster_tpu import PallasSubtractiveVoiceBank
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 1024
+    rng = np.random.default_rng(0)
+    d = {"freq": rng.uniform(50, 400, V).astype(np.float32),
+         "cutoff": rng.uniform(300, 5000, V).astype(np.float32),
+         "q": rng.uniform(0.6, 3.0, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32)}
+    pb = PallasSubtractiveVoiceBank(V, voice_defaults=d, tile_rows=8,
+                                    event_capacity=2048)
+    vb = VoiceBank(SubtractiveVoice(), V, voice_defaults=d, event_capacity=2048)
+    events = [(0, v, pb.trig_index("t_restart"), 1, 0.0) for v in range(0, V, 2)]
+    events += [(30, 4, pb.trig_index("t_release"), 1, 0.0)]
+    no_in = np.zeros((0, 64), np.float32)
+    sp, sv = pb.init(ctx), vb.init(ctx)
+    outs_p, outs_v = [], []
+    for i in range(4):
+        ep = pb.node_events_from_lists(events) if i == 0 else pb.empty_node_events()
+        ev = vb.node_events_from_lists(events) if i == 0 else vb.empty_node_events()
+        sp, op = pb.process(ctx, sp, no_in, {}, events=ep)
+        sv, ov, _ = vb.process(ctx, sv, no_in, {}, events=ev)
+        outs_p.append(np.asarray(op))
+        outs_v.append(np.asarray(ov))
+    a = np.concatenate(outs_p, 1)
+    b = np.concatenate(outs_v, 1)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
