@@ -282,6 +282,6 @@ ALL = {
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["sines_const", "wrappers", "galactic"]
+    names = sys.argv[1:] or ["sines_const", "wrappers", "galactic", "fm_bank", "fm_cascade_model"]
     for n in names:
         ALL[n]()
