@@ -273,8 +273,8 @@ class VoiceParameter:
     """Per-voice parameter of a VoiceBank: ``vp.set(voice, value)`` /
     ``vp.trig(voice)``, each schedulable with the usual Time forms.
 
-    Float/int sets apply at block rate; triggers are sample-accurate (see
-    parallel/voicebank.py for the rationale)."""
+    Float sets and triggers are sample-accurate in vmap banks (Pallas banks
+    and int sets apply at block rate — see parallel/voicebank.py)."""
 
     def __init__(self, graph, node_id: int, bank, name: str):
         self.graph = graph

@@ -156,7 +156,7 @@ class PallasSineVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
         # the kernel reads block-rate floats: ramps advance as block stairs
         fvals = fstate[0]
 
@@ -365,7 +365,7 @@ class PallasFMVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
         fvals = fstate[0]
 
         def grid2(x):
@@ -576,7 +576,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         dtype = ctx.dtype
         sr = float(ctx.sample_rate)
 
-        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
         fvals = fstate[0]
 
         def grid2(x):

@@ -8,10 +8,11 @@ so a 10k-voice bank is one fused program whose scans run 10k lanes wide.
 The bank's summed output is the mix bus.
 
 Per-voice control rides a private **bank event channel** (the node-level
-events extension in compile.py): float params apply at block rate (value per
-voice), triggers are sample-accurate per voice — matching how knaster
-patches are actually driven (env trigs need sample placement, freq changes
-don't).
+events extension in compile.py): float sets and triggers are sample-accurate
+per voice — samples before an event's frame follow the pre-event trajectory,
+samples at/after it the new one (WrPreciseTiming semantics without block
+splitting). Smoothing ramps started mid-block anchor at the block start
+(≤ one block of ramp-phase skew); int sets apply at block rate.
 
 Voices can be masked inactive; inactive voices render but are muted — the
 "free" that never needs a recompile (SURVEY §7.4 voice-pool masking).
@@ -213,14 +214,15 @@ class VoiceBank(UGen):
             p_sel = jnp.clip(param, 0, max(arr.shape[0] - 1, 0))
             return pad(arr).at[p_sel, v_sel].set(vals)[:, :V]
 
-        if fvals.shape[0]:
+        nf = fvals.shape[0]
+        fframe = jnp.zeros((max(nf, 1), V), jnp.int32)
+        if nf:
             # smoothing config (kind 4): value = ramp duration in frames
             fsdur = apply_set(fsdur, 4, value.astype(jnp.int32))
-            # float set (kind 0): jump, or start a linear ramp if configured.
-            # Ramps start at the block boundary (bank floats are block-rate).
+            # float set (kind 0): jump, or start a linear ramp if configured
             sel = valid & (kind == 0)
             v_sel = jnp.where(sel, voice, V)
-            p_sel = jnp.clip(param, 0, fvals.shape[0] - 1)
+            p_sel = jnp.clip(param, 0, nf - 1)
             dur = pad(fsdur)[p_sel, v_sel]
             cur = pad(fvals)[p_sel, v_sel]
             ramp = dur > 0
@@ -233,6 +235,9 @@ class VoiceBank(UGen):
             ftarget = apply_set(ftarget, 0, value)
             fstep = pad(fstep).at[p_sel, v_sel].set(new_step)[:, :V]
             frem = pad(frem).at[p_sel, v_sel].set(new_rem)[:, :V]
+            # sample-accurate sets: remember the event frame per slot so the
+            # materialization keeps the OLD trajectory before it
+            fframe = pad(fframe).at[p_sel, v_sel].set(frame)[:, :V]
         if ivals.shape[0]:
             ivals = apply_set(ivals, 2, value.astype(jnp.int32))
         sel_a = valid & (kind == 3)
@@ -246,7 +251,7 @@ class VoiceBank(UGen):
         v_t = jnp.where(sel_t, voice, V)
         trig = trig.at[jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame].set(True)
         trig = trig[:, :V, :]
-        return (fvals, ftarget, fstep, frem, fsdur), ivals, active, trig
+        return (fvals, ftarget, fstep, frem, fsdur), ivals, active, trig, fframe
 
     @staticmethod
     def _advance_ramps(fstate, B, dtype):
@@ -262,21 +267,35 @@ class VoiceBank(UGen):
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
-        fstate, ivals, active, trig = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig, fframe = self._apply_events(ctx, state, events)
         fvals, ftarget, fstep, frem, fsdur = fstate
 
         # build per-voice param dict: [V, B] leaves for vmap axis 0.
         # Floats ramp per sample toward their target (per-voice smoothing),
-        # snapping exactly to the target when the ramp completes.
+        # snapping exactly to the target when the ramp completes. Float sets
+        # are sample-accurate: samples before the event frame follow the OLD
+        # trajectory (pre-event ramp state), samples at/after it the new one
+        # (knaster WrPreciseTiming semantics at bank scale; with no event the
+        # two trajectories are identical, so the select is free).
         t_idx = jnp.arange(B, dtype=jnp.int32)
+
+        def materialize(vals, target, step, rem, i):
+            prog = jnp.minimum(t_idx[None, :], rem[i][:, None])
+            ramp_done = prog >= rem[i][:, None]
+            return jnp.where(
+                ramp_done,
+                target[i][:, None],
+                vals[i][:, None] + step[i][:, None] * prog.astype(dtype),
+            )
+
         voice_params = {}
         for i, name in enumerate(self._float_names):
-            prog = jnp.minimum(t_idx[None, :], frem[i][:, None])
-            ramp_done = prog >= frem[i][:, None]
+            new = materialize(fvals, ftarget, fstep, frem, i)
+            old = materialize(
+                state["fvals"], state["ftarget"], state["fstep"], state["frem"], i
+            )
             voice_params[name] = jnp.where(
-                ramp_done,
-                ftarget[i][:, None],
-                fvals[i][:, None] + fstep[i][:, None] * prog.astype(dtype),
+                t_idx[None, :] >= fframe[i][:, None], new, old
             )
         for i, name in enumerate(self._int_names):
             voice_params[name] = jnp.broadcast_to(ivals[i][:, None], (V, B))

@@ -353,3 +353,54 @@ def test_pallas_subtractive_bank_matches_vmap():
     b = np.concatenate(outs_v, 1)
     assert np.abs(b).max() > 1e-3
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_voicebank_sample_accurate_float_set():
+    """Float sets land on their exact frame: samples before the event frame
+    follow the pre-event trajectory (WrPreciseTiming semantics at bank scale)."""
+    import jax.numpy as jnp
+
+    from knaster_tpu import UGen, pfloat
+
+    class LevelVoice(UGen):
+        inputs = 0
+        outputs = 1
+        params = (pfloat("level", 0.0),)
+
+        def process(self, ctx, state, inputs, params):
+            return state, params["level"][None, :]
+
+    # end-to-end jump through the graph API: set_at lands at sample 100
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(gg):
+        bank = gg.push(
+            VoiceBank(LevelVoice(), 2,
+                      voice_defaults={"level": np.array([1.0, 10.0], np.float32)})
+        )
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    bank.voice_param("level").set_at(0, 5.0, _samples(100))
+    out = proc.render(frames=256)[0]
+    np.testing.assert_allclose(out[:100], 11.0, atol=1e-6)
+    np.testing.assert_allclose(out[100:], 15.0, atol=1e-6)
+
+    # mid-block set while a ramp is running: the old ramp continues up to the
+    # event frame, the new ramp (anchored at block start) takes over at it
+    ctx = AudioCtx(SR, 64, np.float32)
+    vb = VoiceBank(LevelVoice(), 1)
+    li = vb.float_index("level")
+    st = vb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    ev0 = vb.node_events_from_lists(
+        [(0, 0, li, 4, 128.0), (0, 0, li, 0, 128.0)]  # smooth 128f, ramp to 128
+    )
+    st, o0 = vb.process(ctx, st, no_in, {}, events=ev0)[:2]
+    np.testing.assert_allclose(np.asarray(o0)[0], np.arange(64.0), atol=1e-4)
+    ev1 = vb.node_events_from_lists([(32, 0, li, 0, 500.0)])
+    st, o1 = vb.process(ctx, st, no_in, {}, events=ev1)[:2]
+    t = np.arange(64.0)
+    expect = np.where(t < 32, 64.0 + t, 64.0 + (500.0 - 64.0) / 128.0 * t)
+    np.testing.assert_allclose(np.asarray(o1)[0], expect, atol=1e-3)
