@@ -267,6 +267,58 @@ def bench_fm_bank(n_voices=8192):
     }))
 
 
+def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
+    """Arbitrary band-limited wavetable voices (OscWt at bank scale):
+    fused Pallas additive-synthesis kernel, saw table, H partials."""
+    import functools
+    import time
+
+    import jax
+
+    from knaster_tpu import AudioCtx, NonAaWavetable, PallasWavetableVoiceBank
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    nb = NonAaWavetable()
+    nb.add_saw(1, n_harmonics + 1, 1.0)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": rng.uniform(50, 2000, n_voices).astype(np.float32),
+        "amp": np.full(n_voices, 1e-4, np.float32),
+        "pan": rng.uniform(-1, 1, n_voices).astype(np.float32),
+    }
+    bank = PallasWavetableVoiceBank(
+        n_voices, table=nb.buffer, n_harmonics=n_harmonics,
+        voice_defaults=defaults, event_capacity=4096,
+    )
+    st = bank.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(s, ev):
+        return bank.process(ctx, s, no_in, {}, events=ev)
+
+    ev = bank.node_events_from_lists(
+        [(0, v, bank.trig_index("t_restart"), 1, 0.0) for v in range(4096)]
+    )
+    st, out = step(st, ev)
+    jax.block_until_ready(out)
+    empty = bank.empty_node_events()
+    n = 200
+    t0 = time.time()
+    for _ in range(n):
+        st, out = step(st, empty)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    vs = n_voices * 64 * n / dt
+    print(json.dumps({
+        "bench": "wavetable_bank",
+        "config": f"{n_voices}voices_{n_harmonics}partials_pallas",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    }))
+
+
 def bench_voicebank():
     os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), '..', 'bench.py')}")
 
@@ -278,10 +330,12 @@ ALL = {
     "galactic": bench_galactic,
     "fm_bank": bench_fm_bank,
     "fm_cascade_model": bench_fm_cascade_model,
+    "wavetable_bank": bench_wavetable_bank,
     "voicebank": bench_voicebank,
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["sines_const", "wrappers", "galactic", "fm_bank", "fm_cascade_model"]
+    names = sys.argv[1:] or ["sines_const", "wrappers", "galactic", "fm_bank",
+                             "fm_cascade_model", "wavetable_bank"]
     for n in names:
         ALL[n]()

@@ -70,7 +70,7 @@ from .ugens.osc import OscWt, Phasor, SinNumeric, SinWt
 from .ugens.pan import Pan2
 from .ugens.polyblep import PolyBlep, Waveform
 from .ugens.util import Constant, DoneOnTrig, LogProbe
-from .ugens.wavetable import NonAaWavetable, Wavetable
+from .ugens.wavetable import NonAaWavetable, Wavetable, harmonics_from_table
 from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
 from .parallel.mesh import ShardedVoiceBank
@@ -78,8 +78,9 @@ from .parallel.pallas_bank import (
     PallasFMVoiceBank,
     PallasSineVoiceBank,
     PallasSubtractiveVoiceBank,
+    PallasWavetableVoiceBank,
 )
-from .models.voices import FMCascade, FMVoice, SineVoice, SubtractiveVoice
+from .models.voices import AdditiveVoice, FMCascade, FMVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
 
@@ -91,6 +92,8 @@ __all__ = [
     "PallasFMVoiceBank",
     "PallasSineVoiceBank",
     "PallasSubtractiveVoiceBank",
+    "PallasWavetableVoiceBank",
+    "AdditiveVoice",
     "ShardedVoiceBank",
     "SineVoice",
     "SubtractiveVoice",
@@ -136,6 +139,7 @@ __all__ = [
     "Math1UGen",
     "MathUGen",
     "NonAaWavetable",
+    "harmonics_from_table",
     "OscWt",
     "Param",
     "Parameter",

@@ -6,6 +6,7 @@ from .pallas_bank import (
     PallasFMVoiceBank,
     PallasSineVoiceBank,
     PallasSubtractiveVoiceBank,
+    PallasWavetableVoiceBank,
 )
 
-__all__ = ["PallasFMVoiceBank", "PallasSineVoiceBank", "PallasSubtractiveVoiceBank", "ShardedVoiceBank", "VoiceBank"]
+__all__ = ["PallasFMVoiceBank", "PallasSineVoiceBank", "PallasSubtractiveVoiceBank", "PallasWavetableVoiceBank", "ShardedVoiceBank", "VoiceBank"]

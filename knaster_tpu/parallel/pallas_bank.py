@@ -649,3 +649,236 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             "rscale": rscale,
         }
         return new_state, out
+
+
+def _wt_bank_kernel(
+    B: int,
+    H: int,
+    phase_ref, inc_ref, stage_ref, t_ref, rscale_ref,
+    atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
+    ha_ref, hb_ref,  # [H, TR, LANES] band-limited sin/cos partial coeffs
+    restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
+    out_ref, phase_out, stage_out, t_out, rscale_out,
+):
+    """Additive wavetable bank: H partials per voice by phasor recurrence,
+    ASR envelope, equal-power pan, stereo mix. sin/cos of the quantized
+    fundamental are computed once per sample; harmonic h's phasor comes from
+    a complex multiply (phase-locked, one VPU multiply instead of a
+    transcendental); per-harmonic table phases are folded into the static
+    A/B coefficients (a*sin + b*cos per partial)."""
+    scale = np.float32(2.0 * np.pi / TABLE_SIZE)
+    mask = np.uint32(TABLE_HIGH_MASK)
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+
+    def body(i, carry):
+        phase, stage, t, rscale = carry
+        iu = i.astype(jnp.uint32)
+        word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
+        word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
+        bit = jnp.where(i < 32, iu, iu - 32)
+        restart = ((word_restart >> bit) & 1) == 1
+        release = ((word_release >> bit) & 1) == 1
+
+        # --- EnvAsr (identical state machine to _bank_kernel) ---
+        stage = jnp.where(restart, one, stage)
+        rel_from_atk = release & (stage == 1.0)
+        rel_from_sus = release & (stage == 2.0)
+        rscale = jnp.where(rel_from_atk, t, jnp.where(rel_from_sus, one, rscale))
+        t = jnp.where(rel_from_atk | rel_from_sus, one, t)
+        stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
+        env = jnp.where(
+            stage == 1.0, t,
+            jnp.where(stage == 2.0, one,
+                      jnp.where(stage == 3.0, t * t * t * rscale, zero)),
+        )
+        t_next = jnp.where(
+            stage == 1.0, t + atk_ref[:],
+            jnp.where(stage == 3.0, t - rel_ref[:], t),
+        )
+        to_sus = (stage == 1.0) & (t_next >= one)
+        done = (stage == 3.0) & (t_next <= zero)
+        stage = jnp.where(to_sus, np.float32(2.0), stage)
+        stage = jnp.where(done, zero, stage)
+        t_next = jnp.where(done, zero, t_next)
+
+        # --- additive partials: fundamental sin/cos + phasor recurrence ---
+        idx = pltpu.bitcast((phase >> 16) & mask, jnp.int32).astype(jnp.float32)
+        theta = idx * scale
+        s1 = jnp.sin(theta)
+        c1 = jnp.cos(theta)
+        s, c = s1, c1
+        acc = ha_ref[0] * s + hb_ref[0] * c
+        for h in range(1, H):
+            s, c = s * c1 + c * s1, c * c1 - s * s1
+            acc = acc + ha_ref[h] * s + hb_ref[h] * c
+        phase = phase + inc_ref[:]
+
+        sig = acc * env * amp_ref[:] * active_ref[:]
+        out_ref[0, i, :] = jnp.stack(
+            [jnp.sum(sig * panl_ref[:]), jnp.sum(sig * panr_ref[:])]
+        )
+        return phase, stage, t_next, rscale
+
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    phase, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
+    phase_out[:] = phase
+    stage_out[:] = stage
+    t_out[:] = t
+    rscale_out[:] = rscale
+
+
+class PallasWavetableVoiceBank(VoiceBank):
+    """Drop-in VoiceBank for AdditiveVoice with a fused Pallas kernel core:
+    arbitrary band-limited wavetables (OscWt's role,
+    knaster_core/src/dsp/wavetable.rs) at voice-bank scale.
+
+    Pass ``table`` (one waveform cycle) or ``harmonics`` (mags, or (mags,
+    u32 offsets)); the table is decomposed into ``n_harmonics`` partials and
+    re-synthesized gather-free with exact per-voice anti-aliasing (partials
+    above Nyquist masked, block-rate). Cost scales linearly with
+    ``n_harmonics``."""
+
+    def __init__(self, n_voices: int, table=None, harmonics=None,
+                 n_harmonics: int = 16, voice_defaults=None,
+                 event_capacity=256, attack: float = 0.01,
+                 release: float = 0.1, tile_rows: int = 128):
+        from ..models.voices import AdditiveVoice
+
+        voice = AdditiveVoice(
+            table=table, harmonics=harmonics, n_harmonics=n_harmonics,
+            attack=attack, release=release,
+        )
+        # the A/B coefficient tiles are [H, tile_rows, 128]: shrink the tile
+        # to keep the kernel's VMEM footprint under the ~16M scoped limit
+        # (x8 = 4 bytes x Mosaic's double-buffered input windows)
+        H = len(voice.mags)
+        while tile_rows > 8 and (2 * H + 24) * tile_rows * LANES * 8 > (10 << 20):
+            tile_rows //= 2
+        if n_voices % (tile_rows * LANES):
+            raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
+        super().__init__(
+            voice, n_voices,
+            voice_defaults=voice_defaults, event_capacity=event_capacity,
+        )
+        self.mags = voice.mags
+        self.offsets = voice.offsets
+        self.tile_rows = int(tile_rows)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def name(self):
+        return f"PallasWavetableBank[{self.n_voices}x{len(self.mags)}h]"
+
+    def make_local(self, n_local: int) -> "PallasWavetableVoiceBank":
+        return PallasWavetableVoiceBank(
+            n_local, harmonics=(self.mags, self.offsets),
+            event_capacity=self.event_capacity,
+            attack=self._attack, release=self._release,
+            tile_rows=min(self.tile_rows, n_local // LANES),
+        )
+
+    def init(self, ctx: AudioCtx):
+        if ctx.block_size > 64:
+            raise ValueError("PallasWavetableVoiceBank supports block_size <= 64")
+        base = super().init(ctx)
+        R = self.n_voices // LANES
+        base["phase"] = jnp.zeros((R, LANES), jnp.uint32)
+        base["stage"] = jnp.zeros((R, LANES), ctx.dtype)
+        base["t"] = jnp.zeros((R, LANES), ctx.dtype)
+        base["rscale"] = jnp.ones((R, LANES), ctx.dtype)
+        del base["voices"]
+        return base
+
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        from jax.experimental import pallas as pl
+
+        B = ctx.block_size
+        V = self.n_voices
+        R = V // LANES
+        TR = self.tile_rows
+        n_tiles = R // TR
+        H = len(self.mags)
+        dtype = ctx.dtype
+
+        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
+        fvals = fstate[0]
+
+        def grid2(x):
+            return x.reshape(R, LANES)
+
+        freq = grid2(fvals[self.float_index("freq")])
+        amp = grid2(fvals[self.float_index("amp")])
+        pan = grid2(fvals[self.float_index("pan")])
+        p = pan * 0.5 + 0.5
+        panl = jnp.cos(p * (np.pi / 2)).astype(dtype)
+        panr = jnp.sin(p * (np.pi / 2)).astype(dtype)
+        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
+        inc = jnp.clip(freq * np.float32(f2pi), 0.0, 2.0**31 - 1).astype(jnp.uint32)
+        atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
+        rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
+        act = grid2(active.astype(dtype))
+
+        # band-limited per-voice partial coefficients (block-rate AA mask);
+        # table phases folded in: partial_h = A_h*sin(h*theta) + B_h*cos(...)
+        hvec = jnp.arange(1, H + 1, dtype=dtype)
+        alive = (freq[None, :, :] * hvec[:, None, None] <= np.float32(
+            ctx.sample_rate / 2.0
+        )).astype(dtype)
+        phi = self.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+        acoef = (self.mags * np.cos(phi)).astype(np.float32)
+        bcoef = (self.mags * np.sin(phi)).astype(np.float32)
+        ha = jnp.asarray(acoef, dtype)[:, None, None] * alive
+        hb = jnp.asarray(bcoef, dtype)[:, None, None] * alive
+
+        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
+
+        def pack(mask_arr):
+            m = mask_arr.astype(jnp.uint32)
+            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
+            if B > 32:
+                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
+            else:
+                hi = jnp.zeros((V,), jnp.uint32)
+            return grid2(lo), grid2(hi)
+
+        restart_lo, restart_hi = pack(trig[self.trig_index("t_restart")])
+        release_lo, release_hi = pack(trig[self.trig_index("t_release")])
+
+        tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        hspec = lambda: pl.BlockSpec((H, TR, LANES), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM)
+        interpret = jax.devices()[0].platform == "cpu"
+        outs = pl.pallas_call(
+            functools.partial(_wt_bank_kernel, B, H),
+            grid=(n_tiles,),
+            in_specs=[tile() for _ in range(11)] + [hspec(), hspec()]
+                     + [tile() for _ in range(4)],
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles, B, 2), dtype),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), dtype),
+            ),
+            out_specs=(
+                pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                tile(), tile(), tile(), tile(),
+            ),
+            interpret=interpret,
+        )(
+            state["phase"], inc, state["stage"], state["t"], state["rscale"],
+            atk, rel, amp, panl, panr, act, ha, hb,
+            restart_lo, restart_hi, release_lo, release_hi,
+        )
+        partial_mix, phase, stage, t, rscale = outs
+        out = jnp.sum(partial_mix, axis=0).T  # [2, B]
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        new_state = {
+            "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
+            "frem": frem, "fsdur": fsdur,
+            "ivals": ivals, "active": active,
+            "phase": phase, "stage": stage, "t": t, "rscale": rscale,
+        }
+        return new_state, out

@@ -32,7 +32,7 @@ from .primitives import (  # noqa: F401
 )
 from .airwindows import Galactic  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
-from .models.voices import FMVoice, SineVoice, SubtractiveVoice  # noqa: F401
+from .models.voices import AdditiveVoice, FMVoice, SineVoice, SubtractiveVoice  # noqa: F401
 from .parallel.mesh import ShardedVoiceBank  # noqa: F401
 from .parallel.voicebank import VoiceBank  # noqa: F401
 from .ugens.buffer import Buffer, BufferReader  # noqa: F401

@@ -267,3 +267,34 @@ def shared_sine_table(dtype=np.float32) -> np.ndarray:
         tab = NonAaWavetable.sine().buffer.astype(np.float32).astype(dtype)
         _SINE_NONAA_CACHE[key] = tab
     return tab
+
+
+def harmonics_from_table(table: np.ndarray, n_harmonics: int):
+    """Decompose one wavetable cycle into ``n_harmonics`` partials.
+
+    Returns ``(mags f32 [H], offsets u32 [H])`` such that the band-limited
+    reconstruction of the table at normalized phase p in [0, 1) is
+    ``sum_h mags[h] * sin(2*pi*((h+1)*p + offsets[h]/2**32))``. This is the
+    TPU-native form of the reference's anti-aliased wavetable mip chain
+    (knaster_core/src/dsp/wavetable.rs): instead of per-frequency pre-filtered
+    table copies read by gathers, partials above Nyquist are masked at
+    synthesis time — gather-free and exactly band-limited at every frequency.
+    """
+    table = np.asarray(table, np.float64)
+    n = len(table)
+    h_max = min(int(n_harmonics), n // 2 - 1)
+    spec = np.fft.rfft(table)
+    # a*cos(x) + b*sin(x) = m*sin(x + phi), m = hypot(a, b), phi = atan2(a, b)
+    a = 2.0 * spec.real[1 : h_max + 1] / n
+    b = -2.0 * spec.imag[1 : h_max + 1] / n
+    mags = np.hypot(a, b)
+    phi = np.arctan2(a, b) / (2.0 * np.pi)  # cycles
+    offsets = (np.round(phi * 2.0**32).astype(np.int64) % (1 << 32)).astype(
+        np.uint32
+    )
+    mags = mags.astype(np.float32)
+    if h_max < n_harmonics:
+        pad = n_harmonics - h_max
+        mags = np.concatenate([mags, np.zeros(pad, np.float32)])
+        offsets = np.concatenate([offsets, np.zeros(pad, np.uint32)])
+    return mags, offsets

@@ -404,3 +404,58 @@ def test_voicebank_sample_accurate_float_set():
     t = np.arange(64.0)
     expect = np.where(t < 32, 64.0 + t, 64.0 + (500.0 - 64.0) / 128.0 * t)
     np.testing.assert_allclose(np.asarray(o1)[0], expect, atol=1e-3)
+
+
+def test_additive_voice_single_harmonic_matches_sine_voice():
+    """AdditiveVoice with one unit partial is exactly the SineVoice patch."""
+    from knaster_tpu import AdditiveVoice, AudioCtx
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    av = AdditiveVoice(harmonics=np.array([1.0], np.float32), freq=330.0)
+    sv = SineVoice(freq=330.0)
+    sa, sb = av.init(ctx), sv.init(ctx)
+    p = {"freq": np.full(64, 330.0, np.float32),
+         "amp": np.full(64, 0.5, np.float32),
+         "pan": np.full(64, 0.3, np.float32),
+         "t_restart": np.zeros(64, bool), "t_release": np.zeros(64, bool)}
+    p["t_restart"][3] = True
+    no_in = np.zeros((0, 64), np.float32)
+    for i in range(3):
+        sa, oa, _ = av.process(ctx, sa, no_in, p)
+        sb, ob, _ = sv.process(ctx, sb, no_in, p)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
+        p["t_restart"][:] = False
+
+
+def test_pallas_wavetable_bank_matches_vmap():
+    from knaster_tpu import AdditiveVoice, NonAaWavetable, PallasWavetableVoiceBank
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 1024
+    nb = NonAaWavetable()
+    nb.add_saw(1, 12, 1.0)
+    rng = np.random.default_rng(3)
+    d = {"freq": rng.uniform(60, 3000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+    pb = PallasWavetableVoiceBank(V, table=nb.buffer, n_harmonics=12,
+                                  voice_defaults=d, tile_rows=8,
+                                  event_capacity=2048)
+    vb = VoiceBank(AdditiveVoice(table=nb.buffer, n_harmonics=12), V,
+                   voice_defaults=d, event_capacity=2048)
+    events = [(0, v, pb.trig_index("t_restart"), 1, 0.0) for v in range(0, V, 2)]
+    events += [(25, 7, pb.trig_index("t_release"), 1, 0.0)]
+    no_in = np.zeros((0, 64), np.float32)
+    sp, sv = pb.init(ctx), vb.init(ctx)
+    outs_p, outs_v = [], []
+    for i in range(4):
+        ep = pb.node_events_from_lists(events) if i == 0 else pb.empty_node_events()
+        ev = vb.node_events_from_lists(events) if i == 0 else vb.empty_node_events()
+        sp, op = pb.process(ctx, sp, no_in, {}, events=ep)
+        sv, ov, _ = vb.process(ctx, sv, no_in, {}, events=ev)
+        outs_p.append(np.asarray(op))
+        outs_v.append(np.asarray(ov))
+    a = np.concatenate(outs_p, 1)
+    b = np.concatenate(outs_v, 1)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
