@@ -51,7 +51,6 @@ def main():
     first_events = bank.node_events_from_lists(
         [(0, v, trig_idx, 1, 0.0) for v in range(min(N_VOICES, bank.event_capacity))]
     )
-    empty = bank.empty_node_events()
 
     n_blocks = max(1, int(SECONDS * SR) // BLOCK)
     no_in = jnp.zeros((0, BLOCK), ctx.dtype)
@@ -65,7 +64,9 @@ def main():
         state, _ = block_step(state, first_events)
 
         def body(st, _):
-            st, out = block_step(st, empty)
+            # events=None is the steady-state program (what the graph
+            # engine's fast program runs for event-free blocks)
+            st, out = block_step(st, None)
             # keep only the mix bus mean per block: avoids materializing
             # the full output while forcing full computation
             return st, out.mean()

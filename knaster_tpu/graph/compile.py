@@ -511,9 +511,12 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                 nid = item
                 ugen = cg.entries[nid].ugen
                 if ugen.event_capacity > 0:
+                    # fast program: events=None lets nodes (voice banks)
+                    # skip their event scatters entirely
                     result = ugen.process(
                         ctx, state["nodes"][str(nid)], node_inputs(nid),
-                        node_params(nid), events=events[f"n{nid}"],
+                        node_params(nid),
+                        events=None if fast else events[f"n{nid}"],
                     )
                 else:
                     result = ugen.process(

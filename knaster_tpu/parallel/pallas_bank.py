@@ -40,17 +40,16 @@ def _env_rate(seconds, sr):
 
 def _bank_kernel(
     B: int,
-    phase_ref, inc_ref, stage_ref, t_ref, rscale_ref,
+    s_ref, c_ref, rs_ref, rc_ref, stage_ref, t_ref, rscale_ref,
     atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
     restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
-    out_ref, phase_out, stage_out, t_out, rscale_out,
+    out_ref, stage_out, t_out, rscale_out,
 ):
-    scale = np.float32(2.0 * np.pi / TABLE_SIZE)
     one = np.float32(1.0)
     zero = np.float32(0.0)
 
     def body(i, carry):
-        phase, stage, t, rscale = carry
+        s, c, stage, t, rscale = carry
         iu = i.astype(jnp.uint32)
         word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
         word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
@@ -82,22 +81,24 @@ def _bank_kernel(
         stage = jnp.where(done, zero, stage)
         t_next = jnp.where(done, zero, t_next)
 
-        # --- SinWt: fixed-point phase, computed sine ---
-        # (Mosaic can't cast u32->f32 directly; the masked index fits i32)
-        idx_u = (phase >> 16) & np.uint32(TABLE_HIGH_MASK)
-        idx = pltpu.bitcast(idx_u, jnp.int32).astype(jnp.float32)
-        sine = jnp.sin(idx * scale)
-        phase = phase + inc_ref[:]
-
-        sig = sine * env * amp_ref[:] * active_ref[:]
+        # --- sine by phasor rotation: no transcendental in the loop ---
+        # s/c are sin/cos of the exact u32 phase at block start (computed in
+        # XLA once per block); each sample advances by the complex multiply
+        # (rs, rc) = (sin, cos) of the true per-sample angle. The u32 phase
+        # is still carried exactly outside the kernel, so there is no drift
+        # across blocks; within a block the rotation is *more* accurate than
+        # the table-quantized read it replaces (error <= 2*pi/TABLE_SIZE).
+        # Mix: reduce only the sublane axis here (cheap on the VPU); the
+        # 128-lane reduction happens once per block in XLA afterwards.
+        sig = s * env * amp_ref[:] * active_ref[:]
         out_ref[0, i, :] = jnp.stack(
-            [jnp.sum(sig * panl_ref[:]), jnp.sum(sig * panr_ref[:])]
+            [jnp.sum(sig * panl_ref[:], axis=0), jnp.sum(sig * panr_ref[:], axis=0)]
         )
-        return phase, stage, t_next, rscale
+        return (s * rc_ref[:] + c * rs_ref[:], c * rc_ref[:] - s * rs_ref[:],
+                stage, t_next, rscale)
 
-    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
-    phase, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
-    phase_out[:] = phase
+    carry = (s_ref[:], c_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    s, c, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
@@ -156,7 +157,9 @@ class PallasSineVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
+        fstate, ivals, active, _, _ = self._apply_events(
+            ctx, state, events, trig_tensor=False
+        )
         # the kernel reads block-rate floats: ramps advance as block stairs
         fvals = fstate[0]
 
@@ -173,24 +176,30 @@ class PallasSineVoiceBank(VoiceBank):
         inc = jnp.clip(freq * np.float32(f2pi), 0.0, 2.0**31 - 1).astype(
             jnp.uint32
         )
+        # block-start phasor + per-sample rotation angle (freq is block-rate
+        # in this kernel, so the rotation is exact-frequency; the u32 phase
+        # carries exactly across blocks below). One cycle is
+        # TABLE_SIZE*FRACTIONAL_PART = 2**30 phase units (osc.rs convention).
+        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
+        u2rad = np.float32(2.0 * np.pi / cycle)
+        theta0 = (state["phase"] & jnp.uint32(cycle - 1)).astype(dtype) * u2rad
+        s0 = jnp.sin(theta0)
+        c0 = jnp.cos(theta0)
+        ang = inc.astype(dtype) * u2rad
+        rs = jnp.sin(ang)
+        rc = jnp.cos(ang)
         atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
         rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
         act = grid2(active.astype(dtype))
 
-        # pack trigger masks: [V, B] bool -> two uint32 words per voice
-        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
-
-        def pack(mask):  # [V, B] -> (lo [R,L], hi [R,L])
-            m = mask.astype(jnp.uint32)
-            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
-            if B > 32:
-                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
-            else:
-                hi = jnp.zeros((V,), jnp.uint32)
-            return grid2(lo), grid2(hi)
-
-        restart_lo, restart_hi = pack(trig[self.trig_index("t_restart")])
-        release_lo, release_hi = pack(trig[self.trig_index("t_release")])
+        restart_lo, restart_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+        )
+        release_lo, release_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_release"))
+        )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -199,26 +208,28 @@ class PallasSineVoiceBank(VoiceBank):
         outs = pl.pallas_call(
             functools.partial(_bank_kernel, B),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(15)],
+            in_specs=[tile() for _ in range(17)],
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, B, 2), dtype),
-                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((n_tiles, B, 2, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
             ),
             out_specs=(
-                pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                tile(), tile(), tile(), tile(),
+                pl.BlockSpec((1, B, 2, LANES), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tile(), tile(), tile(),
             ),
             interpret=interpret,
         )(
-            state["phase"], inc, state["stage"], state["t"], state["rscale"],
+            s0, c0, rs, rc, state["stage"], state["t"], state["rscale"],
             atk, rel, amp, panl, panr, act,
             restart_lo, restart_hi, release_lo, release_hi,
         )
-        partial_mix, phase, stage, t, rscale = outs
-        out = jnp.sum(partial_mix, axis=0).T  # [2, B]
+        partial_mix, stage, t, rscale = outs
+        out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
+        # exact u32 phase advance (wrapping multiply; phase is mod 2**32)
+        phase = state["phase"] + inc * jnp.uint32(B)
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
             fstate, B, dtype
         )
@@ -365,7 +376,9 @@ class PallasFMVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
+        fstate, ivals, active, _, _ = self._apply_events(
+            ctx, state, events, trig_tensor=False
+        )
         fvals = fstate[0]
 
         def grid2(x):
@@ -379,18 +392,10 @@ class PallasFMVoiceBank(VoiceBank):
         rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
         act = grid2(active.astype(dtype))
 
-        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
-
-        def pack(mask_arr):
-            m = mask_arr.astype(jnp.uint32)
-            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
-            if B > 32:
-                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
-            else:
-                hi = jnp.zeros((V,), jnp.uint32)
-            return grid2(lo), grid2(hi)
-
-        r_lo, r_hi = pack(trig[self.trig_index("t_restart")])
+        r_lo, r_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+        )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -576,7 +581,9 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         dtype = ctx.dtype
         sr = float(ctx.sample_rate)
 
-        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
+        fstate, ivals, active, _, _ = self._apply_events(
+            ctx, state, events, trig_tensor=False
+        )
         fvals = fstate[0]
 
         def grid2(x):
@@ -597,19 +604,14 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         rel = jnp.full((R, LANES), 1.0 / max(self._release * sr, 1.0), dtype)
         act = grid2(active.astype(dtype))
 
-        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
-
-        def pack(mask_arr):
-            m = mask_arr.astype(jnp.uint32)
-            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
-            if B > 32:
-                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
-            else:
-                hi = jnp.zeros((V,), jnp.uint32)
-            return grid2(lo), grid2(hi)
-
-        r_lo, r_hi = pack(trig[self.trig_index("t_restart")])
-        rel_lo, rel_hi = pack(trig[self.trig_index("t_release")])
+        r_lo, r_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+        )
+        rel_lo, rel_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_release"))
+        )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -801,7 +803,9 @@ class PallasWavetableVoiceBank(VoiceBank):
         H = len(self.mags)
         dtype = ctx.dtype
 
-        fstate, ivals, active, trig, _ = self._apply_events(ctx, state, events)
+        fstate, ivals, active, _, _ = self._apply_events(
+            ctx, state, events, trig_tensor=False
+        )
         fvals = fstate[0]
 
         def grid2(x):
@@ -831,19 +835,14 @@ class PallasWavetableVoiceBank(VoiceBank):
         ha = jnp.asarray(acoef, dtype)[:, None, None] * alive
         hb = jnp.asarray(bcoef, dtype)[:, None, None] * alive
 
-        bits = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
-
-        def pack(mask_arr):
-            m = mask_arr.astype(jnp.uint32)
-            lo = (m[:, :32] * bits[: min(B, 32)][None, :]).sum(axis=1, dtype=jnp.uint32)
-            if B > 32:
-                hi = (m[:, 32:B] * bits[: B - 32][None, :]).sum(axis=1, dtype=jnp.uint32)
-            else:
-                hi = jnp.zeros((V,), jnp.uint32)
-            return grid2(lo), grid2(hi)
-
-        restart_lo, restart_hi = pack(trig[self.trig_index("t_restart")])
-        release_lo, release_hi = pack(trig[self.trig_index("t_release")])
+        restart_lo, restart_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+        )
+        release_lo, release_hi = (
+            grid2(w) for w in
+            self._packed_trigs(ctx, events, self.trig_index("t_release"))
+        )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)

@@ -151,14 +151,14 @@ class VoiceBank(UGen):
         last event per (kind, param, voice) wins — so the device can apply
         them with one vectorized scatter. Triggers keep every event."""
         dedup = {}
-        trigs = []
+        trigs = {}
         for e in events:
             f, v, p, k, val = e
             if k == 1:
-                trigs.append(e)
+                trigs[(f, p, v)] = e  # same-frame duplicates are one trigger
             else:
                 dedup[(k, p, v)] = e
-        flat = list(dedup.values()) + trigs
+        flat = list(dedup.values()) + list(trigs.values())
         if len(flat) > self.event_capacity:
             raise ValueError(
                 f"more than {self.event_capacity} voice events in one block; "
@@ -174,15 +174,50 @@ class VoiceBank(UGen):
         return {k: jnp.asarray(v) for k, v in ev.items()}
 
     # -------------------------------------------------------------- process
-    def _apply_events(self, ctx: AudioCtx, state, events):
+    def _packed_trigs(self, ctx: AudioCtx, events, trig_idx: int):
+        """Sample-accurate triggers as two u32 bitmask words per voice
+        (what the Pallas kernels consume), built directly from the event
+        tensor — O(E) instead of materializing the [V, B] boolean plane.
+        Host dedup guarantees one event per (frame, param, voice), so a
+        scatter-add of single bits cannot collide."""
+        V = self.n_voices
+        if events is None:
+            z = jnp.zeros((V,), jnp.uint32)
+            return z, z
+        voice = events["voice"]
+        kind = events["kind"]
+        param = events["param"]
+        frame = events["frame"]
+        sel = (voice >= 0) & (kind == 1) & (param == trig_idx)
+        v_sel = jnp.where(sel, voice, V)
+        bit = jnp.asarray(1, jnp.uint32) << (frame.astype(jnp.uint32) & 31)
+        lo_bit = jnp.where(frame < 32, bit, 0)
+        hi_bit = jnp.where(frame >= 32, bit, 0)
+        z = jnp.zeros((V + 1,), jnp.uint32)
+        lo = z.at[v_sel].add(lo_bit)[:V]
+        hi = z.at[v_sel].add(hi_bit)[:V]
+        return lo, hi
+
+    def _apply_events(self, ctx: AudioCtx, state, events, trig_tensor=True):
         """Apply the bank event channel: returns (fstate, ivals, active,
         trig [n_trig, V, B]) where fstate = (fvals, ftarget, fstep, frem,
-        fsdur) carrying per-(param, voice) linear smoothing ramps."""
+        fsdur) carrying per-(param, voice) linear smoothing ramps.
+        ``trig_tensor=False`` skips the [n_trig, V, B] boolean plane (the
+        Pallas banks read packed bitmasks via ``_packed_trigs`` instead)."""
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
+        n_trig_ = len(self._trig_names)
         if events is None:
-            events = self.empty_node_events(dtype)
+            # no-events fast path: skip every scatter (XLA scatters serialize
+            # on TPU; an empty-but-materialized event tensor still costs
+            # O(capacity) sequential updates). fframe=None tells process the
+            # pre/post trajectories coincide.
+            fstate = (state["fvals"], state["ftarget"], state["fstep"],
+                      state["frem"], state["fsdur"])
+            trig = (jnp.zeros((max(n_trig_, 1), V, B), bool)
+                    if trig_tensor else None)
+            return fstate, state["ivals"], state["active"], trig, None
 
         fvals = state["fvals"]  # [nf, V] value at block start
         ftarget = state["ftarget"]
@@ -246,11 +281,16 @@ class VoiceBank(UGen):
             value > 0.5
         )[:V]
 
-        trig = jnp.zeros((max(n_trig, 1), V + 1, B), dtype=bool)
-        sel_t = valid & (kind == 1)
-        v_t = jnp.where(sel_t, voice, V)
-        trig = trig.at[jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame].set(True)
-        trig = trig[:, :V, :]
+        if trig_tensor:
+            trig = jnp.zeros((max(n_trig, 1), V + 1, B), dtype=bool)
+            sel_t = valid & (kind == 1)
+            v_t = jnp.where(sel_t, voice, V)
+            trig = trig.at[
+                jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame
+            ].set(True)
+            trig = trig[:, :V, :]
+        else:
+            trig = None
         return (fvals, ftarget, fstep, frem, fsdur), ivals, active, trig, fframe
 
     @staticmethod
@@ -291,6 +331,9 @@ class VoiceBank(UGen):
         voice_params = {}
         for i, name in enumerate(self._float_names):
             new = materialize(fvals, ftarget, fstep, frem, i)
+            if fframe is None:  # no events this block: trajectories coincide
+                voice_params[name] = new
+                continue
             old = materialize(
                 state["fvals"], state["ftarget"], state["fstep"], state["frem"], i
             )

@@ -199,7 +199,11 @@ def test_pallas_bank_matches_vmap_bank():
     a = np.concatenate(outs_p, 1)
     b = np.concatenate(outs_v, 1)
     assert np.abs(b).max() > 1e-4  # something actually played
-    np.testing.assert_allclose(a, b, atol=1e-6)
+    # the kernel synthesizes by exact-frequency phasor rotation; the vmap
+    # path quantizes phase to the 16384-entry table grid, so they differ by
+    # up to sin(2*pi/16384) * amp_total per voice (the kernel is the more
+    # accurate of the two)
+    np.testing.assert_allclose(a, b, atol=V * 0.01 * 4.0e-4)
 
 
 def test_fm_cascade_model():
