@@ -469,11 +469,14 @@ class AdditiveVoice(UGen):
         inc = jnp.clip(freq * f2pi, 0.0, 2.0**31 - 1).astype(jnp.uint32)
         ecs = jnp.concatenate([jnp.zeros((1,), jnp.uint32), jnp.cumsum(inc)])
         phase_t = state["phase"] + ecs[:B]  # [B]
-        # sin/cos of the quantized fundamental once; harmonic h's phasor by
+        # sin/cos of the exact fundamental angle once; harmonic h's phasor by
         # complex-multiply recurrence (one mul per harmonic instead of one
         # transcendental); per-harmonic table phases fold into static A/B.
-        idx = ((phase_t >> 16) & TABLE_HIGH_MASK).astype(dtype)
-        theta = idx * scale
+        # One cycle = TABLE_SIZE*FRACTIONAL_PART = 2**30 phase units.
+        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
+        theta = (phase_t & jnp.uint32(cycle - 1)).astype(dtype) * np.float32(
+            2.0 * np.pi / cycle
+        )
         s1, c1 = jnp.sin(theta), jnp.cos(theta)
         phi = self.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
         A = (self.mags * np.cos(phi)).astype(np.float32)

@@ -2,11 +2,13 @@
 
 The VoiceBank path builds the voice from composable UGens (vmap over a scan
 for the envelope, cumsum for the oscillator). This kernel fuses the whole
-many_sines voice — fixed-point sine oscillator, ASR envelope state machine,
-equal-power pan, mix-down — into ONE Pallas kernel: state lives in VMEM,
-voices ride the 8×128 vector lanes, and the per-sample loop is a register
-loop instead of an XLA scan. Same control surface as VoiceBank (per-voice
-float sets at block rate, sample-accurate triggers via the event channel).
+many_sines voice — phasor-rotation sine oscillator (no per-sample
+transcendental; the exact u32 fixed-point phase is carried across blocks),
+ASR envelope state machine, equal-power pan, mix-down — into ONE Pallas
+kernel: state lives in VMEM, voices ride the 8×128 vector lanes, and the
+per-sample loop is a register loop instead of an XLA scan. Same control
+surface as VoiceBank (per-voice float sets at block rate, sample-accurate
+triggers via the event channel).
 
 Layout: voices as [V/128, 128] tiles (sublane × lane); the grid walks voice
 tiles of ``tile_rows``×128 voices; each grid step emits its partial stereo
@@ -244,13 +246,16 @@ class PallasSineVoiceBank(VoiceBank):
 
 def _fm_bank_kernel(
     B: int,
-    phm_ref, phc_ref, stage_ref, t_ref,
-    freq_ref, ratio_ref, index_ref, amp_ref, atk_ref, rel_ref, active_ref,
+    sm_ref, cm_ref, rsm_ref, rcm_ref, phc_ref, stage_ref, t_ref,
+    freq_ref, index_ref, amp_ref, atk_ref, rel_ref, active_ref,
     restart_lo_ref, restart_hi_ref,
-    out_ref, phm_out, phc_out, stage_out, t_out,
+    out_ref, phc_out, stage_out, t_out,
 ):
     """2-op FM voice bank: modulator sine FMs the carrier per sample,
-    AR envelope (models.FMVoice semantics), mono mix."""
+    AR envelope (models.FMVoice semantics), mono mix. The modulator's
+    frequency (freq*ratio) is block-constant, so it runs as a rotating
+    phasor (no transcendental); the carrier's instantaneous frequency is
+    audio-rate, so it keeps the per-sample computed sine."""
     from ..ugens.wavetable import FRACTIONAL_PART, TABLE_HIGH_MASK, TABLE_SIZE
 
     scale = np.float32(2.0 * np.pi / TABLE_SIZE)
@@ -265,14 +270,12 @@ def _fm_bank_kernel(
             jnp.clip(f, 0.0, 2.0**31 - 1).astype(jnp.int32), jnp.uint32
         )
 
-    inc_m = to_inc(freq_ref[:] * ratio_ref[:] * f2pi)
-
     def sine_of(phase):
         idx = pltpu.bitcast((phase >> 16) & mask, jnp.int32).astype(jnp.float32)
         return jnp.sin(idx * scale)
 
     def body(i, carry):
-        phm, phc, stage, t = carry
+        sm, cm, phc, stage, t = carry
         iu = i.astype(jnp.uint32)
         word = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
         bit = jnp.where(i < 32, iu, iu - 32)
@@ -295,21 +298,18 @@ def _fm_bank_kernel(
         stage = jnp.where(done, zero, stage)
         t_next = jnp.where(done, zero, t_next)
 
-        mod = sine_of(phm)
-        phm = phm + inc_m
-        car_freq = freq_ref[:] * (one + index_ref[:] * mod)
+        car_freq = freq_ref[:] * (one + index_ref[:] * sm)
         inc_c = to_inc(car_freq * f2pi)
         car = sine_of(phc)
         phc = phc + inc_c
 
         sig = car * env * amp_ref[:] * active_ref[:]
-        # Mosaic rejects scalar VMEM stores: write a (1,)-vector
-        out_ref[0, i, :] = jnp.sum(sig)[None]
-        return phm, phc, stage, t_next
+        out_ref[0, i, :] = jnp.sum(sig, axis=0)
+        return (sm * rcm_ref[:] + cm * rsm_ref[:],
+                cm * rcm_ref[:] - sm * rsm_ref[:], phc, stage, t_next)
 
-    carry = (phm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
-    phm, phc, stage, t = jax.lax.fori_loop(0, B, body, carry)
-    phm_out[:] = phm
+    carry = (sm_ref[:], cm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
+    _, _, phc, stage, t = jax.lax.fori_loop(0, B, body, carry)
     phc_out[:] = phc
     stage_out[:] = stage
     t_out[:] = t
@@ -392,6 +392,19 @@ class PallasFMVoiceBank(VoiceBank):
         rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
         act = grid2(active.astype(dtype))
 
+        # modulator phasor (freq*ratio is block-rate): same saturating u32
+        # increment as the carrier, rotated per sample inside the kernel
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / 48000.0)
+        inc_m = jnp.clip(freq * ratio * f2pi, 0.0, 2.0**31 - 1).astype(jnp.uint32)
+        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
+        u2rad = np.float32(2.0 * np.pi / cycle)
+        thm = (state["phm"] & jnp.uint32(cycle - 1)).astype(dtype) * u2rad
+        sm0 = jnp.sin(thm)
+        cm0 = jnp.cos(thm)
+        angm = inc_m.astype(dtype) * u2rad
+        rsm = jnp.sin(angm)
+        rcm = jnp.cos(angm)
+
         r_lo, r_hi = (
             grid2(w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_restart"))
@@ -403,25 +416,26 @@ class PallasFMVoiceBank(VoiceBank):
         outs = pl.pallas_call(
             functools.partial(_fm_bank_kernel, B),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(13)],
+            in_specs=[tile() for _ in range(15)],
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, B, 1), dtype),
-                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
             ),
             out_specs=(
-                pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                tile(), tile(), tile(), tile(),
+                pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tile(), tile(), tile(),
             ),
             interpret=interpret,
         )(
-            state["phm"], state["phc"], state["stage"], state["t"],
-            freq, ratio, index, amp, atk, rel, act, r_lo, r_hi,
+            sm0, cm0, rsm, rcm, state["phc"], state["stage"], state["t"],
+            freq, index, amp, atk, rel, act, r_lo, r_hi,
         )
-        partial_mix, phm, phc, stage, t = outs
-        out = jnp.sum(partial_mix, axis=0).T  # [1, B]
+        partial_mix, phc, stage, t = outs
+        out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
+        phm = state["phm"] + inc_m * jnp.uint32(B)
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
@@ -505,7 +519,7 @@ def _sub_bank_kernel(
         ic2 = two * v2 - ic2
 
         sig = v2 * env * amp_ref[:] * active_ref[:]
-        out_ref[0, i, :] = jnp.sum(sig)[None]
+        out_ref[0, i, :] = jnp.sum(sig, axis=0)
         return t, ic1, ic2, stage, et_next, rscale
 
     carry = (t_ref[:], ic1_ref[:], ic2_ref[:], stage_ref[:], et_ref[:],
@@ -621,7 +635,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(18)],
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, B, 1), dtype),
+                jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
@@ -630,7 +644,8 @@ class PallasSubtractiveVoiceBank(VoiceBank):
                 jax.ShapeDtypeStruct((R, LANES), dtype),
             ),
             out_specs=(
-                pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
                 tile(), tile(), tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
@@ -641,7 +656,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             r_lo, r_hi, rel_lo, rel_hi,
         )
         partial_mix, t, ic1, ic2, stage, et, rscale = outs
-        out = jnp.sum(partial_mix, axis=0).T  # [1, B]
+        out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
@@ -656,25 +671,24 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 def _wt_bank_kernel(
     B: int,
     H: int,
-    phase_ref, inc_ref, stage_ref, t_ref, rscale_ref,
+    s_ref, c_ref, rs_ref, rc_ref, stage_ref, t_ref, rscale_ref,
     atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
     ha_ref, hb_ref,  # [H, TR, LANES] band-limited sin/cos partial coeffs
     restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
-    out_ref, phase_out, stage_out, t_out, rscale_out,
+    out_ref, stage_out, t_out, rscale_out,
 ):
     """Additive wavetable bank: H partials per voice by phasor recurrence,
-    ASR envelope, equal-power pan, stereo mix. sin/cos of the quantized
-    fundamental are computed once per sample; harmonic h's phasor comes from
-    a complex multiply (phase-locked, one VPU multiply instead of a
-    transcendental); per-harmonic table phases are folded into the static
-    A/B coefficients (a*sin + b*cos per partial)."""
-    scale = np.float32(2.0 * np.pi / TABLE_SIZE)
-    mask = np.uint32(TABLE_HIGH_MASK)
+    ASR envelope, equal-power pan, stereo mix. No transcendental in the
+    loop: the fundamental phasor rotates per sample by the block-constant
+    (rs, rc) (sin/cos computed once per block in XLA from the exact u32
+    phase); harmonic h's phasor comes from a complex multiply against the
+    fundamental (phase-locked, one VPU multiply each); per-harmonic table
+    phases are folded into the static A/B coefficients (a*sin + b*cos)."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
 
     def body(i, carry):
-        phase, stage, t, rscale = carry
+        s1, c1, stage, t, rscale = carry
         iu = i.astype(jnp.uint32)
         word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
         word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
@@ -704,27 +718,23 @@ def _wt_bank_kernel(
         stage = jnp.where(done, zero, stage)
         t_next = jnp.where(done, zero, t_next)
 
-        # --- additive partials: fundamental sin/cos + phasor recurrence ---
-        idx = pltpu.bitcast((phase >> 16) & mask, jnp.int32).astype(jnp.float32)
-        theta = idx * scale
-        s1 = jnp.sin(theta)
-        c1 = jnp.cos(theta)
+        # --- additive partials: harmonic recurrence from the fundamental ---
         s, c = s1, c1
         acc = ha_ref[0] * s + hb_ref[0] * c
         for h in range(1, H):
             s, c = s * c1 + c * s1, c * c1 - s * s1
             acc = acc + ha_ref[h] * s + hb_ref[h] * c
-        phase = phase + inc_ref[:]
 
         sig = acc * env * amp_ref[:] * active_ref[:]
         out_ref[0, i, :] = jnp.stack(
-            [jnp.sum(sig * panl_ref[:]), jnp.sum(sig * panr_ref[:])]
+            [jnp.sum(sig * panl_ref[:], axis=0),
+             jnp.sum(sig * panr_ref[:], axis=0)]
         )
-        return phase, stage, t_next, rscale
+        return (s1 * rc_ref[:] + c1 * rs_ref[:],
+                c1 * rc_ref[:] - s1 * rs_ref[:], stage, t_next, rscale)
 
-    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
-    phase, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
-    phase_out[:] = phase
+    carry = (s_ref[:], c_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    _, _, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
@@ -819,6 +829,16 @@ class PallasWavetableVoiceBank(VoiceBank):
         panr = jnp.sin(p * (np.pi / 2)).astype(dtype)
         f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
         inc = jnp.clip(freq * np.float32(f2pi), 0.0, 2.0**31 - 1).astype(jnp.uint32)
+        # block-start fundamental phasor + per-sample rotation angle (one
+        # cycle is TABLE_SIZE*FRACTIONAL_PART = 2**30 phase units)
+        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
+        u2rad = np.float32(2.0 * np.pi / cycle)
+        theta0 = (state["phase"] & jnp.uint32(cycle - 1)).astype(dtype) * u2rad
+        s0 = jnp.sin(theta0)
+        c0 = jnp.cos(theta0)
+        ang = inc.astype(dtype) * u2rad
+        rs = jnp.sin(ang)
+        rc = jnp.cos(ang)
         atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
         rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
         act = grid2(active.astype(dtype))
@@ -852,27 +872,28 @@ class PallasWavetableVoiceBank(VoiceBank):
         outs = pl.pallas_call(
             functools.partial(_wt_bank_kernel, B, H),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(11)] + [hspec(), hspec()]
+            in_specs=[tile() for _ in range(13)] + [hspec(), hspec()]
                      + [tile() for _ in range(4)],
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, B, 2), dtype),
-                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((n_tiles, B, 2, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
             ),
             out_specs=(
-                pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                tile(), tile(), tile(), tile(),
+                pl.BlockSpec((1, B, 2, LANES), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tile(), tile(), tile(),
             ),
             interpret=interpret,
         )(
-            state["phase"], inc, state["stage"], state["t"], state["rscale"],
+            s0, c0, rs, rc, state["stage"], state["t"], state["rscale"],
             atk, rel, amp, panl, panr, act, ha, hb,
             restart_lo, restart_hi, release_lo, release_hi,
         )
-        partial_mix, phase, stage, t, rscale = outs
-        out = jnp.sum(partial_mix, axis=0).T  # [2, B]
+        partial_mix, stage, t, rscale = outs
+        out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
+        phase = state["phase"] + inc * jnp.uint32(B)
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,

@@ -325,7 +325,10 @@ def test_pallas_fm_bank_matches_vmap():
     a = np.concatenate(outs_p, 1)
     b = np.concatenate(outs_v, 1)
     assert np.abs(b).max() > 1e-3
-    np.testing.assert_allclose(a, b, atol=2e-5)
+    # the kernel's modulator is an exact-frequency phasor; the vmap path's
+    # modulator quantizes to the table grid, and that tiny difference feeds
+    # the carrier's frequency, so phase drift accumulates over the 4 blocks
+    np.testing.assert_allclose(a, b, atol=1e-3)
 
 
 def test_pallas_subtractive_bank_matches_vmap():
@@ -427,7 +430,9 @@ def test_additive_voice_single_harmonic_matches_sine_voice():
     for i in range(3):
         sa, oa, _ = av.process(ctx, sa, no_in, p)
         sb, ob, _ = sv.process(ctx, sb, no_in, p)
-        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
+        # AdditiveVoice evaluates the exact phase angle; SinWt quantizes to
+        # the 16384-entry table grid (<= sin(2*pi/16384) difference)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=3e-4)
         p["t_restart"][:] = False
 
 
