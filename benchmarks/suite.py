@@ -181,7 +181,7 @@ def bench_wrappers(block_size=64):
             gg.push(SinWt(440.0).wr_mul(0.01)).to_graph_out()
 
     g.edit(build_wr)
-    r_wr = _bounce_rate(proc)
+    r_wr = _program_rate(proc)
 
     # separate math nodes
     g2, proc2 = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=block_size))
@@ -191,7 +191,7 @@ def bench_wrappers(block_size=64):
             (gg.push(SinWt(440.0)) * 0.01).to_graph_out()
 
     g2.edit(build_nodes)
-    r_nodes = _bounce_rate(proc2)
+    r_nodes = _program_rate(proc2)
     print(
         json.dumps(
             {

@@ -354,6 +354,12 @@ class AudioProcessor:
         ``check_done_every`` blocks if given) — within a scan chunk, nodes
         keep rendering after flagging done. Use small chunks if you rely on
         mid-render freeing.
+
+        With external ``inputs``, render in block-aligned increments: a
+        trailing partial block is rendered with the missing input samples
+        zero-padded (outputs past ``frames`` can't be computed causally
+        without future input), so an unaligned incremental feed diverges
+        from a single-call render at those boundaries.
         """
         B = self.graph.block_size
         if frames is None:
@@ -388,6 +394,25 @@ class AudioProcessor:
             seg[:, : avail.shape[1]] = avail
             return jnp.asarray(seg)
 
+        def in_stack_for(start_block, n):
+            if inputs is None:
+                return jnp.zeros(
+                    (n, self.graph.inputs, B), dtype=self.graph.dtype
+                )
+            i0 = start_block * B
+            avail = np.asarray(inputs)[:, i0 : i0 + n * B]
+            pad = n * B - avail.shape[1]
+            if pad > 0:
+                avail = np.pad(avail, ((0, 0), (0, pad)))
+            seg = np.moveaxis(avail.reshape(self.graph.inputs, n, B), 1, 0)
+            return jnp.asarray(seg, dtype=self.graph.dtype)
+
+        # host-dispatch over the tunnel costs ~ms per call: event-free runs
+        # are covered by descending power-of-two scans (a bounded set of
+        # compiled scan lengths, each traced once), with single blocks only
+        # below this floor
+        MIN_SCAN = 16
+
         outs = []
         rendered = 0
         while rendered < n_blocks and not self.freed:
@@ -397,9 +422,9 @@ class AudioProcessor:
             any_events = any(
                 fl or tl or il or nd for (fl, tl, il, nd) in per_block
             )
-            if n < chunk or any_events:
-                # eventful or remainder blocks run one-by-one, picking the
-                # full program only for blocks that actually have events
+            if any_events:
+                # eventful blocks run one-by-one, picking the full program
+                # only for blocks that actually have events
                 dones = []
                 for bi in range(n):
                     fl, tl, il, nd = per_block[bi]
@@ -422,27 +447,33 @@ class AudioProcessor:
                         np.stack([np.asarray(d) for d in dones]).any(axis=0)
                     )
                 continue
-            # event-free chunk: one on-device scan of the fast program
-            if inputs is not None:
-                i0 = rendered * B
-                avail = np.asarray(inputs)[:, i0 : i0 + n * B]
-                pad = n * B - avail.shape[1]
-                if pad > 0:
-                    avail = np.pad(avail, ((0, 0), (0, pad)))
-                seg = np.moveaxis(avail.reshape(self.graph.inputs, n, B), 1, 0)
-                in_stack = jnp.asarray(seg, dtype=self.graph.dtype)
-            else:
-                in_stack = jnp.zeros(
-                    (n, self.graph.inputs, B), dtype=self.graph.dtype
-                )
-
-            scan_fn = _get_scan_fn(self.compiled)
-            self.state, out_stack, done_stack = scan_fn(self.state, in_stack)
-            outs.append(out_stack)
-            self.graph.clock.frames += n * B
-            rendered += n
-            if self.compiled.has_done_actions:
-                self._apply_done_flags(np.asarray(done_stack).any(axis=0))
+            # event-free run: scans of power-of-two lengths + eager tail
+            remaining = n
+            while remaining:
+                sub = chunk
+                while sub > remaining:
+                    sub //= 2
+                if sub >= MIN_SCAN:
+                    scan_fn = _get_scan_fn(self.compiled)
+                    self.state, out_stack, done_stack = scan_fn(
+                        self.state, in_stack_for(rendered, sub)
+                    )
+                    outs.append(out_stack)
+                    if self.compiled.has_done_actions:
+                        self._apply_done_flags(
+                            np.asarray(done_stack).any(axis=0)
+                        )
+                else:
+                    sub = 1
+                    self.state, out, done = self.compiled.render_fast(
+                        self.state, block_inputs(rendered)
+                    )
+                    outs.append(out[None])
+                    if self.compiled.has_done_actions:
+                        self._apply_done_flags(np.asarray(done))
+                self.graph.clock.frames += sub * B
+                rendered += sub
+                remaining -= sub
 
         if outs:
             outs = jax.device_get(outs)  # ONE host fetch for all audio
