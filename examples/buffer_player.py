@@ -4,6 +4,11 @@ Plays a sound file through the graph (the reference opens a file dialog and
 plays live; here: pass a path, render through a Galactic reverb, write out).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -10,6 +10,11 @@ happens on a worker thread and the program swaps between blocks.
 and the result is written to live_edit.wav.)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

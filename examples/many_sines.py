@@ -6,6 +6,11 @@ VoiceBank node batches all voices across VPU lanes. Rendered offline to
 many_sines.wav.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 from knaster_tpu.prelude import *  # noqa: F403

@@ -5,6 +5,11 @@ volume; rendered offline to simple_sine.wav (the reference plays live via
 CPAL; non-realtime is our primary path).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 from knaster_tpu.prelude import *  # noqa: F403

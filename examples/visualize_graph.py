@@ -4,6 +4,11 @@ Builds a small patch and prints its Graphviz dot source (renders an SVG when
 the `dot` binary is available).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from knaster_tpu.prelude import *  # noqa: F403
 
 

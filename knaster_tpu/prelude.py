@@ -34,6 +34,12 @@ from .airwindows import Galactic  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
 from .models.voices import AdditiveVoice, FMVoice, SineVoice, SubtractiveVoice  # noqa: F401
 from .parallel.mesh import ShardedVoiceBank  # noqa: F401
+from .parallel.pallas_bank import (  # noqa: F401
+    PallasFMVoiceBank,
+    PallasSineVoiceBank,
+    PallasSubtractiveVoiceBank,
+    PallasWavetableVoiceBank,
+)
 from .parallel.voicebank import VoiceBank  # noqa: F401
 from .ugens.buffer import Buffer, BufferReader  # noqa: F401
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn  # noqa: F401
