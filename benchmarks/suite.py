@@ -286,11 +286,12 @@ def bench_fm_bank(n_voices=8192):
     else:
         bank = VoiceBank(FMVoice(), n_voices, voice_defaults=defaults)
     st = bank.init(ctx)
-    empty = bank.empty_node_events()
     no_in = jnp.zeros((0, 64), np.float32)
 
     def block(s, _):
-        result = bank.process(ctx, s, no_in, {}, events=empty)
+        # events=None = the steady-state program (what the graph engine's
+        # fast program runs for event-free blocks)
+        result = bank.process(ctx, s, no_in, {}, events=None)
         return result[0], result[1].mean()
 
     @jax.jit
@@ -298,11 +299,14 @@ def bench_fm_bank(n_voices=8192):
         return jax.lax.scan(block, s, None, length=750)
 
     s, m = render(st)
-    jax.block_until_ready(m)
-    t0 = time.time()
-    s, m = render(s)
-    jax.block_until_ready(m)
-    dt = time.time() - t0
+    _ = np.asarray(m)  # force real execution (see _program_rate)
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        jax.block_until_ready(m)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
     vs = n_voices * 48000 / dt
     print(json.dumps({
         "bench": "fm_voice_bank",

@@ -468,3 +468,40 @@ def test_pallas_wavetable_bank_matches_vmap():
     b = np.concatenate(outs_v, 1)
     assert np.abs(b).max() > 1e-3
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_sharded_wavetable_bank_matches_unsharded():
+    """PallasWavetableVoiceBank shards over the mesh (make_local carries the
+    harmonic decomposition to each shard)."""
+    from knaster_tpu import NonAaWavetable, PallasWavetableVoiceBank
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 8 * 1024
+    nb = NonAaWavetable()
+    nb.add_saw(1, 10, 1.0)
+    rng = np.random.default_rng(6)
+    defaults = {
+        "freq": rng.uniform(100, 2000, V).astype(np.float32),
+        "amp": np.full(V, 0.01, np.float32),
+        "pan": rng.uniform(-1, 1, V).astype(np.float32),
+    }
+    bank = PallasWavetableVoiceBank(V, table=nb.buffer, n_harmonics=8,
+                                    voice_defaults=defaults, tile_rows=8,
+                                    event_capacity=512)
+    sb = ShardedVoiceBank(bank, mesh, ctx)
+    events = [(0, v, bank.trig_index("t_restart"), 1, 0.0) for v in range(0, V, 17)]
+    st = sb.init_state()
+    st, o1 = sb.step(st, sb.events_from_lists(events))
+    st, o2 = sb.step(st, sb.empty_events())
+    sharded = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+
+    ust = bank.init(ctx)
+    ust, u1 = bank.process(ctx, ust, np.zeros((0, 64), np.float32), {},
+                           events=bank.node_events_from_lists(events))
+    ust, u2 = bank.process(ctx, ust, np.zeros((0, 64), np.float32), {},
+                           events=bank.empty_node_events())
+    unsharded = np.concatenate([np.asarray(u1), np.asarray(u2)], axis=1)
+    assert np.abs(unsharded).max() > 1e-5
+    np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
