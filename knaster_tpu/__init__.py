@@ -80,7 +80,7 @@ from .parallel.pallas_bank import (
     PallasSubtractiveVoiceBank,
     PallasWavetableVoiceBank,
 )
-from .models.voices import AdditiveVoice, FMCascade, FMVoice, SineVoice, SubtractiveVoice
+from .models.voices import AdditiveVoice, FMCascade, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice
 
 __version__ = "0.1.0"
 
@@ -97,6 +97,7 @@ __all__ = [
     "ShardedVoiceBank",
     "SineVoice",
     "SubtractiveVoice",
+    "SamplerVoice",
     "VoiceBank",
     "AllpassFeedbackDelay",
     "AudioCtx",

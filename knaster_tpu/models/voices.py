@@ -506,3 +506,135 @@ class AdditiveVoice(UGen):
         sig = (osc * env_out[0] * params["amp"])[None, :]
         _, out = self.panner.process(ctx, {}, sig, {"pan": params["pan"]})
         return {"phase": state["phase"] + ecs[B], "env": env_state}, out, done
+
+
+class SamplerVoice(UGen):
+    """Sample-playback voice for bank batching: one shared buffer, per-voice
+    rate/amp/pan, ASR envelope, restart trigger.
+
+    The TPU-native answer to BufferReader (ugens/buffer.rs:21-190) at voice
+    scale: instead of a per-sample scan, read positions are computed in
+    closed form for the whole block (loop wrap = integer modulus, a restart
+    re-anchors positions from its exact frame via a mask), so a bank of V
+    voices is two batched [V, B] gathers from the shared buffer plus
+    elementwise math. Divergences from BufferReader (documented): the loop
+    boundary is rounded to whole frames, and one restart per block per voice
+    (the most recent wins).
+    """
+
+    inputs = 0
+    outputs = 2
+    params = (
+        pfloat("rate", 1.0),
+        pfloat("amp", 0.5),
+        pfloat("pan", 0.0),
+        ptrigger("t_restart"),
+        ptrigger("t_release"),
+    )
+
+    def __init__(self, buffer, rate: float = 1.0, amp: float = 0.5,
+                 pan: float = 0.0, loop: bool = True,
+                 start_s: float = 0.0, end_s: float = -1.0,
+                 attack: float = 0.005, release: float = 0.05):
+        import numpy as np
+
+        data = np.asarray(buffer.data if hasattr(buffer, "data") else buffer)
+        if data.ndim == 2:
+            data = data[0]
+        self._data = data.astype(np.float32)
+        self._buf_sr = float(getattr(buffer, "sample_rate", 48000))
+        n = len(self._data)
+        self._start = int(round(start_s * self._buf_sr))
+        end = n if end_s < 0 else min(n, int(round(end_s * self._buf_sr)))
+        self._loop_len = max(end - self._start, 1)
+        self.loop = bool(loop)
+        self.pdefaults = {"rate": float(rate), "amp": float(amp),
+                          "pan": float(pan)}
+        self.env = EnvAsr(attack, release)
+        self._attack = float(attack)
+        self._release = float(release)
+        from ..ugens.pan import Pan2 as _P
+        self.panner = _P(pan)
+
+    def batch_key(self):
+        return (type(self), id(self._data), self._start, self._loop_len,
+                self.loop, self._attack, self._release)
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "pos_int": jnp.zeros((), jnp.int32),  # frames into the loop
+            "pos_frac": jnp.zeros((), ctx.dtype),
+            "playing": jnp.zeros((), bool),
+            "env": self.env.init(ctx),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        import numpy as np
+
+        B = ctx.block_size
+        dtype = ctx.dtype
+        buf = jnp.asarray(self._data, dtype)
+        L = self._loop_len
+        base = np.float32(self._buf_sr / ctx.sample_rate)
+        step = params["rate"][0] * base  # block-rate pitch
+        t = jnp.arange(B, dtype=dtype)
+
+        trig = params["t_restart"]
+        any_trig = jnp.any(trig)
+        # most recent restart frame (scan-free): highest t with trig set
+        tf = jnp.max(jnp.where(trig, jnp.arange(B), -1))
+        playing = state["playing"] | any_trig
+
+        # closed-form positions: continue from state, or re-anchor at tf
+        cont = state["pos_int"].astype(dtype) + state["pos_frac"] + step * t
+        fresh = step * (t - tf.astype(dtype))
+        after = t >= tf
+        pos = jnp.where(any_trig & after, fresh, cont)
+        ipos = jnp.floor(pos)
+        frac = pos - ipos
+        ipos = ipos.astype(jnp.int32)
+        if self.loop:
+            idx = jnp.mod(ipos, L)
+            idx1 = jnp.mod(ipos + 1, L)
+            alive = playing
+        else:
+            ended = ipos >= L
+            idx = jnp.clip(ipos, 0, L - 1)
+            idx1 = jnp.clip(ipos + 1, 0, L - 1)
+            alive = playing & ~ended
+        s0 = self._start
+        sig = buf[s0 + idx] + (buf[s0 + idx1] - buf[s0 + idx]) * frac
+        sig = jnp.where(alive, sig, jnp.zeros_like(sig))
+
+        # end-of-block pointer (same trajectory evaluated at t = B)
+        end_cont = state["pos_int"].astype(dtype) + state["pos_frac"] + step * B
+        end_fresh = step * (B - tf.astype(dtype))
+        end_pos = jnp.where(any_trig, end_fresh, end_cont)
+        e_int = jnp.floor(end_pos)
+        pos_frac = (end_pos - e_int).astype(dtype)
+        pos_int = e_int.astype(jnp.int32)
+        if self.loop:
+            pos_int = jnp.mod(pos_int, L)
+
+        no_in = jnp.zeros((0, B), dtype)
+        env_state, env_out, done = normalize_process_result(
+            self.env.process(
+                ctx, state["env"], no_in,
+                {
+                    "attack_time": jnp.full((B,), self._attack, dtype),
+                    "release_time": jnp.full((B,), self._release, dtype),
+                    "t_restart": params["t_restart"],
+                    "t_release": params["t_release"],
+                },
+            ),
+            ctx,
+        )
+        out_sig = (sig * env_out[0] * params["amp"])[None, :]
+        _, out = self.panner.process(ctx, {}, out_sig, {"pan": params["pan"]})
+        new_state = {
+            "pos_int": pos_int,
+            "pos_frac": pos_frac,
+            "playing": playing,
+            "env": env_state,
+        }
+        return new_state, out, done

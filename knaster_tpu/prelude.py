@@ -32,7 +32,7 @@ from .primitives import (  # noqa: F401
 )
 from .airwindows import Galactic  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
-from .models.voices import AdditiveVoice, FMVoice, SineVoice, SubtractiveVoice  # noqa: F401
+from .models.voices import AdditiveVoice, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice  # noqa: F401
 from .parallel.mesh import ShardedVoiceBank  # noqa: F401
 from .parallel.pallas_bank import (  # noqa: F401
     PallasFMVoiceBank,

@@ -505,3 +505,81 @@ def test_sharded_wavetable_bank_matches_unsharded():
     unsharded = np.concatenate([np.asarray(u1), np.asarray(u2)], axis=1)
     assert np.abs(unsharded).max() > 1e-5
     np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+
+
+def test_sampler_voice_closed_form():
+    """SamplerVoice's scan-free pointer math vs a per-sample numpy model:
+    restart mid-block, loop wrap, fractional rate, one-shot end."""
+    from knaster_tpu import SamplerVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    n = 100
+    ramp = np.arange(n, dtype=np.float32)  # buffer[i] = i: output = position
+
+    def run(voice, trig_frame, n_blocks, rate):
+        st = voice.init(ctx)
+        outs = []
+        for b in range(n_blocks):
+            p = {"rate": np.full(64, rate, np.float32),
+                 "amp": np.ones(64, np.float32),
+                 "pan": np.full(64, -1.0, np.float32),  # all left, gain 1
+                 "t_restart": np.zeros(64, bool),
+                 "t_release": np.zeros(64, bool)}
+            if b == 0:
+                p["t_restart"][trig_frame] = True
+            st, out, _ = voice.process(ctx, st, np.zeros((0, 64), np.float32), p)
+            outs.append(np.asarray(out)[0])
+        return np.concatenate(outs)
+
+    # env with instant attack so output == buffer value directly
+    sv = SamplerVoice(ramp, loop=True, attack=0.0, release=0.01)
+    got = run(sv, trig_frame=5, n_blocks=4, rate=1.7)
+    t = np.arange(256)
+    pos = np.where(t >= 5, 1.7 * (t - 5), 0.0)
+    ip = np.floor(pos); fr = (pos - ip).astype(np.float32)
+    i0 = (ip.astype(int)) % n; i1 = (ip.astype(int) + 1) % n
+    expect = (ramp[i0] + (ramp[i1] - ramp[i0]) * fr) * (t >= 5)
+    # env: attack 0 -> jumps to 1 one sample after the trigger (EnvAsr)
+    expect = np.where(t >= 6, expect, 0.0)
+    got_cmp = np.where(t >= 6, got, 0.0)
+    np.testing.assert_allclose(got_cmp, expect, atol=2e-3)
+    assert got_cmp[150] > 0  # looped past the end and kept playing
+
+    # one-shot: silent after the buffer end
+    sv1 = SamplerVoice(ramp, loop=False, attack=0.0, release=0.01)
+    got1 = run(sv1, trig_frame=0, n_blocks=4, rate=1.0)
+    assert np.abs(got1[102:]).max() == 0.0
+    np.testing.assert_allclose(got1[50], 50.0, atol=1e-3)  # pos(t) = t
+
+
+def test_sampler_voice_bank():
+    """A bank of sampler voices at different rates mixes correctly."""
+    from knaster_tpu import SamplerVoice
+
+    n = 4800
+    tone = np.sin(2 * np.pi * 440.0 * np.arange(n) / SR).astype(np.float32)
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(
+            SamplerVoice(tone, loop=True, attack=0.001, release=0.05),
+            4,
+            voice_defaults={"rate": np.array([0.5, 1.0, 2.0, 1.5], np.float32),
+                            "amp": np.full(4, 0.1, np.float32)},
+        ))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    for v in range(4):
+        bank.voice_param("t_restart").trig(v)
+    a = proc.render(frames=4096)
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() > 1e-3
+    # spectral peaks at 220/440/880/660 Hz
+    spec = np.abs(np.fft.rfft(a[0] * np.hanning(4096)))
+    freqs = np.fft.rfftfreq(4096, 1 / SR)
+    for f in (220, 440, 660, 880):
+        band = spec[(freqs > f - 40) & (freqs < f + 40)].max()
+        floor = spec[(freqs > 1200)].max()
+        assert band > 5 * floor, (f, band, floor)
