@@ -1,0 +1,112 @@
+"""Realtime streaming soak: StreamBackend on real hardware with live control.
+
+Runs the two-thread live engine (producer renders ahead through the native
+C++ SPSC ring, consumer drains at the audio rate) for SOAK_SECONDS of
+wall-clock with a large Pallas voice bank, firing live per-voice events every
+~100 ms from the control thread. Reports one JSON line with the underrun
+count — the realtime-viability metric (0 = no glitch).
+
+Device dispatch + fetch latency is tens of ms over this environment's TPU
+tunnel, so realtime hinges on the chunked producer (StreamBackend
+chunk_blocks) amortizing round trips; control latency is one chunk.
+
+Usage: python benchmarks/realtime_soak.py [seconds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SOAK_SECONDS = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+V = 131072
+SR = 48000
+BLOCK = 64
+CHUNK_BLOCKS = int(os.environ.get("SOAK_CHUNK", 64))  # control latency = chunk
+
+
+def main():
+    from knaster_tpu import (
+        AudioProcessor,
+        AudioProcessorOptions,
+        PallasSineVoiceBank,
+        StreamBackend,
+    )
+
+    rng = np.random.default_rng(0)
+    opts = AudioProcessorOptions(block_size=BLOCK, sample_rate=SR)
+    graph, proc = AudioProcessor.new(0, 2, opts)
+
+    def build(g):
+        bank = g.push(PallasSineVoiceBank(
+            V, event_capacity=512,
+            voice_defaults={
+                "freq": rng.uniform(80, 3000, V).astype(np.float32),
+                "amp": np.full(V, 5e-5, np.float32),
+                "pan": rng.uniform(-1, 1, V).astype(np.float32),
+            },
+        ))
+        bank.to_graph_out()
+        return bank
+
+    bank = graph.edit(build)
+
+    consumed = [0]
+    peak = [0.0]
+
+    def consumer(block):
+        consumed[0] += block.shape[1]
+        peak[0] = max(peak[0], float(np.abs(block).max()))
+
+    backend = StreamBackend(SR, BLOCK, consumer=consumer,
+                            chunk_blocks=CHUNK_BLOCKS)
+    t_setup = time.time()
+    backend.start_processing(proc)
+    setup_s = time.time() - t_setup
+
+    trig = bank.voice_param("t_restart")
+    rel = bank.voice_param("t_release")
+    freqp = bank.voice_param("freq")
+    t_end = time.time() + SOAK_SECONDS
+    n_events = 0
+    group = 0
+    while time.time() < t_end:
+        # live control at ~10 Hz: start a 64-voice cluster, release the one
+        # from two rounds ago, detune a few voices
+        base = (group * 64) % V
+        for v in range(base, base + 64):
+            trig.trig(v)
+        old = ((group - 2) * 64) % V
+        if group >= 2:
+            for v in range(old, old + 64):
+                rel.trig(v)
+        for v in range(base, base + 8):
+            freqp.set(v, float(rng.uniform(200, 2000)))
+        n_events += 64 + (64 if group >= 2 else 0) + 8
+        group += 1
+        time.sleep(0.1)
+
+    backend.stop()
+    wall = SOAK_SECONDS
+    audio_s = consumed[0] / SR
+    print(json.dumps({
+        "bench": "realtime_soak",
+        "config": f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}",
+        "value": backend.underruns,
+        "unit": "underruns",
+        "wall_s": round(wall, 1),
+        "audio_consumed_s": round(audio_s, 2),
+        "live_events": n_events,
+        "peak": round(peak[0], 4),
+        "startup_s": round(setup_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

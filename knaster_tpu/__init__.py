@@ -73,6 +73,7 @@ from .ugens.util import Constant, DoneOnTrig, LogProbe
 from .ugens.wavetable import NonAaWavetable, Wavetable, harmonics_from_table
 from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
+from .backends import AudioBackend, OfflineBackend, StreamBackend
 from .parallel.mesh import ShardedVoiceBank
 from .parallel.pallas_bank import (
     PallasFMVoiceBank,
@@ -88,6 +89,9 @@ __all__ = [
     "AllpassDelay",
     "FMCascade",
     "Galactic",
+    "AudioBackend",
+    "OfflineBackend",
+    "StreamBackend",
     "FMVoice",
     "PallasFMVoiceBank",
     "PallasSineVoiceBank",

@@ -84,18 +84,28 @@ class StreamBackend(AudioBackend):
     consumer: callable(block [channels, frames]) invoked at the audio rate
     from the consumer thread (the 'device callback'). Defaults to a pacing
     null sink. ``lookahead_blocks`` is how far the producer may render ahead
-    (the latency/robustness tradeoff)."""
+    (the latency/robustness tradeoff).
+
+    ``chunk_blocks``: how many blocks the producer renders per device round
+    trip. Device dispatch + fetch has fixed latency (tens of ms over this
+    environment's tunnel), so sustained realtime requires amortizing it:
+    each producer iteration renders one chunk via the on-device scan path
+    and fetches it with a single transfer. Scheduled events stay
+    sample-accurate (the render path splits eventful blocks); the tradeoff
+    is control latency of up to one chunk, like a device buffer."""
 
     def __init__(
         self,
         sample_rate: int = 48000,
         block_size: int = 64,
-        lookahead_blocks: int = 8,
+        lookahead_blocks: int = 96,
         consumer: Optional[Callable[[np.ndarray], None]] = None,
+        chunk_blocks: int = 32,
     ):
         self._sr = sample_rate
         self._block = block_size
-        self.lookahead = int(lookahead_blocks)
+        self.lookahead = max(int(lookahead_blocks), 2 * int(chunk_blocks))
+        self.chunk_blocks = int(chunk_blocks)
         self.consumer = consumer
         self.processor: Optional[AudioProcessor] = None
         self.ring = None
@@ -131,14 +141,46 @@ class StreamBackend(AudioBackend):
         processor.compiled.render(st, ev, inp)
         st = jax.tree_util.tree_map(jnp_copy, processor.state)
         processor.compiled.render_fast(st, inp)
+        # warm EVERY power-of-two scan length the producer can hit — live
+        # events segment a chunk into arbitrary event-free run lengths, so
+        # any of them may be needed mid-stream. EXECUTE on copied state
+        # (lower().compile() does not populate the jit-call cache).
+        from ..graph.processor import _get_full_scan_fn, _get_scan_fn
+
+        import jax.numpy as jnp
+
+        scan_fn = _get_scan_fn(processor.compiled)
+        full_fn = _get_full_scan_fn(processor.compiled)
+        ev_np = processor._empty_events_np()
+        cap = min(self.chunk_blocks, processor.options.render_chunk_blocks)
+        sub = 16
+        while sub <= cap:
+            shape = (sub, processor.graph.inputs, self._block)
+            st = jax.tree_util.tree_map(jnp_copy, processor.state)
+            _ = scan_fn(st, jnp.zeros(shape, processor.graph.dtype))
+            jax.block_until_ready(_[1])
+            st = jax.tree_util.tree_map(jnp_copy, processor.state)
+            ev_stack = jax.tree_util.tree_map(
+                lambda x: np.broadcast_to(x, (sub,) + x.shape).copy(), ev_np
+            )
+            _ = full_fn(st, ev_stack, jnp.zeros(shape, processor.graph.dtype))
+            jax.block_until_ready(_[1])
+            sub *= 2
 
         self._running.set()
 
+        chunk_frames = self._block * self.chunk_blocks
+        # prefill: one chunk of lookahead in the ring before the consumer
+        # starts draining (the role of a device buffer's initial latency)
+        self.ring.write(processor.render(frames=chunk_frames))
+
         def producer():
             while self._running.is_set():
-                if self.ring.available_write() >= self._block:
-                    processor.run_without_inputs()
-                    self.ring.write(processor.output_block())
+                if self.ring.available_write() >= chunk_frames:
+                    # one device round trip per chunk: on-device scan of the
+                    # fast program (eventful blocks split automatically),
+                    # one fetch
+                    self.ring.write(processor.render(frames=chunk_frames))
                 else:
                     time.sleep(self._block / self._sr / 4)
 

@@ -105,6 +105,28 @@ def init_state(layout: ParamLayout, dtype=np.float32) -> Dict[str, jnp.ndarray]:
     }
 
 
+def empty_events_np(capacity: int, dtype=np.float32) -> Dict[str, np.ndarray]:
+    """Host-side (numpy) all-padding event tensors — build events here, NOT
+    by round-tripping the device constants (each np.array(jnp_array) is a
+    device→host fetch, ~RTT each over a remote-TPU tunnel)."""
+    E = capacity
+    zi = np.zeros((E,), dtype=np.int32)
+    return {
+        "f_frame": zi.copy(),
+        "f_slot": np.full((E,), -1, dtype=np.int32),
+        "f_value": np.zeros((E,), dtype=dtype),
+        "f_kind": zi.copy(),
+        "f_smode": zi.copy(),
+        "f_sdur": zi.copy(),
+        "f_srate": zi.copy(),
+        "t_frame": zi.copy(),
+        "t_slot": np.full((E,), -1, dtype=np.int32),
+        "i_frame": zi.copy(),
+        "i_slot": np.full((E,), -1, dtype=np.int32),
+        "i_value": zi.copy(),
+    }
+
+
 def empty_events(capacity: int, dtype=np.float32) -> Dict[str, jnp.ndarray]:
     """All-padding event tensors (slot == -1 means 'no event')."""
     E = capacity
@@ -146,9 +168,7 @@ def events_from_lists(
             f"more than {capacity} events in one block; raise "
             f"GraphOptions.event_capacity"
         )
-    ev = {
-        k: np.array(v, copy=True) for k, v in empty_events(capacity, dtype).items()
-    }
+    ev = empty_events_np(capacity, dtype)
     for i, (f, s, v, k, m, d, r) in enumerate(sorted(float_events, key=lambda e: e[0])):
         ev["f_frame"][i] = f
         ev["f_slot"][i] = s
@@ -164,7 +184,9 @@ def events_from_lists(
         ev["i_frame"][i] = f
         ev["i_slot"][i] = s
         ev["i_value"][i] = v
-    return {k: jnp.asarray(v) for k, v in ev.items()}
+    # stays numpy: uploaded when the render call consumes it (converting to
+    # device arrays here would also block stacking for the chunked scans)
+    return ev
 
 
 class PEngine:

@@ -225,9 +225,7 @@ class AudioProcessor:
         cached = getattr(self, "_empty_ev_np", None)
         if cached is not None and cached[0] is self.compiled:
             return cached[1]
-        ev = {
-            k: np.asarray(v) for k, v in self.compiled.empty_events().items()
-        }
+        ev = jax.tree_util.tree_map(np.asarray, self.compiled.empty_events())
         self._empty_ev_np = (self.compiled, ev)
         return ev
 
@@ -250,6 +248,19 @@ class AudioProcessor:
                     nd.get(nid, []), dtype=self.graph.dtype
                 )
         return ev
+
+    def _events_stack(self, per_block_lists):
+        """Stack per-block event tensors into [n, ...] arrays for the
+        full-program scan (numpy throughout: one host→device upload when the
+        scan consumes the stack)."""
+        empty = self._empty_events_np()
+        blocks = [
+            self._events_tensor(lists) if any(lists) else empty
+            for lists in per_block_lists
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
+        )
 
     def _zero_inputs(self):
         return jnp.zeros(
@@ -419,45 +430,29 @@ class AudioProcessor:
             n = min(chunk, n_blocks - rendered)
             self._ensure_compiled()
             per_block = self._collect_due_events(n)
-            any_events = any(
-                fl or tl or il or nd for (fl, tl, il, nd) in per_block
-            )
-            if any_events:
-                # eventful blocks run one-by-one, picking the full program
-                # only for blocks that actually have events
-                dones = []
-                for bi in range(n):
-                    fl, tl, il, nd = per_block[bi]
-                    inp = block_inputs(rendered + bi)
-                    if fl or tl or il or nd:
-                        ev = self._events_tensor(per_block[bi])
-                        self.state, out, done = self.compiled.render(
-                            self.state, ev, inp
-                        )
-                    else:
-                        self.state, out, done = self.compiled.render_fast(
-                            self.state, inp
-                        )
-                    outs.append(out[None])
-                    dones.append(done)
-                self.graph.clock.frames += n * B
-                rendered += n
-                if dones and self.compiled.has_done_actions:
-                    self._apply_done_flags(
-                        np.stack([np.asarray(d) for d in dones]).any(axis=0)
-                    )
-                continue
-            # event-free run: scans of power-of-two lengths + eager tail
+            eventful = [bool(any(pb)) for pb in per_block]
+            # cover the chunk with power-of-two scans: sub-chunks with any
+            # events run the FULL program over stacked per-block event
+            # tensors (still one device dispatch), event-free sub-chunks run
+            # the cheaper fast program
+            bi = 0
             remaining = n
             while remaining:
                 sub = chunk
                 while sub > remaining:
                     sub //= 2
                 if sub >= MIN_SCAN:
-                    scan_fn = _get_scan_fn(self.compiled)
-                    self.state, out_stack, done_stack = scan_fn(
-                        self.state, in_stack_for(rendered, sub)
-                    )
+                    if any(eventful[bi : bi + sub]):
+                        ev_stack = self._events_stack(per_block[bi : bi + sub])
+                        scan_fn = _get_full_scan_fn(self.compiled)
+                        self.state, out_stack, done_stack = scan_fn(
+                            self.state, ev_stack, in_stack_for(rendered, sub)
+                        )
+                    else:
+                        scan_fn = _get_scan_fn(self.compiled)
+                        self.state, out_stack, done_stack = scan_fn(
+                            self.state, in_stack_for(rendered, sub)
+                        )
                     outs.append(out_stack)
                     if self.compiled.has_done_actions:
                         self._apply_done_flags(
@@ -465,15 +460,22 @@ class AudioProcessor:
                         )
                 else:
                     sub = 1
-                    self.state, out, done = self.compiled.render_fast(
-                        self.state, block_inputs(rendered)
-                    )
+                    if eventful[bi]:
+                        ev = self._events_tensor(per_block[bi])
+                        self.state, out, done = self.compiled.render(
+                            self.state, ev, block_inputs(rendered)
+                        )
+                    else:
+                        self.state, out, done = self.compiled.render_fast(
+                            self.state, block_inputs(rendered)
+                        )
                     outs.append(out[None])
                     if self.compiled.has_done_actions:
                         self._apply_done_flags(np.asarray(done))
                 self.graph.clock.frames += sub * B
                 rendered += sub
                 remaining -= sub
+                bi += sub
 
         if outs:
             outs = jax.device_get(outs)  # ONE host fetch for all audio
@@ -490,6 +492,31 @@ class AudioProcessor:
 
 
 _SCAN_CACHE: Dict[int, object] = {}
+_FULL_SCAN_CACHE: Dict[int, object] = {}
+
+
+def _get_full_scan_fn(compiled: CompiledGraph):
+    """Jitted scan of the FULL (eventful) program over stacked per-block
+    event tensors — one device dispatch per eventful sub-chunk instead of
+    per-block eager calls."""
+    key = id(compiled)
+    fn = _FULL_SCAN_CACHE.get(key)
+    if fn is None:
+
+        def scan_fn(state, ev_stack, in_stack):
+            def body(st, x):
+                ev, inp = x
+                st, out, done = compiled.render_raw(st, ev, inp)
+                return st, (out, done)
+
+            state, (outs, dones) = jax.lax.scan(
+                body, state, (ev_stack, in_stack)
+            )
+            return state, outs, dones
+
+        fn = jax.jit(scan_fn, donate_argnums=(0,))
+        _FULL_SCAN_CACHE[key] = fn
+    return fn
 
 
 def _get_scan_fn(compiled: CompiledGraph):

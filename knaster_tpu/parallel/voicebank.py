@@ -164,14 +164,23 @@ class VoiceBank(UGen):
                 f"more than {self.event_capacity} voice events in one block; "
                 f"raise VoiceBank(event_capacity=...)"
             )
-        ev = {k: np.array(v, copy=True) for k, v in self.empty_node_events(dtype).items()}
+        E = self.event_capacity
+        # build host-side (a np.array() of the device constants would be 5
+        # device->host fetches, ~RTT each over a remote-TPU tunnel)
+        ev = {
+            "frame": np.zeros((E,), np.int32),
+            "voice": np.full((E,), -1, np.int32),
+            "param": np.zeros((E,), np.int32),
+            "kind": np.zeros((E,), np.int32),
+            "value": np.zeros((E,), dtype),
+        }
         for i, (f, v, p, k, val) in enumerate(flat):
             ev["frame"][i] = f
             ev["voice"][i] = v
             ev["param"][i] = p
             ev["kind"][i] = k
             ev["value"][i] = val
-        return {k: jnp.asarray(v) for k, v in ev.items()}
+        return ev  # numpy: uploaded by the consuming render call
 
     # -------------------------------------------------------------- process
     def _packed_trigs(self, ctx: AudioCtx, events, trig_idx: int):
