@@ -40,8 +40,22 @@ def _env_rate(seconds, sr):
     return jnp.where(seconds == 0, jnp.ones_like(seconds), 1.0 / (seconds * sr))
 
 
+
+def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
+    """Keep the kernel grid at >= 2 tiles: single-tile grids with large tiles
+    exceed Mosaic's scoped-VMEM stack once the sample loop is unrolled
+    (observed: V=16384, tile_rows=128 -> 20.5M > 16M; two tiles fit)."""
+    R = max(n_voices // LANES, 1)
+    tr = min(int(tile_rows), R)
+    if tr >= R and R > 1:
+        tr = R // 2
+    while tr > 1 and R % tr:
+        tr -= 1
+    return max(tr, 1)
+
 def _bank_kernel(
     B: int,
+    unroll: bool,
     s_ref, c_ref, rs_ref, rc_ref, stage_ref, t_ref, rscale_ref,
     atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
     restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
@@ -100,7 +114,9 @@ def _bank_kernel(
                 stage, t_next, rscale)
 
     carry = (s_ref[:], c_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
-    s, c, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
+    # fully unrolled on hardware: Mosaic's loop overhead costs ~20% at this
+    # body size (the CPU interpreter keeps the rolled loop: cheap to trace)
+    s, c, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry, unroll=unroll)
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
@@ -111,6 +127,7 @@ class PallasSineVoiceBank(VoiceBank):
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.1, tile_rows: int = 128):
+        tile_rows = _cap_tile_rows(tile_rows, n_voices)
         if n_voices % (tile_rows * LANES):
             raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
         super().__init__(
@@ -208,7 +225,7 @@ class PallasSineVoiceBank(VoiceBank):
         # tests run on CPU: use the pallas interpreter there
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
-            functools.partial(_bank_kernel, B),
+            functools.partial(_bank_kernel, B, not interpret),
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(17)],
             out_shape=(
@@ -246,6 +263,7 @@ class PallasSineVoiceBank(VoiceBank):
 
 def _fm_bank_kernel(
     B: int,
+    unroll: bool,
     sm_ref, cm_ref, rsm_ref, rcm_ref, phc_ref, stage_ref, t_ref,
     freq_ref, index_ref, amp_ref, atk_ref, rel_ref, active_ref,
     restart_lo_ref, restart_hi_ref,
@@ -309,7 +327,7 @@ def _fm_bank_kernel(
                 cm * rcm_ref[:] - sm * rsm_ref[:], phc, stage, t_next)
 
     carry = (sm_ref[:], cm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
-    _, _, phc, stage, t = jax.lax.fori_loop(0, B, body, carry)
+    _, _, phc, stage, t = jax.lax.fori_loop(0, B, body, carry, unroll=unroll)
     phc_out[:] = phc
     stage_out[:] = stage
     t_out[:] = t
@@ -328,6 +346,7 @@ class PallasFMVoiceBank(VoiceBank):
                  tile_rows: int = 128):
         from ..models.voices import FMVoice
 
+        tile_rows = _cap_tile_rows(tile_rows, n_voices)
         if n_voices % (tile_rows * LANES):
             raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
         super().__init__(
@@ -414,7 +433,7 @@ class PallasFMVoiceBank(VoiceBank):
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
-            functools.partial(_fm_bank_kernel, B),
+            functools.partial(_fm_bank_kernel, B, not interpret),
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(15)],
             out_shape=(
@@ -448,6 +467,7 @@ class PallasFMVoiceBank(VoiceBank):
 
 def _sub_bank_kernel(
     B: int,
+    unroll: bool,
     t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
     dt_ref, a1_ref, a2_ref, a3_ref, amp_ref, atk_ref, rel_ref, active_ref,
     restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
@@ -524,7 +544,9 @@ def _sub_bank_kernel(
 
     carry = (t_ref[:], ic1_ref[:], ic2_ref[:], stage_ref[:], et_ref[:],
              rscale_ref[:])
-    t, ic1, ic2, stage, et, rscale = jax.lax.fori_loop(0, B, body, carry)
+    t, ic1, ic2, stage, et, rscale = jax.lax.fori_loop(
+        0, B, body, carry, unroll=unroll
+    )
     t_out[:] = t
     ic1_out[:] = ic1
     ic2_out[:] = ic2
@@ -545,6 +567,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
                  tile_rows: int = 128):
         from ..models.voices import SubtractiveVoice
 
+        tile_rows = _cap_tile_rows(tile_rows, n_voices)
         if n_voices % (tile_rows * LANES):
             raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
         super().__init__(
@@ -631,7 +654,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
-            functools.partial(_sub_bank_kernel, B),
+            functools.partial(_sub_bank_kernel, B, not interpret),
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(18)],
             out_shape=(
@@ -671,6 +694,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 def _wt_bank_kernel(
     B: int,
     H: int,
+    unroll: bool,
     s_ref, c_ref, rs_ref, rc_ref, stage_ref, t_ref, rscale_ref,
     atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
     ha_ref, hb_ref,  # [H, TR, LANES] band-limited sin/cos partial coeffs
@@ -734,7 +758,11 @@ def _wt_bank_kernel(
                 c1 * rc_ref[:] - s1 * rs_ref[:], stage, t_next, rscale)
 
     carry = (s_ref[:], c_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
-    _, _, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry)
+    # measured: unrolling this kernel is a net loss (the harmonic loop
+    # already fills the VPU; 64x body duplication only bloats the program)
+    _, _, stage, t, rscale = jax.lax.fori_loop(
+        0, B, body, carry, unroll=unroll
+    )
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
@@ -870,7 +898,7 @@ class PallasWavetableVoiceBank(VoiceBank):
                                      memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
-            functools.partial(_wt_bank_kernel, B, H),
+            functools.partial(_wt_bank_kernel, B, H, False),
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(13)] + [hspec(), hspec()]
                      + [tile() for _ in range(4)],
