@@ -31,7 +31,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..primitives.params import Param, pbool, pfloat, pinteger, ptrigger
+from ..primitives.params import pbool, pfloat, pinteger, ptrigger
 from .ugen import AudioCtx, UGen
 
 

@@ -10,8 +10,6 @@ sample, parallel evaluation, and it vectorizes over channels/voices for free.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ TPU-native equivalents:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, List, Tuple
+from typing import List
 
 import jax
 

@@ -19,16 +19,14 @@ pointers run sequentially on the audio thread, we trace every node's pure
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from ..core.ugen import AudioCtx, normalize_process_result
 from .graph import Done, Graph, GraphError, NodeEntry
-from .handles import K_GRAPH_IN, K_NODE
+from .handles import K_GRAPH_IN
 from .param_engine import ParamLayout, PEngine, empty_events, init_state as pe_init_state
 
 

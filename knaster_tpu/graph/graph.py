@@ -29,14 +29,12 @@ Feature parity map:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
-
-import numpy as np
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 from ..core.ugen import UGen
 from ..primitives.floats import default_dtype
-from .handles import K_GRAPH_IN, K_NODE, Handle, Parameter, Source
+from .handles import K_GRAPH_IN, K_NODE, Handle, Source
 from .scheduling import ScheduledEvent, Time
 
 

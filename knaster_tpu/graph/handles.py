@@ -21,7 +21,7 @@ abandoned-channel detection, handle.rs:56-60).
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 from ..primitives.params import Smoothing
 from .scheduling import Time

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.ugen import AudioCtx, UGen
-from ..primitives.params import ParameterKind, pbool, pfloat, pinteger, ptrigger
+from ..primitives.params import ParameterKind, pfloat, pinteger, ptrigger
 
 # EnvAsr stages (envelopes.rs AsrState)
 STOPPED, ATTACKING, SUSTAINING, RELEASING = 0, 1, 2, 3
