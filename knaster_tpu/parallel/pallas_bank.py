@@ -42,11 +42,12 @@ def _env_rate(seconds, sr):
 
 
 def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
-    """Keep the kernel grid at >= 2 tiles: single-tile grids with large tiles
-    exceed Mosaic's scoped-VMEM stack once the sample loop is unrolled
-    (observed: V=16384, tile_rows=128 -> 20.5M > 16M; two tiles fit)."""
+    """Cap tiles at 64x128 voices and keep the grid at >= 2 tiles: the
+    unrolled sample loop's scoped-VMEM stack exceeds Mosaic's 16M limit with
+    128-row tiles (observed 20.5-20.7M in several surrounding-program
+    contexts; 64-row tiles fit everywhere measured)."""
     R = max(n_voices // LANES, 1)
-    tr = min(int(tile_rows), R)
+    tr = min(int(tile_rows), R, 64)
     if tr >= R and R > 1:
         tr = R // 2
     while tr > 1 and R % tr:
