@@ -42,6 +42,7 @@ def main():
     rng = np.random.default_rng(0)
     opts = AudioProcessorOptions(block_size=BLOCK, sample_rate=SR)
     graph, proc = AudioProcessor.new(0, 2, opts)
+    with_fx = os.environ.get("SOAK_FX", "0") == "1"
 
     def build(g):
         bank = g.push(PallasSineVoiceBank(
@@ -52,7 +53,15 @@ def main():
                 "pan": rng.uniform(-1, 1, V).astype(np.float32),
             },
         ))
-        bank.to_graph_out()
+        if with_fx:
+            # the full production bus: massed voices -> Galactic reverb
+            from knaster_tpu import Galactic
+
+            verb = g.push(Galactic(wet=0.35))
+            bank.to(verb)
+            verb.to_graph_out()
+        else:
+            bank.to_graph_out()
         return bank
 
     bank = graph.edit(build)
@@ -97,7 +106,7 @@ def main():
     audio_s = consumed[0] / SR
     print(json.dumps({
         "bench": "realtime_soak",
-        "config": f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}",
+        "config": f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}" + ("_galactic" if with_fx else ""),
         "value": backend.underruns,
         "unit": "underruns",
         "wall_s": round(wall, 1),
