@@ -290,8 +290,18 @@ def _fm_bank_kernel(
         )
 
     def sine_of(phase):
+        # degree-7 odd minimax polynomial on [-pi, pi): max error 2.5e-4,
+        # below the 2*pi/TABLE_SIZE = 3.8e-4 table-quantization bound this
+        # path emulates, at ~1/3 the op count of jnp.sin
         idx = pltpu.bitcast((phase >> 16) & mask, jnp.int32).astype(jnp.float32)
-        return jnp.sin(idx * scale)
+        r = idx * scale - np.float32(np.pi)
+        r2 = r * r
+        p = r * (np.float32(9.9927639488e-01) + r2 * (
+            np.float32(-1.6566749647e-01) + r2 * (
+                np.float32(7.9581818171e-03) + r2 * np.float32(-1.4508485394e-04)
+            )
+        ))
+        return -p  # sin(theta) = -sin(theta - pi)
 
     def body(i, carry):
         sm, cm, phc, stage, t = carry
