@@ -155,8 +155,13 @@ class Galactic(UGen):
         size = params["bigness"][0] * 0.9 + 0.1  # block-rate in this path
         wet = 1.0 - (1.0 - params["wet"]) ** 3
 
+        # clamp to B+1: every read must land strictly before this block's
+        # writes (at eff == B the exact per-sample scan reads the same-block
+        # write, which the pre-block ring can't represent). Tiny ``bigness``
+        # values with large blocks are therefore approximated by an eff of
+        # B+1; use blockwise=False for exact short-delay behavior.
         eff = jnp.clip(
-            (base_lens.astype(dtype) * size).astype(jnp.int32), B, self._Lmax
+            (base_lens.astype(dtype) * size).astype(jnp.int32), B + 1, self._Lmax
         )  # [12]
 
         # 1. sequential scalar chain

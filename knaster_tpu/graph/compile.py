@@ -57,6 +57,10 @@ class CompiledGraph:
     render_fast: Any = None  # jitted no-events program (state, inputs)
     render_fast_raw: Any = None
     revision: int = -1
+    # lazily-built chunked scan programs (see processor._get_scan_fn); held
+    # on the instance so superseded compiles are garbage-collectable
+    scan_fn: Any = None
+    full_scan_fn: Any = None
 
     # ------------------------------------------------------------------
     @staticmethod

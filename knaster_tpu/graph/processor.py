@@ -18,7 +18,7 @@ graph_gen.rs:93-109 / task.rs:101-131).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,13 +158,20 @@ class AudioProcessor:
         B = self.graph.block_size
         clock = self.graph.clock.frames
         end = clock + B * horizon_blocks
+        # atomic drain: swap the queue out FIRST, then re-append the keeps.
+        # With StreamBackend the control thread appends via _queue_event while
+        # the producer thread runs this; appends that land after the swap go
+        # into the fresh list and survive (list.append is atomic via the GIL).
+        pending = self.graph.event_queue
+        self.graph.event_queue = []
         due, keep = [], []
-        for ev in self.graph.event_queue:
+        for ev in pending:
             if ev.due_frame < end:
                 due.append(ev)
             else:
                 keep.append(ev)
-        self.graph.event_queue = keep
+        if keep:
+            self.graph.event_queue.extend(keep)
 
         per_block: List[Tuple[list, list, list, dict]] = [
             ([], [], [], {}) for _ in range(horizon_blocks)
@@ -486,21 +493,28 @@ class AudioProcessor:
         if audio.shape[1] > frames_needed:
             self._pending = audio[:, frames_needed:]
             audio = audio[:, :frames_needed]
+        elif audio.shape[1] < frames_needed:
+            # a FREE_PARENT done action freed the top-level graph mid-render:
+            # pad with silence so callers always get [channels, frames]
+            pad = frames_needed - audio.shape[1]
+            audio = np.concatenate(
+                [audio, np.zeros((self.graph.outputs, pad), dtype=audio.dtype)],
+                axis=1,
+            )
         if prefix is not None:
             audio = np.concatenate([prefix, audio], axis=1)
         return audio
 
 
-_SCAN_CACHE: Dict[int, object] = {}
-_FULL_SCAN_CACHE: Dict[int, object] = {}
-
-
 def _get_full_scan_fn(compiled: CompiledGraph):
     """Jitted scan of the FULL (eventful) program over stacked per-block
     event tensors — one device dispatch per eventful sub-chunk instead of
-    per-block eager calls."""
-    key = id(compiled)
-    fn = _FULL_SCAN_CACHE.get(key)
+    per-block eager calls.
+
+    Cached on the CompiledGraph itself so superseded compiles (live-edit /
+    streaming sessions that recompile per structural commit) are actually
+    collectable — a module-global cache would pin every program forever."""
+    fn = compiled.full_scan_fn
     if fn is None:
 
         def scan_fn(state, ev_stack, in_stack):
@@ -515,14 +529,13 @@ def _get_full_scan_fn(compiled: CompiledGraph):
             return state, outs, dones
 
         fn = jax.jit(scan_fn, donate_argnums=(0,))
-        _FULL_SCAN_CACHE[key] = fn
+        compiled.full_scan_fn = fn
     return fn
 
 
 def _get_scan_fn(compiled: CompiledGraph):
     """Jitted scan of the fast (no-events) program over a fixed chunk."""
-    key = id(compiled)
-    fn = _SCAN_CACHE.get(key)
+    fn = compiled.scan_fn
     if fn is None:
 
         def scan_fn(state, in_stack):
@@ -534,7 +547,7 @@ def _get_scan_fn(compiled: CompiledGraph):
             return state, outs, dones
 
         fn = jax.jit(scan_fn, donate_argnums=(0,))
-        _SCAN_CACHE[key] = fn
+        compiled.scan_fn = fn
     return fn
 
 

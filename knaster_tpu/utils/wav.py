@@ -64,7 +64,12 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             else:
                 raise ValueError(f"unsupported PCM bit depth {bits}")
         elif tag == WAVE_FORMAT_IEEE_FLOAT:
-            dt = "<f4" if bits == 32 else "<f8"
+            if bits == 32:
+                dt = "<f4"
+            elif bits == 64:
+                dt = "<f8"
+            else:
+                raise ValueError(f"unsupported IEEE-float bit depth {bits}")
             x = np.frombuffer(data, dtype=dt).astype(np.float32)
         else:
             raise ValueError(
