@@ -56,7 +56,7 @@ from .ugens.delay import (
     StaticSampleDelay,
 )
 from .ugens.dynamics import SafetyLimiter
-from .ugens.envelopes import EnvAr, EnvAsr, Envelope, EnvelopeSegment
+from .ugens.envelopes import EnvAr, EnvAsr, Envelope, EnvelopeSegment, EnvelopeShape
 from .ugens.filters import OnePoleHpf, OnePoleLpf, SvfFilter, SvfFilterType
 from .ugens.math import Math1UGen, MathUGen
 from .ugens.noise import (
@@ -113,6 +113,7 @@ __all__ = [
     "EnvAsr",
     "Envelope",
     "EnvelopeSegment",
+    "EnvelopeShape",
     "OnePoleHpf",
     "OnePoleLpf",
     "Pan2",

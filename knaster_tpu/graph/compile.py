@@ -384,9 +384,9 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
 
     def render(state, events, graph_inputs):
         if fast:
-            pf, pt, pi, pe_state = cg.engine.materialize_fast(state["pe"])
+            pf, pt, pi, pset, pe_state = cg.engine.materialize_fast(state["pe"])
         else:
-            pf, pt, pi, pe_state = cg.engine.materialize(state["pe"], events)
+            pf, pt, pi, pset, pe_state = cg.engine.materialize(state["pe"], events)
 
         outs: Dict[int, jnp.ndarray] = {}
         # batched groups: nid -> (group_key, index); group outputs [N, ch, B]
@@ -453,6 +453,8 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                     params[spec.name] = pt[slot]
                 else:
                     params[spec.name] = pi[slot]
+                    if getattr(spec, "retrigger", False):
+                        params[spec.name + "_set"] = pset[slot]
             return params
 
         def batch_params(nids):
@@ -475,9 +477,15 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                     typ = cg.layout.lookup(nids[0], pidx)[0]
                     src = {"float": pf, "trigger": pt, "int": pi}[typ]
                     out_params[spec.name] = src[idx]
+                    if typ == "int" and getattr(spec, "retrigger", False):
+                        out_params[spec.name + "_set"] = pset[idx]
                 else:
                     rows = [node_params(n)[spec.name] for n in nids]
                     out_params[spec.name] = jnp.stack(rows)
+                    if getattr(spec, "retrigger", False):
+                        rows_s = [node_params(n).get(spec.name + "_set") for n in nids]
+                        if all(r is not None for r in rows_s):
+                            out_params[spec.name + "_set"] = jnp.stack(rows_s)
             return out_params
 
         def batch_inputs(nids, rep):

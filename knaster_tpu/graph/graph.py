@@ -251,9 +251,16 @@ class Graph:
         return Handle(self, nid)
 
     def handle_from_name(self, name: str) -> Optional[Handle]:
+        """Find a node by name, searching subgraphs depth-first (consistent
+        with ``handle(nid)``, which also resolves into subgraphs)."""
         for nid, e in self.nodes.items():
             if e.name == name:
                 return Handle(self, nid)
+        for e in self.nodes.values():
+            if e.subgraph is not None:
+                h = e.subgraph.handle_from_name(name)
+                if h is not None:
+                    return h
         return None
 
     def from_inputs(self, chs) -> Source:

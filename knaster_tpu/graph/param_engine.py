@@ -199,14 +199,16 @@ class PEngine:
 
     # -- jax-traced -------------------------------------------------------
     def materialize(self, state, events):
-        B = self.block_size
-        dtype = self.dtype
+        """Returns (pf, pt, pi, pset, new_state): per-sample float/trigger/int
+        parameter arrays plus the int set-event mask (True at the frame an
+        int set event lands — param_apply-per-event parity for retrigger
+        params like Envelope.jump_to_segment)."""
         pf, fstate = self._materialize_floats(state, events)
         pt = self._materialize_triggers(events)
-        pi, int_value = self._materialize_ints(state, events)
+        pi, pset, int_value = self._materialize_ints(state, events)
         new_state = dict(fstate)
         new_state["int_value"] = int_value
-        return pf, pt, pi, new_state
+        return pf, pt, pi, pset, new_state
 
     def materialize_fast(self, state):
         """The no-events path: base ramps only, no folds, no scatters.
@@ -239,6 +241,7 @@ class PEngine:
         pi = jnp.broadcast_to(
             state["int_value"][:, None], (self.layout.n_int, B)
         )
+        pset = jnp.zeros((self.layout.n_int, B), dtype=bool)
         new_state = {
             "value": new_value,
             "target": target,
@@ -249,7 +252,7 @@ class PEngine:
             "srate": srate,
             "int_value": state["int_value"],
         }
-        return pf, pt, pi, new_state
+        return pf, pt, pi, pset, new_state
 
     def _materialize_floats(self, state, events):
         B = self.block_size
@@ -383,9 +386,14 @@ class PEngine:
         Pi = self.layout.n_int
         int_value = state["int_value"]
         if Pi == 0:
-            return jnp.zeros((0, B), dtype=jnp.int32), int_value
+            z = jnp.zeros((0, B), dtype=jnp.int32)
+            return z, jnp.zeros((0, B), dtype=bool), int_value
         t = jnp.arange(B, dtype=jnp.int32)
         vals = jnp.broadcast_to(int_value[:, None], (Pi, B))
+        # set-event mask: one scatter (padding rows land in a sacrificial row)
+        s_safe = jnp.where(events["i_slot"] >= 0, events["i_slot"], Pi)
+        setm = jnp.zeros((Pi + 1, B), dtype=bool)
+        setm = setm.at[s_safe, events["i_frame"]].set(True)[:Pi]
         E = events["i_slot"].shape[0]
 
         def body(e, carry):
@@ -408,4 +416,4 @@ class PEngine:
             lambda c: c,
             (vals, int_value),
         )
-        return vals, int_next
+        return vals, setm, int_next

@@ -50,7 +50,7 @@ from .ugens.delay import (  # noqa: F401
     StaticSampleDelay,
 )
 from .ugens.dynamics import SafetyLimiter  # noqa: F401
-from .ugens.envelopes import EnvAr, EnvAsr, Envelope, EnvelopeSegment  # noqa: F401
+from .ugens.envelopes import EnvAr, EnvAsr, Envelope, EnvelopeSegment, EnvelopeShape  # noqa: F401
 from .ugens.filters import OnePoleHpf, OnePoleLpf, SvfFilter, SvfFilterType  # noqa: F401
 from .ugens.math import Math1UGen, MathUGen, add, div, mul, sub  # noqa: F401
 from .ugens.noise import BrownNoise, PinkNoise, RandomLin, WhiteNoise  # noqa: F401

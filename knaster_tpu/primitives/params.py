@@ -95,6 +95,11 @@ class Param:
     hint: Any = None
     # Integer params backed by a Python enum (KnasterIntegerParameter parity)
     enum: Any = None
+    # Integer params where *every* set event matters, even when the value is
+    # unchanged (the reference applies param_apply per event; e.g. Envelope's
+    # jump_to_segment re-jumps on a repeated set). The engine materializes a
+    # per-sample set-event mask passed to process() as ``<name>_set``.
+    retrigger: bool = False
 
     def __post_init__(self):
         if self.ptype not in ("float", "trigger", "integer", "bool"):
@@ -116,10 +121,11 @@ def pfloat(name: str, default: float = 0.0, kind: ParameterKind = ParameterKind.
 
 
 def pinteger(name: str, default: int = 0, enum: Any = None,
-             hint: Optional[IntegerHint] = None) -> Param:
+             hint: Optional[IntegerHint] = None, retrigger: bool = False) -> Param:
     if enum is not None and not isinstance(default, int):
         default = int(default.value)
-    return Param(name, ptype="integer", default=int(default), enum=enum, hint=hint)
+    return Param(name, ptype="integer", default=int(default), enum=enum,
+                 hint=hint, retrigger=retrigger)
 
 
 def pbool(name: str, default: bool = False) -> Param:

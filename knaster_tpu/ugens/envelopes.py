@@ -178,24 +178,86 @@ class EnvAr(UGen):
         return {"stage": stage, "t": t, "release_scale": rscale}, out[None, :], done
 
 
-class EnvelopeSegment:
-    """(duration seconds, target value) — envelopes.rs EnvelopeSegment."""
+class EnvelopeShape:
+    """Per-segment interpolation shape (envelopes.rs:339-348 EnvelopeShape).
 
-    def __init__(self, duration: float, value: float):
+    The reference *declares* this enum but evaluates every segment linearly;
+    we implement all four declared shapes (documented extension):
+
+    * LINEAR      — straight line from the previous value to the target.
+    * EXPONENTIAL — equal-ratio (geometric) curve ``from·(to/from)^frac``;
+      falls back to linear when the endpoints differ in sign or either is 0
+      (the geometric curve is undefined across zero).
+    * SINUSOIDAL  — raised-cosine ease-in/out.
+    * STEP        — the target value from the segment's first sample; the
+      segment duration only delays the next transition.
+    """
+
+    LINEAR = 0
+    EXPONENTIAL = 1
+    SINUSOIDAL = 2
+    STEP = 3
+
+    _NAMES = {
+        "linear": LINEAR,
+        "exponential": EXPONENTIAL,
+        "sinusoidal": SINUSOIDAL,
+        "step": STEP,
+    }
+
+    @classmethod
+    def code(cls, shape) -> int:
+        if isinstance(shape, str):
+            return cls._NAMES[shape.lower()]
+        return int(shape)
+
+
+class EnvelopeSegment:
+    """(duration seconds, target value, shape) — envelopes.rs EnvelopeSegment
+    (the reference stores reciprocal_duration/duration/value; shape is our
+    implementation of its declared-but-unused EnvelopeShape)."""
+
+    def __init__(self, duration: float, value: float, shape=EnvelopeShape.LINEAR):
         self.duration = float(duration)
         self.value = float(value)
+        self.shape = EnvelopeShape.code(shape)
+
+
+def _segment_value(shape, from_v, to_v, frac, dtype):
+    """Evaluate one segment at normalized position frac ∈ [0, 1]."""
+    frac = jnp.clip(frac, 0.0, 1.0).astype(dtype)
+    lin = from_v + frac * (to_v - from_v)
+    sinu = from_v + (to_v - from_v) * (1.0 - jnp.cos(jnp.pi * frac)) * 0.5
+    same_sign = from_v * to_v > 0
+    fa = jnp.maximum(jnp.abs(from_v), jnp.asarray(1e-12, dtype))
+    ta = jnp.maximum(jnp.abs(to_v), jnp.asarray(1e-12, dtype))
+    geo = jnp.sign(from_v) * fa * (ta / fa) ** frac
+    expo = jnp.where(same_sign, geo, lin)
+    return jnp.where(
+        shape == EnvelopeShape.LINEAR,
+        lin,
+        jnp.where(
+            shape == EnvelopeShape.EXPONENTIAL,
+            expo,
+            jnp.where(shape == EnvelopeShape.SINUSOIDAL, sinu, to_v),
+        ),
+    )
 
 
 class Envelope(UGen):
-    """Multi-segment linear envelope with looping and time scaling
-    (envelopes.rs:322-528 Envelope). Params: time_scale, jump_to_segment,
-    t_restart, t_stop."""
+    """Multi-segment envelope with per-segment shapes, looping and time
+    scaling (envelopes.rs:322-528 Envelope). Params: time_scale,
+    jump_to_segment, t_restart, t_stop.
+
+    jump_to_segment is a *retrigger* integer param: every set event re-jumps,
+    even to the currently-active segment index (reference param_apply runs
+    per event, envelopes.rs:488-508)."""
 
     inputs = 0
     outputs = 1
     params = (
         pfloat("time_scale", 1.0),
-        pinteger("jump_to_segment", 0),
+        pinteger("jump_to_segment", 0, retrigger=True),
         ptrigger("t_restart"),
         ptrigger("t_stop"),
     )
@@ -220,28 +282,37 @@ class Envelope(UGen):
             dtype=ctx.dtype,
         )
         self._segs = segs  # trace-time constant
+        self._shapes = np.asarray([s.shape for s in self.segments], np.int32)
         return {
             "running": jnp.zeros((), bool),
             "seg": jnp.zeros((), jnp.int32),
             "time": jnp.zeros((), ctx.dtype),
             "from_value": jnp.asarray(self.start_value, ctx.dtype),
-            # last seen jump_to_segment value, to detect set-events
+            # last seen jump_to_segment value — fallback set-detection for
+            # hosts that don't materialize the set-event mask (voice banks)
             "last_jump": jnp.zeros((), jnp.int32),
         }
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         dtype = ctx.dtype
         segs = jnp.asarray(self._segs)  # [S, 3] (recip, duration, value)
+        shapes = jnp.asarray(self._shapes)  # [S]
         n_seg = segs.shape[0]
         base_scale = jnp.asarray(1.0 / ctx.sample_rate, dtype)
         start_value = jnp.asarray(self.start_value, dtype)
         looping = self.looping
+        # the graph param engine provides a per-sample set-event mask for
+        # retrigger ints; fall back to value-change detection without it
+        jump_set = params.get("jump_to_segment_set")
 
         def step(carry, x):
             running, seg_i, t, from_v, last_jump = carry
             # --- triggers/params before the sample ---
             jump = jnp.clip(x["jump"], 0, n_seg - 1)
-            do_jump = x["jump"] != last_jump
+            if jump_set is None:
+                do_jump = x["jump"] != last_jump
+            else:
+                do_jump = x["jump_set"]
             last_jump = x["jump"]
             seg_i = jnp.where(do_jump, jump, seg_i)
             t = jnp.where(do_jump, jnp.zeros((), dtype), t)
@@ -253,7 +324,8 @@ class Envelope(UGen):
             running = running | restart
             # t_stop: freeze at current value
             recip, dur, val = segs[seg_i, 0], segs[seg_i, 1], segs[seg_i, 2]
-            cur_val = from_v + (t * recip) * (val - from_v)
+            shape = shapes[seg_i]
+            cur_val = _segment_value(shape, from_v, val, t * recip, dtype)
             stop = x["t_stop"]
             from_v = jnp.where(stop & running, cur_val, from_v)
             running = running & ~stop
@@ -264,7 +336,7 @@ class Envelope(UGen):
             has_next = seg_i + 1 < n_seg
             out_running = jnp.where(
                 in_seg,
-                from_v + (t * recip) * (val - from_v),
+                _segment_value(shape, from_v, val, t * recip, dtype),
                 val,
             )
             out = jnp.where(running, out_running, from_v)
@@ -293,6 +365,8 @@ class Envelope(UGen):
             "t_restart": params["t_restart"],
             "t_stop": params["t_stop"],
         }
+        if jump_set is not None:
+            xs["jump_set"] = jump_set
         carry0 = (
             state["running"],
             state["seg"],

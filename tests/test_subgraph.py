@@ -119,3 +119,21 @@ def test_subgraph_state_survives_parent_edit():
     proc.run_without_inputs()
     b2 = proc.output_block()
     assert not np.allclose(b1, b2)  # phase advanced, not restarted
+
+
+def test_handle_from_name_searches_subgraphs():
+    """handle_from_name resolves nodes inside subgraphs, consistent with
+    handle(nid) (round-1 verdict: top-level-only search was inconsistent)."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        child, ch = g.subgraph(inputs=0, outputs=1)
+        s = child.push(TestNumUGen(1.0), name="inner_sine")
+        s.to_graph_out()
+        ch.to_graph_out()
+        return s.node_id
+
+    nid = g.edit(build)
+    h = g.handle_from_name("inner_sine")
+    assert h is not None and h.node_id == nid
+    assert g.handle_from_name("nope") is None

@@ -133,6 +133,64 @@ def test_envelope_segments_and_loop():
     np.testing.assert_allclose(out[9:], 0.5, atol=1e-6)
 
 
+def test_envelope_shapes_exact():
+    """Per-segment shapes: sinusoidal, exponential, step (envelopes.rs:339-348
+    declares the enum; evaluation semantics are ours, documented)."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        e = g.push(
+            Envelope(
+                0.0,
+                [
+                    (4 / SR, 1.0, "sinusoidal"),
+                    (4 / SR, 0.5, "exponential"),
+                    (4 / SR, 0.25, "step"),
+                ],
+            )
+        )
+        e.to_graph_out()
+        return e.param("t_restart")
+
+    restart = g.edit(build)
+    restart.trig()
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    # seg 0: raised cosine 0 -> 1 over 4 samples
+    exp0 = [(1 - np.cos(np.pi * f / 4)) / 2 for f in range(4)]
+    np.testing.assert_allclose(out[:4], exp0, atol=1e-6)
+    assert out[4] == pytest.approx(1.0)  # boundary sample emits target
+    # seg 1: geometric 1 -> 0.5, frac = t/4 with t starting at 1
+    exp1 = [0.5 ** (f / 4) for f in (1, 2, 3)]
+    np.testing.assert_allclose(out[5:8], exp1, rtol=1e-6)
+    assert out[8] == pytest.approx(0.5)
+    # seg 2: step -> target immediately, then holds after finish
+    np.testing.assert_allclose(out[9:], 0.25, atol=1e-6)
+
+
+def test_envelope_repeat_jump_reapplies():
+    """Two consecutive set events to the SAME segment index must each re-jump
+    (reference param_apply runs per event, envelopes.rs:488-508). Also covers
+    the initial set-to-segment-0 case that value-change detection misses."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        e = g.push(Envelope(0.0, [(8 / SR, 1.0)]))
+        e.to_graph_out()
+        return e.param("jump_to_segment")
+
+    jump = g.edit(build)
+    jump.set_at(0, _samples(0))  # first set: value unchanged from default 0
+    jump.set_at(0, _samples(4))  # repeated set: must re-jump
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    np.testing.assert_allclose(out[:4], [0, 0.125, 0.25, 0.375], atol=1e-6)
+    # re-jump at sample 4 restarts the ramp (from_value stays 0.0)
+    np.testing.assert_allclose(out[4:12], np.arange(8) / 8, atol=1e-6)
+    assert out[12] == pytest.approx(1.0)
+    np.testing.assert_allclose(out[13:], 1.0, atol=1e-6)
+
+
 # ------------------------------------------------------------------ filters
 def np_svf(x, ty, cutoff, q, gain_db, sr):
     """Per-sample port of SvfFilter (svf.rs:150-300), f32 math."""
