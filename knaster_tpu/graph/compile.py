@@ -382,6 +382,16 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
             done_order.extend(item)
     cg.done_order = done_order
 
+    # nodes whose done frees the TOP-LEVEL graph: the reference zeroes the
+    # graph output from the done frame within the same block
+    # (graph_gen.rs:227-238 remove_graph) — trace that into the program
+    top_free_parent = {
+        nid
+        for nid in cg.order
+        if cg.entries[nid].done_action == Done.FREE_PARENT
+        and not cg.enclosing[nid]
+    }
+
     def render(state, events, graph_inputs):
         if fast:
             pf, pt, pi, pset, pe_state = cg.engine.materialize_fast(state["pe"])
@@ -516,6 +526,13 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
             return jnp.stack(ch_arrays, axis=1)
 
         done_parts: List[jnp.ndarray] = []
+        free_frames: List[jnp.ndarray] = []  # graph-freeing done frames
+
+        def first_done_frame(done_row):
+            return jnp.where(
+                jnp.any(done_row), jnp.argmax(done_row).astype(jnp.int32), B
+            )
+
         for kind, item in cg.plan:
             if kind == "single":
                 nid = item
@@ -537,6 +554,8 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                 outs[nid] = out
                 new_nodes[str(nid)] = st
                 done_parts.append(jnp.any(done)[None])
+                if nid in top_free_parent:
+                    free_frames.append(first_done_frame(done))
             else:  # batched execution of same-kind nodes (auto-batching pass)
                 nids = item
                 rep = cg.entries[nids[0]].ugen
@@ -553,6 +572,8 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                 group_out[gkey] = out
                 for k, n in enumerate(nids):
                     node_loc[n] = (gkey, k)
+                    if n in top_free_parent:
+                        free_frames.append(first_done_frame(done[k]))
                 done_parts.append(jnp.any(done, axis=1))
 
         new_fb = {
@@ -565,6 +586,14 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
             if out_rows
             else jnp.zeros((0, B), dtype=dtype)
         )
+        if free_frames:
+            # zero the graph output from the earliest graph-freeing done
+            # frame (graph_gen.rs:227-238); frame == B when nothing flagged
+            fmin = free_frames[0]
+            for f in free_frames[1:]:
+                fmin = jnp.minimum(fmin, f)
+            keep = jnp.arange(B, dtype=jnp.int32)[None, :] < fmin
+            out_block = jnp.where(keep, out_block, jnp.zeros((), dtype))
         done_vec = (
             jnp.concatenate(done_parts)
             if done_parts

@@ -368,10 +368,11 @@ class AudioProcessor:
         path (BASELINE.json: non-realtime rendering is the TPU build's main
         workload). Returns ``[channels, frames]``.
 
-        Note: done-action frees are applied only *after* the scan (or every
-        ``check_done_every`` blocks if given) — within a scan chunk, nodes
-        keep rendering after flagging done. Use small chunks if you rely on
-        mid-render freeing.
+        Note: done-action frees are applied only *after* the scan — every
+        ``check_done_every`` blocks, which defaults to 16 when the graph has
+        any done actions (pass an explicit value to tune; smaller = frees
+        land sooner, larger = fewer host round-trips). A node that frees the
+        top-level graph zeroes the output from its done frame in-program.
 
         With external ``inputs``, render in block-aligned increments: a
         trailing partial block is rendered with the missing input samples
@@ -399,7 +400,12 @@ class AudioProcessor:
             frames_needed = frames
 
         n_blocks = (frames_needed + B - 1) // B
+        self._ensure_compiled()
         chunk = self.options.render_chunk_blocks
+        if check_done_every is None and self.compiled.has_done_actions:
+            # sane default so done-action frees land within ~16 blocks of
+            # the flag instead of up to a full render chunk later
+            check_done_every = 16
         if check_done_every:
             chunk = min(chunk, check_done_every)
 

@@ -251,3 +251,56 @@ def test_state_survives_reedit():
     assert b2[0, 0] == pytest.approx(
         math.sin(2 * math.pi * expected_phase_cycles), abs=2e-3
     )
+
+
+def test_free_node_when_done_protocol():
+    """Port of the reference's free_node_when_done (graph.rs:2484-2513):
+    done flag -> node freed at the next commit boundary -> silence after."""
+    from knaster_tpu import Done, Seconds
+    from knaster_tpu.ugens.envelopes import EnvAsr
+
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(g):
+        e = g.push_with_done_action(EnvAsr(0.0, 0.0), Done.FREE_SELF)
+        e.to_graph_out()
+        return e
+
+    e = g.edit(build)
+    assert len(g.nodes) == 1
+    e.param("t_restart").trig()
+    e.param("t_release").trig_at(Seconds.from_samples(2, 48000))
+    for _ in range(10):
+        proc.run_without_inputs()
+    # the done action freed the node (host applies it between blocks)
+    assert len(g.nodes) == 0
+    proc.run_without_inputs()
+    assert np.all(proc.output_block() == 0)
+
+
+def test_free_parent_zeroes_tail_from_done_frame():
+    """A node freeing the TOP-LEVEL graph zeroes the graph output from its
+    done frame within the same block (graph_gen.rs:227-238)."""
+    from knaster_tpu import Done, Seconds
+    from knaster_tpu.ugens.envelopes import EnvAsr
+
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        c = g.push(Constant(1.0))
+        c.to_graph_out()
+        e = g.push_with_done_action(EnvAsr(0.0, 0.0), Done.FREE_PARENT)
+        return e
+
+    e = g.edit(build)
+    e.param("t_restart").trig()
+    e.param("t_release").trig_at(Seconds.from_samples(5, 48000))
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    # constant plays until the env's done frame (5), silence from there on
+    np.testing.assert_allclose(out[:5], 1.0, atol=1e-7)
+    np.testing.assert_allclose(out[5:], 0.0, atol=1e-7)
+    # the whole graph is freed: subsequent blocks are silent
+    proc.run_without_inputs()
+    assert np.all(proc.output_block() == 0)
+    assert proc.freed and g.freed
