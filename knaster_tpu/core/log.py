@@ -49,7 +49,7 @@ def collect_probes(compiled, state) -> List[ProbeCapture]:
     for nid in compiled.order:
         entry = compiled.entries[nid]
         if isinstance(entry.ugen, LogProbe):
-            st = state["nodes"][str(nid)]
+            st = state["nodes"][compiled.state_key(nid)]
             out.append(
                 ProbeCapture(
                     name=entry.ugen.probe_name,

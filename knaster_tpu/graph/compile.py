@@ -19,7 +19,9 @@ pointers run sequentially on the audio thread, we trace every node's pure
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import threading
+from collections import OrderedDict
+from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -28,10 +30,6 @@ from ..core.ugen import AudioCtx, normalize_process_result
 from .graph import Done, Graph, GraphError, NodeEntry
 from .handles import K_GRAPH_IN
 from .param_engine import ParamLayout, PEngine, empty_events, init_state as pe_init_state
-
-
-def _fb_key(nid: int, ch: int) -> str:
-    return f"{nid}:{ch}"
 
 
 @dataclass
@@ -61,18 +59,34 @@ class CompiledGraph:
     # on the instance so superseded compiles are garbage-collectable
     scan_fn: Any = None
     full_scan_fn: Any = None
+    # canonical node labels (position in topo order): state/event pytree keys
+    # use these, NOT node ids, so topologically identical graphs share both
+    # program and state structure (the program cache)
+    canon: Dict[int, int] = field(default_factory=dict)
+    signature: Any = None
+    cache_hit: bool = False
+    cache_entry: Any = None
+
+    # ----------------------------------------------------- canonical keys
+    def state_key(self, nid: int) -> str:
+        return str(self.canon[nid])
+
+    def group_key(self, nids: List[int]) -> str:
+        return f"b{self.canon[nids[0]]}"
+
+    def event_key(self, nid: int) -> str:
+        return f"n{self.canon[nid]}"
+
+    def fb_key(self, nid: int, ch: int) -> str:
+        return f"{self.canon[nid]}:{ch}"
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def group_key(nids: List[int]) -> str:
-        return f"b{nids[0]}"
-
     def _extract_node_state(self, state: dict, nid: int):
         """Pull one node's state out of this compile's (possibly batched)
         state layout; None if absent."""
         for kind, item in self.plan:
             if kind == "single" and item == nid:
-                return state["nodes"].get(str(nid))
+                return state["nodes"].get(self.state_key(nid))
             if kind == "batch" and nid in item:
                 stacked = state["nodes"].get(self.group_key(item))
                 if stacked is None:
@@ -101,7 +115,7 @@ class CompiledGraph:
         nodes = {}
         for kind, item in self.plan:
             if kind == "single":
-                nodes[str(item)] = node_state(item)
+                nodes[self.state_key(item)] = node_state(item)
             else:
                 nodes[self.group_key(item)] = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *[node_state(n) for n in item]
@@ -127,9 +141,18 @@ class CompiledGraph:
         fb = {}
         prev_fb = (prev or {}).get("fb", {})
         for (nid, ch) in self.fb_sources:
-            key = _fb_key(nid, ch)
-            fb[key] = prev_fb.get(
-                key, jnp.zeros((ctx.block_size,), dtype=ctx.dtype)
+            key = self.fb_key(nid, ch)
+            # carry feedback buffers by *node id* across recompiles (the
+            # canonical key can shift when topology changes)
+            old_key = (
+                prev_compiled.fb_key(nid, ch)
+                if prev_compiled is not None and nid in prev_compiled.canon
+                else None
+            )
+            fb[key] = (
+                prev_fb[old_key]
+                if old_key is not None and old_key in prev_fb
+                else jnp.zeros((ctx.block_size,), dtype=ctx.dtype)
             )
         return {"nodes": nodes, "pe": pe, "fb": fb}
 
@@ -138,7 +161,7 @@ class CompiledGraph:
         for nid in self.order:
             ugen = self.entries[nid].ugen
             if ugen.event_capacity > 0:
-                ev[f"n{nid}"] = ugen.empty_node_events(dtype=self.ctx.dtype)
+                ev[self.event_key(nid)] = ugen.empty_node_events(dtype=self.ctx.dtype)
         return ev
 
     @property
@@ -301,13 +324,127 @@ def compile_graph(
         event_capacity=event_capacity,
         enclosing=enclosing,
         revision=root.revision,
+        canon={nid: i for i, nid in enumerate(order)},
     )
     cg.plan = _plan_batches(cg) if auto_batch else [("single", nid) for nid in order]
+    # done-flag output order: singles first per plan, then batch vectors
+    done_order: List[int] = []
+    for kind, item in cg.plan:
+        if kind == "single":
+            done_order.append(item)
+        else:
+            done_order.extend(item)
+    cg.done_order = done_order
+
+    # ------------------------------------------------- program cache lookup
+    # A structural commit whose canonical shape matches a previously compiled
+    # graph reuses both jitted programs outright — only the state carry is
+    # rebuilt. This is the reference's microsecond TaskData swap
+    # (graph.rs:1707-1726) for recurring live-edit shapes.
+    cg.signature = _structural_signature(cg, auto_batch)
+    hit = _program_cache_get(cg.signature)
+    if hit is not None:
+        cg.render = hit["render"]
+        cg.render_raw = hit["render_raw"]
+        cg.render_fast = hit["render_fast"]
+        cg.render_fast_raw = hit["render_fast_raw"]
+        cg.scan_fn = hit.get("scan_fn")
+        cg.full_scan_fn = hit.get("full_scan_fn")
+        cg.cache_entry = hit
+        cg.cache_hit = True
+        return cg
+
     cg.render_raw = _build_render(cg)
     cg.render = jax.jit(cg.render_raw, donate_argnums=(0,))
     cg.render_fast_raw = _build_render(cg, fast=True)
     cg.render_fast = jax.jit(cg.render_fast_raw, donate_argnums=(0,))
+    if cg.signature is not None:
+        entry = {
+            "render": cg.render,
+            "render_raw": cg.render_raw,
+            "render_fast": cg.render_fast,
+            "render_fast_raw": cg.render_fast_raw,
+        }
+        _program_cache_put(cg.signature, entry)
+        cg.cache_entry = entry
     return cg
+
+
+# -------------------------------------------------------- program cache
+_PROGRAM_CACHE: "OrderedDict[Any, dict]" = OrderedDict()
+_PROGRAM_CACHE_CAP = 64
+_PROGRAM_CACHE_LOCK = threading.Lock()
+
+
+def _program_cache_get(sig):
+    if sig is None:
+        return None
+    with _PROGRAM_CACHE_LOCK:
+        hit = _PROGRAM_CACHE.get(sig)
+        if hit is not None:
+            _PROGRAM_CACHE.move_to_end(sig)
+        return hit
+
+
+def _program_cache_put(sig, entry):
+    with _PROGRAM_CACHE_LOCK:
+        _PROGRAM_CACHE[sig] = entry
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_CAP:
+            _PROGRAM_CACHE.popitem(last=False)
+
+
+def clear_program_cache() -> None:
+    with _PROGRAM_CACHE_LOCK:
+        _PROGRAM_CACHE.clear()
+
+
+def _structural_signature(cg: CompiledGraph, auto_batch: bool):
+    """Hashable signature of everything that shapes the traced programs,
+    with nodes labeled canonically (topo position). None = uncacheable
+    (some node's UGen config couldn't be frozen at push time)."""
+    canon = cg.canon
+
+    def src_key(kind, s, c):
+        return (kind, -1 if s is None else canon[s], c)
+
+    node_rows = []
+    for nid in cg.order:
+        e = cg.entries[nid]
+        if e.sig is None:
+            return None
+        node_rows.append(
+            (
+                e.sig,
+                e.done_action.value,
+                bool(cg.enclosing[nid]),
+                tuple(
+                    tuple(src_key(*s) for s in per) for per in cg.resolved_in[nid]
+                ),
+            )
+        )
+    pe_rows = tuple(
+        sorted(
+            (canon[dst], pidx, canon[src], ch)
+            for (dst, pidx), (src, ch) in cg.resolved_param_edges.items()
+        )
+    )
+    out_rows = tuple(
+        tuple(src_key(*s) for s in per) for per in cg.resolved_out
+    )
+    fb_rows = tuple((canon[s], c) for (s, c) in cg.fb_sources)
+    return (
+        cg.ctx.sample_rate,
+        cg.ctx.block_size,
+        str(cg.ctx.dtype),
+        cg.graph.inputs,
+        cg.graph.outputs,
+        cg.event_capacity,
+        auto_batch,
+        tuple(node_rows),
+        pe_rows,
+        out_rows,
+        fb_rows,
+    )
 
 
 def _plan_batches(cg: CompiledGraph):
@@ -334,8 +471,12 @@ def _plan_batches(cg: CompiledGraph):
         ]
         depth[nid] = 1 + max((depth[d] for d in deps), default=-1)
 
+    # order members and groups by (depth, canonical position): canonical
+    # ordering is structure-deterministic, so two graphs with the same
+    # structural signature get identical plans — a requirement for the
+    # program cache to reuse compiled programs across commits
     groups: Dict[Any, List[int]] = {}
-    for nid in sorted(cg.order, key=lambda n: (depth[n], n)):
+    for nid in sorted(cg.order, key=lambda n: (depth[n], cg.canon[n])):
         ugen = cg.entries[nid].ugen
         key = None if ugen.event_capacity > 0 else ugen.batch_key()
         gk = (depth[nid], key) if key is not None else ("single", nid)
@@ -343,7 +484,7 @@ def _plan_batches(cg: CompiledGraph):
 
     plan = []
     for gk in sorted(
-        groups, key=lambda k: (depth[groups[k][0]], groups[k][0])
+        groups, key=lambda k: (depth[groups[k][0]], cg.canon[groups[k][0]])
     ):
         nids = groups[gk]
         if len(nids) == 1:
@@ -372,15 +513,6 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
     B = ctx.block_size
     dtype = ctx.dtype
     n_nodes = len(cg.order)
-
-    # done-flag output order: singles first per plan, then batch vectors
-    done_order: List[int] = []
-    for kind, item in cg.plan:
-        if kind == "single":
-            done_order.append(item)
-        else:
-            done_order.extend(item)
-    cg.done_order = done_order
 
     # nodes whose done frees the TOP-LEVEL graph: the reference zeroes the
     # graph output from the done frame within the same block
@@ -411,7 +543,7 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                     return group_out[gk][k, c]
                 return outs[s][c]
             if kind == "feedback":
-                return state["fb"][_fb_key(s, c)]
+                return state["fb"][cg.fb_key(s, c)]
             if kind == "graph_in":
                 return graph_inputs[c]
             raise AssertionError(kind)
@@ -541,18 +673,18 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                     # fast program: events=None lets nodes (voice banks)
                     # skip their event scatters entirely
                     result = ugen.process(
-                        ctx, state["nodes"][str(nid)], node_inputs(nid),
+                        ctx, state["nodes"][cg.state_key(nid)], node_inputs(nid),
                         node_params(nid),
-                        events=None if fast else events[f"n{nid}"],
+                        events=None if fast else events[cg.event_key(nid)],
                     )
                 else:
                     result = ugen.process(
-                        ctx, state["nodes"][str(nid)], node_inputs(nid),
+                        ctx, state["nodes"][cg.state_key(nid)], node_inputs(nid),
                         node_params(nid),
                     )
                 st, out, done = normalize_process_result(result, ctx)
                 outs[nid] = out
-                new_nodes[str(nid)] = st
+                new_nodes[cg.state_key(nid)] = st
                 done_parts.append(jnp.any(done)[None])
                 if nid in top_free_parent:
                     free_frames.append(first_done_frame(done))
@@ -561,7 +693,7 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                 rep = cg.entries[nids[0]].ugen
                 inp_stack = batch_inputs(nids, rep)
                 params_stack = batch_params(nids)
-                gkey = CompiledGraph.group_key(nids)
+                gkey = cg.group_key(nids)
                 states = state["nodes"][gkey]
 
                 def one(s, i, p):
@@ -577,7 +709,7 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                 done_parts.append(jnp.any(done, axis=1))
 
         new_fb = {
-            _fb_key(s, c): read_source("node", s, c) for (s, c) in cg.fb_sources
+            cg.fb_key(s, c): read_source("node", s, c) for (s, c) in cg.fb_sources
         }
 
         out_rows = [sum_sources(cg.resolved_out[ch]) for ch in range(cg.graph.outputs)]

@@ -82,6 +82,9 @@ class NodeEntry:
     mortal: bool = True
     auto: bool = False  # auto-created by operator sugar; GC'd when orphaned
     subgraph: Optional["Graph"] = None
+    # trace-config signature frozen at push time (program cache key part);
+    # None = uncacheable ugen
+    sig: Any = None
 
 
 class _FrameClock:
@@ -199,6 +202,8 @@ class Graph:
         (reference graph_edit.rs:102 push_with_done_action + WrDone)."""
         if not isinstance(ugen, UGen):
             raise TypeError(f"push expects a UGen, got {type(ugen)!r}")
+        from ..core.signature import ugen_signature
+
         nid = self._alloc_id()
         entry = NodeEntry(
             nid=nid,
@@ -207,6 +212,7 @@ class Graph:
             inputs=ugen.inputs,
             outputs=ugen.outputs,
             done_action=done_action,
+            sig=ugen_signature(ugen),
         )
         self.nodes[nid] = entry
         self.in_edges[nid] = [[] for _ in range(entry.inputs)]

@@ -251,7 +251,7 @@ class AudioProcessor:
         for nid in self.compiled.order:
             ugen = self.compiled.entries[nid].ugen
             if ugen.event_capacity > 0:
-                ev[f"n{nid}"] = ugen.node_events_from_lists(
+                ev[self.compiled.event_key(nid)] = ugen.node_events_from_lists(
                     nd.get(nid, []), dtype=self.graph.dtype
                 )
         return ev
@@ -536,6 +536,8 @@ def _get_full_scan_fn(compiled: CompiledGraph):
 
         fn = jax.jit(scan_fn, donate_argnums=(0,))
         compiled.full_scan_fn = fn
+        if compiled.cache_entry is not None:
+            compiled.cache_entry["full_scan_fn"] = fn
     return fn
 
 
@@ -554,6 +556,8 @@ def _get_scan_fn(compiled: CompiledGraph):
 
         fn = jax.jit(scan_fn, donate_argnums=(0,))
         compiled.scan_fn = fn
+        if compiled.cache_entry is not None:
+            compiled.cache_entry["scan_fn"] = fn
     return fn
 
 

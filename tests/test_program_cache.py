@@ -1,0 +1,194 @@
+"""Topology-keyed program cache: structural commits whose canonical shape
+matches a previous compile reuse both jitted programs without re-tracing —
+the TPU-native analog of the reference's microsecond TaskData swap on
+commit_changes (knaster_graph/src/graph.rs:1707-1726)."""
+
+import numpy as np
+
+from knaster_tpu import (
+    AudioProcessor,
+    AudioProcessorOptions,
+    EnvAsr,
+    MathUGen,
+    SinWt,
+)
+from knaster_tpu.core.ugen import AudioCtx, UGen
+
+OPTS = AudioProcessorOptions(block_size=16, sample_rate=48000)
+
+
+class CountingUGen(UGen):
+    """Constant UGen that counts how many times its process is TRACED."""
+
+    inputs = 0
+    outputs = 1
+    params = ()
+    trace_count = [0]  # class-level: not part of the instance signature
+
+    def __init__(self, value: float = 1.0):
+        self.value = float(value)
+
+    def init(self, ctx: AudioCtx):
+        import jax.numpy as jnp
+
+        return {"z": jnp.zeros((), ctx.dtype)}
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        import jax.numpy as jnp
+
+        CountingUGen.trace_count[0] += 1
+        return state, jnp.full((1, ctx.block_size), self.value, ctx.dtype)
+
+
+def _push_voice(g):
+    s = g.push(SinWt(440.0))
+    e = g.push(EnvAsr(0.01, 0.05))
+    m = g.push(MathUGen("mul", 1))
+    c = g.push(CountingUGen(0.5))
+    g.connect(s, 0, 0, m)
+    g.connect(e, 0, 1, m)
+    g.connect(m, 0, 0, "graph")
+    g.connect(c, 0, 0, "graph")
+    return [s, e, m, c]
+
+
+def test_push_free_push_identical_does_not_retrace():
+    from knaster_tpu.graph.compile import clear_program_cache
+
+    clear_program_cache()
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+    nodes = g.edit(_push_voice)
+    nodes[1].param("t_restart").trig()  # eventful block: traces the FULL program
+    proc.run_without_inputs()
+    proc.run_without_inputs()  # event-free block: traces the fast program
+    b0 = proc.output_block().copy()
+    cg1 = proc.compiled
+    traces_after_first = CountingUGen.trace_count[0]
+    assert traces_after_first == 2  # render + render_fast traced once each
+
+    def cycle(g):
+        for h in nodes:
+            g.free_node(h)
+        return _push_voice(g)
+
+    nodes[:] = g.edit(cycle)
+    nodes[1].param("t_restart").trig()  # exercise BOTH programs post-commit
+    proc.run_without_inputs()
+    proc.run_without_inputs()
+    cg2 = proc.compiled
+    assert cg2.cache_hit
+    assert cg2.render is cg1.render
+    assert cg2.render_fast is cg1.render_fast
+    # no re-trace: the counter did not move across the structural commit
+    assert CountingUGen.trace_count[0] == traces_after_first
+    # fresh nodes start from fresh state: first block identical to the first
+    np.testing.assert_allclose(proc.output_block(), b0, atol=1e-7)
+
+
+def test_cache_miss_on_different_config():
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        s = g.push(SinWt(440.0))
+        g.connect(s, 0, 0, "graph")
+        return s
+
+    s = g.edit(build)
+    proc.run_without_inputs()
+    cg1 = proc.compiled
+
+    def edit(g):
+        g.free_node(s)
+        s2 = g.push(SinWt(440.0, lookup=True))  # different trace config
+        g.connect(s2, 0, 0, "graph")
+
+    g.edit(edit)
+    proc.run_without_inputs()
+    assert not proc.compiled.cache_hit or proc.compiled.render is not cg1.render
+
+
+def test_surviving_node_state_carries_across_cache_hit():
+    """A node that survives a cached commit keeps its state (phase continues)
+    while the re-pushed node restarts — TakeFromTask parity on the fast path."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        keep = g.push(SinWt(330.0))
+        tmp = g.push(SinWt(440.0))
+        g.connect(keep, 0, 0, "graph")
+        g.connect(tmp, 0, 0, "graph")
+        return keep, tmp
+
+    keep, tmp = g.edit(build)
+    proc.run_without_inputs()
+    proc.run_without_inputs()
+
+    # reference render: same graph untouched for 3 blocks
+    g2, proc2 = AudioProcessor.new(0, 1, OPTS)
+
+    def build2(g):
+        keep = g.push(SinWt(330.0))
+        tmp = g.push(SinWt(440.0))
+        g.connect(keep, 0, 0, "graph")
+        g.connect(tmp, 0, 0, "graph")
+        return keep, tmp
+
+    k2, t2 = g2.edit(build2)
+    for _ in range(2):
+        proc2.run_without_inputs()
+
+    def cycle(g):
+        g.free_node(tmp)
+        t = g.push(SinWt(440.0))
+        g.connect(t, 0, 0, "graph")
+        return t
+
+    g.edit(cycle)
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    assert proc.compiled.cache_hit
+
+    # expected: keep-sine continues at block 3 phase; tmp-sine restarts
+    import jax.numpy as jnp  # noqa: F401
+    from knaster_tpu.graph.compile import compile_graph
+
+    g3, proc3 = AudioProcessor.new(0, 1, OPTS)
+
+    def build3(g):
+        a = g.push(SinWt(330.0))
+        g.connect(a, 0, 0, "graph")
+        return a
+
+    g3.edit(build3)
+    for _ in range(3):
+        proc3.run_without_inputs()
+    keep_b3 = proc3.output_block()[0]
+
+    g4, proc4 = AudioProcessor.new(0, 1, OPTS)
+
+    def build4(g):
+        a = g.push(SinWt(440.0))
+        g.connect(a, 0, 0, "graph")
+        return a
+
+    g4.edit(build4)
+    proc4.run_without_inputs()
+    tmp_b1 = proc4.output_block()[0]
+
+    np.testing.assert_allclose(out, keep_b3 + tmp_b1, atol=1e-6)
+
+
+def test_two_processors_share_programs():
+    g1, p1 = AudioProcessor.new(0, 1, OPTS)
+    g2, p2 = AudioProcessor.new(0, 1, OPTS)
+
+    def build(g):
+        s = g.push(SinWt(220.0))
+        g.connect(s, 0, 0, "graph")
+
+    g1.edit(build)
+    g2.edit(build)
+    p1.run_without_inputs()
+    p2.run_without_inputs()
+    assert p2.compiled.render is p1.compiled.render
+    np.testing.assert_allclose(p1.output_block(), p2.output_block(), atol=0)
