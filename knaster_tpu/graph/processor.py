@@ -27,6 +27,7 @@ import numpy as np
 from .compile import CompiledGraph, compile_graph
 from .graph import Done, Graph
 from .param_engine import events_from_lists
+from .scheduling import ScheduledEvent
 
 
 @dataclass
@@ -154,7 +155,16 @@ class AudioProcessor:
 
     def _collect_due_events(self, horizon_blocks: int = 1):
         """Pop events due within the next ``horizon_blocks`` blocks and
-        convert them to per-block event lists (slot-resolved)."""
+        convert them to per-block event lists (slot-resolved).
+
+        Overflow is graceful (the reference's ring holds 1000 events and
+        simply drains what fits per callback, processor.rs:36-44): when a
+        block's events exceed the engine capacity, the *tail* of that block's
+        bucket spills into the following block — floats/ints clamp to frame 0
+        of the next block, triggers keep their intra-block frame — and past
+        the horizon it is re-queued for the next collection. Spilling whole
+        tails (never individual events) preserves per-slot ordering.
+        """
         B = self.graph.block_size
         clock = self.graph.clock.frames
         end = clock + B * horizon_blocks
@@ -176,28 +186,61 @@ class AudioProcessor:
         per_block: List[Tuple[list, list, list, dict]] = [
             ([], [], [], {}) for _ in range(horizon_blocks)
         ]
+        cap = self.compiled.event_capacity
         layout = self.compiled.layout
+
+        def requeue(ev, due_frame):
+            self.graph.event_queue.append(
+                ScheduledEvent(
+                    due_frame, ev.node_id, ev.param_idx, ev.payload, order=ev.order
+                )
+            )
+
+        def place(ev, bi, frame, which, item, capacity, keep_frame):
+            """Append ``item`` to bucket ``bi``; cascade to later blocks when
+            full; re-queue past the horizon."""
+            while bi < horizon_blocks:
+                bucket = per_block[bi]
+                lst = (
+                    bucket[which]
+                    if which < 3
+                    else bucket[3].setdefault(ev.node_id, [])
+                )
+                if len(lst) < capacity:
+                    lst.append(item)
+                    return
+                bi += 1
+                if not keep_frame:
+                    frame = 0
+                item = (frame,) + item[1:]
+            # spilled past the horizon: apply at the first uncollected block
+            requeue(ev, end + (frame if keep_frame else 0))
+
         for ev in sorted(due, key=lambda e: (max(e.due_frame, clock), e.order)):
             frame_abs = max(ev.due_frame, clock)
             bi = (frame_abs - clock) // B
             frame = frame_abs - clock - bi * B
-            fl, tl, il, nd = per_block[bi]
             p = ev.payload
             if p[0].startswith("voice_"):
                 # per-node event channel (e.g. VoiceBank per-voice control)
-                if ev.node_id not in self.compiled.entries:
+                entry = self.compiled.entries.get(ev.node_id)
+                if entry is None:
                     continue  # node freed: expire silently
-                lst = nd.setdefault(ev.node_id, [])
+                vcap = entry.ugen.event_capacity
                 if p[0] == "voice_float":
-                    lst.append((frame, p[1], p[2], 0, p[3]))
+                    item = (frame, p[1], p[2], 0, p[3])
                 elif p[0] == "voice_trig":
-                    lst.append((frame, p[1], p[2], 1, 0.0))
+                    item = (frame, p[1], p[2], 1, 0.0)
                 elif p[0] == "voice_int":
-                    lst.append((frame, p[1], p[2], 2, float(p[3])))
+                    item = (frame, p[1], p[2], 2, float(p[3]))
                 elif p[0] == "voice_active":
-                    lst.append((frame, p[1], 0, 3, 1.0 if p[2] else 0.0))
+                    item = (frame, p[1], 0, 3, 1.0 if p[2] else 0.0)
                 elif p[0] == "voice_smooth":
-                    lst.append((frame, p[1], p[2], 4, float(p[3])))
+                    item = (frame, p[1], p[2], 4, float(p[3]))
+                else:
+                    continue
+                place(ev, bi, frame, 3, item, vcap,
+                      keep_frame=p[0] == "voice_trig")
                 continue
             key = None
             # resolve slot; events for freed nodes expire silently
@@ -218,13 +261,16 @@ class AudioProcessor:
                 continue
             typ, slot = key
             if p[0] == "set_float" and typ == "float":
-                fl.append((frame, slot, p[1], 0, 0, 0, 0))
+                place(ev, bi, frame, 0, (frame, slot, p[1], 0, 0, 0, 0), cap,
+                      keep_frame=False)
             elif p[0] == "smooth_cfg" and typ == "float":
-                fl.append((frame, slot, 0.0, 1, p[1], p[2], p[3]))
+                place(ev, bi, frame, 0, (frame, slot, 0.0, 1, p[1], p[2], p[3]),
+                      cap, keep_frame=False)
             elif p[0] == "trig" and typ == "trigger":
-                tl.append((frame, slot))
+                place(ev, bi, frame, 1, (frame, slot), cap, keep_frame=True)
             elif p[0] == "set_int" and typ == "int":
-                il.append((frame, slot, p[1]))
+                place(ev, bi, frame, 2, (frame, slot, p[1]), cap,
+                      keep_frame=False)
         return per_block
 
     def _empty_events_np(self):

@@ -278,3 +278,84 @@ def test_audio_rate_param_modulation():
     proc.run_without_inputs()
     out = proc.output_block()[0]
     np.testing.assert_allclose(out, np.arange(16) / 16.0, atol=1e-5)
+
+
+# ------------------------------------------------------------ event overflow
+def _overflow_graph(n_consts, capacity):
+    from knaster_tpu import Constant
+
+    g, proc = AudioProcessor.new(
+        0, 1, AudioProcessorOptions(block_size=16, sample_rate=48000,
+                                    event_capacity=capacity)
+    )
+
+    def build(g):
+        hs = [g.push(Constant(0.0)) for _ in range(n_consts)]
+        for h in hs:
+            g.connect(h, 0, 0, "graph")
+        return hs
+
+    hs = g.edit(build)
+    return g, proc, hs
+
+
+def test_event_overflow_spills_instead_of_raising():
+    """150 set events in one block on a 64-capacity engine: the tail spills
+    to following blocks (ordered), producing the same audio as scheduling the
+    same sets naturally spread at the frames where the spill lands them
+    (reference ring headroom parity, processor.rs:36-44)."""
+    CAP, N = 64, 150
+    g, proc, hs = _overflow_graph(N, CAP)
+    for h in hs:
+        h.param("value").set_at(1.0, _samples(0))
+    blocks_a = []
+    for _ in range(4):
+        proc.run_without_inputs()
+        blocks_a.append(proc.output_block()[0].copy())
+
+    # reference run: identical sets explicitly spread 64/64/22 across blocks
+    g2, proc2, hs2 = _overflow_graph(N, CAP)
+    for i, h in enumerate(hs2):
+        h.param("value").set_at(1.0, _samples((i // CAP) * 16))
+    blocks_b = []
+    for _ in range(4):
+        proc2.run_without_inputs()
+        blocks_b.append(proc2.output_block()[0].copy())
+
+    np.testing.assert_allclose(np.concatenate(blocks_a),
+                               np.concatenate(blocks_b), atol=0)
+    # sanity: the spill is visible (64, then 128, then all 150)
+    assert blocks_a[0][0] == 64.0
+    assert blocks_a[1][0] == 128.0
+    assert blocks_a[2][0] == 150.0
+    assert blocks_a[3][0] == 150.0
+
+
+def test_event_overflow_preserves_per_slot_ordering():
+    """When an early set spills, later sets to the same slot spill behind it:
+    the final value is the last-scheduled one."""
+    g, proc, hs = _overflow_graph(3, 2)
+    # fill the block-0 bucket with sets to slots 0 and 1, then two ordered
+    # sets to slot 2: the first spills, and the second must spill BEHIND it
+    hs[0].param("value").set_at(1.0, _samples(0))
+    hs[1].param("value").set_at(1.0, _samples(0))
+    hs[2].param("value").set_at(5.0, _samples(2))
+    hs[2].param("value").set_at(7.0, _samples(3))
+    for _ in range(3):
+        proc.run_without_inputs()
+    # all spilled sets applied by now; last writer wins
+    assert proc.output_block()[0][-1] == 1.0 + 1.0 + 7.0
+
+
+def test_event_overflow_in_render_bounce():
+    """The scan bounce path also spills (per-chunk horizons)."""
+    CAP, N = 16, 80
+    g, proc, hs = _overflow_graph(N, CAP)
+    for h in hs:
+        h.param("value").set_at(1.0, _samples(0))
+    audio = proc.render(frames=16 * 8)
+    # all sets eventually applied, none dropped
+    assert audio[0, -1] == float(N)
+    # monotone application (each block applies a non-negative batch)
+    block_starts = audio[0, ::16]
+    assert np.all(np.diff(block_starts) >= 0)
