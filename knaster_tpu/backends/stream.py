@@ -128,44 +128,25 @@ class StreamBackend(AudioBackend):
         channels = processor.graph.outputs
         self.ring = NativeRing(self._block * max(self.lookahead * 2, 4), channels)
 
-        # pre-warm BOTH block programs (fast + eventful) so the first live
-        # parameter change doesn't stall the stream with a jit compile —
-        # the role knaster's ahead-of-time task compilation plays
+        # pre-warm BOTH block programs (fast + eventful) AND every
+        # power-of-two scan length the producer can hit — live events segment
+        # a chunk into arbitrary event-free run lengths, so any of them may
+        # be needed mid-stream. EXECUTE on copied state (lower().compile()
+        # does not populate the jit-call cache). The same lengths are
+        # recorded on the processor so the async-recompile worker re-warms
+        # them on each NEW program before the swap — the post-swap chunk
+        # render must not pay a jit trace while the ring drains.
         processor._ensure_compiled()
+        cap = min(self.chunk_blocks, processor.options.render_chunk_blocks)
+        lengths, sub = [], 16
+        while sub <= cap:
+            lengths.append(sub)
+            sub *= 2
+        processor._warm_scan_lengths = tuple(lengths)
         # structural edits while live compile on a worker and swap between
         # blocks (the reference's TaskData swap semantics)
         processor.enable_async_recompile()
-        ev = processor.compiled.empty_events()
-        inp = processor._zero_inputs()
-        st = jax.tree_util.tree_map(jnp_copy, processor.state)
-        processor.compiled.render(st, ev, inp)
-        st = jax.tree_util.tree_map(jnp_copy, processor.state)
-        processor.compiled.render_fast(st, inp)
-        # warm EVERY power-of-two scan length the producer can hit — live
-        # events segment a chunk into arbitrary event-free run lengths, so
-        # any of them may be needed mid-stream. EXECUTE on copied state
-        # (lower().compile() does not populate the jit-call cache).
-        from ..graph.processor import _get_full_scan_fn, _get_scan_fn
-
-        import jax.numpy as jnp
-
-        scan_fn = _get_scan_fn(processor.compiled)
-        full_fn = _get_full_scan_fn(processor.compiled)
-        ev_np = processor._empty_events_np()
-        cap = min(self.chunk_blocks, processor.options.render_chunk_blocks)
-        sub = 16
-        while sub <= cap:
-            shape = (sub, processor.graph.inputs, self._block)
-            st = jax.tree_util.tree_map(jnp_copy, processor.state)
-            _ = scan_fn(st, jnp.zeros(shape, processor.graph.dtype))
-            jax.block_until_ready(_[1])
-            st = jax.tree_util.tree_map(jnp_copy, processor.state)
-            ev_stack = jax.tree_util.tree_map(
-                lambda x: np.broadcast_to(x, (sub,) + x.shape).copy(), ev_np
-            )
-            _ = full_fn(st, ev_stack, jnp.zeros(shape, processor.graph.dtype))
-            jax.block_until_ready(_[1])
-            sub *= 2
+        processor._warm_programs(processor.compiled, processor.state)
 
         self._running.set()
 

@@ -100,12 +100,40 @@ class AudioProcessor:
     _async_recompile = False
     _compile_thread = None
     _compiled_next = None
+    # scan lengths (blocks) the runner will execute; the async-compile worker
+    # pre-warms these on the NEW program so the post-swap chunk render does
+    # not stall the producer on a jit trace (the ring only holds ~100s of ms)
+    _warm_scan_lengths: Tuple[int, ...] = ()
 
     def enable_async_recompile(self, enabled: bool = True) -> None:
         """Compile graph edits on a worker thread and swap between blocks,
         so a running stream keeps playing the old program during the (long)
         XLA compile instead of stalling."""
         self._async_recompile = bool(enabled)
+
+    def _warm_programs(self, cg: CompiledGraph, base_state) -> None:
+        """Execute every program + scan length the runner can hit, on COPIES
+        of ``base_state`` (the scan fns donate their state argument)."""
+        ev = cg.empty_events()
+        inp = jnp.zeros((self.graph.inputs, self.graph.block_size), self.graph.dtype)
+        cp = lambda st: jax.tree_util.tree_map(jnp.copy, st)
+        out = cg.render_fast(cp(base_state), inp)
+        jax.block_until_ready(out[1])
+        out = cg.render(cp(base_state), ev, inp)
+        jax.block_until_ready(out[1])
+        if not self._warm_scan_lengths:
+            return
+        ev_np = jax.tree_util.tree_map(np.asarray, ev)
+        for sub in self._warm_scan_lengths:
+            shape = (sub, self.graph.inputs, self.graph.block_size)
+            in_stack = jnp.zeros(shape, self.graph.dtype)
+            out = _get_scan_fn(cg)(cp(base_state), in_stack)
+            jax.block_until_ready(out[1])
+            ev_stack = jax.tree_util.tree_map(
+                lambda x: np.broadcast_to(x, (sub,) + x.shape).copy(), ev_np
+            )
+            out = _get_full_scan_fn(cg)(cp(base_state), ev_stack, in_stack)
+            jax.block_until_ready(out[1])
 
     def _kick_async_compile(self) -> None:
         import threading
@@ -124,7 +152,13 @@ class AudioProcessor:
 
         revision = self.graph.revision
 
-        live_state = self.state
+        # SNAPSHOT the live state: the producer keeps rendering while the
+        # worker compiles, and the render/scan programs donate their state
+        # argument — the buffers behind ``self.state`` get deleted under the
+        # worker, so warming from a live reference raises "Array has been
+        # deleted" mid-warm (and an unwarmed program would stall the stream
+        # with a jit trace at swap time)
+        live_state = jax.tree_util.tree_map(jnp.copy, self.state)
         live_compiled = self.compiled
 
         def worker():
@@ -132,22 +166,21 @@ class AudioProcessor:
                 self.graph, self.options.event_capacity, self.options.auto_batch
             )
             # pre-warm everything the swap will execute: the state carry-over
-            # (many tiny eager ops compile on first use) and both programs,
-            # so the actual between-blocks swap is milliseconds
+            # (many tiny eager ops compile on first use), both single-block
+            # programs, AND every scan length the runner uses — the post-swap
+            # chunk render must not pay a jit trace while a stream's ring
+            # drains. All warmup renders run on COPIES (the scan fns donate
+            # state; the live stream's buffers must survive).
             try:
                 st = cg.init_state(live_state, live_compiled)
-                # the carry-over passes unchanged node-state arrays through:
-                # COPY before the warmup renders donate them, or the live
-                # stream's buffers would be deleted under it
-                st = jax.tree_util.tree_map(jnp.copy, st)
-                ev = cg.empty_events()
-                inp = jnp.zeros(
-                    (self.graph.inputs, self.graph.block_size), self.graph.dtype
-                )
-                cg.render_fast(jax.tree_util.tree_map(jnp.copy, st), inp)
-                cg.render(st, ev, inp)
+                self._warm_programs(cg, st)
             except Exception:
-                pass
+                import warnings
+
+                warnings.warn(
+                    "async-recompile warmup failed; the program swap may "
+                    "stall on a jit compile", RuntimeWarning, stacklevel=1
+                )
             self._compiled_next = cg
 
         self._compile_thread = threading.Thread(target=worker, daemon=True)

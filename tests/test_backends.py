@@ -149,3 +149,45 @@ def test_stream_backend_structural_edit_glitch_free():
     running = data[first_nz:]
     assert running.size > 0
     assert np.all(np.abs(running) > 0.2), "dropout during the program swap"
+
+
+def test_async_recompile_worker_warms_new_program():
+    """The async-compile worker must publish a *warmed* program: every scan
+    length the producer uses has to be in the new program's jit cache before
+    the swap, or the post-swap chunk render stalls on a trace while the
+    stream's ring drains. Regression: the worker used to warm from a live
+    reference to the producer's state — the scan programs donate state, so
+    the buffers were deleted under the worker mid-warm and the failure was
+    swallowed, silently publishing an unwarmed program."""
+    import jax
+    import warnings
+
+    opts = AudioProcessorOptions(block_size=64)
+    g, proc = AudioProcessor.new(0, 1, opts)
+    g.edit(lambda gg: (gg.push(Constant(0.25))).to_graph_out())
+    proc._ensure_compiled()
+    proc._warm_scan_lengths = (16,)
+    proc.enable_async_recompile()
+    # simulate the producer's donation: render a chunk, which donates the
+    # old state buffers the worker would have warmed from
+    proc.render(frames=64 * 16)
+    g.edit(lambda gg: (gg.push(Constant(0.5))).to_graph_out())
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # warm failure warns -> test fails
+        proc._kick_async_compile()
+        # keep rendering (and donating state) with the OLD program while the
+        # worker runs, so its snapshot-vs-live distinction actually matters.
+        # NOTE: render() would itself swap in a finished program, so render
+        # only while the worker is alive, then join and inspect the result.
+        while proc._compile_thread.is_alive():
+            proc.render(frames=64 * 16)
+        proc._compile_thread.join(timeout=120)
+    # a render racing the worker's finish may already have swapped the new
+    # program in — either way it must exist and be warm
+    ready = proc._compiled_next
+    if ready is None:
+        ready = proc.compiled
+        assert ready.revision == g.root().revision
+    assert ready is not None
+    assert ready.scan_fn is not None and ready.scan_fn._cache_size() >= 1
+    assert ready.full_scan_fn is not None and ready.full_scan_fn._cache_size() >= 1
