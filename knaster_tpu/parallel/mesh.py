@@ -6,9 +6,10 @@ chip renders a contiguous shard of the bank's voices and the mix bus is a
 voice range inside ``shard_map``; all DSP state lives sharded on-device, so
 the only per-block collective is the [channels, block] mix-down.
 
-Layout: mesh axis "voices"; state leaves sharded on their leading [V] axis;
-output replicated. This is classic data parallelism riding ICI — no DCN
-traffic, no resharding inside the step.
+Layout: mesh axis "voices"; each state leaf's voice axis is inferred
+structurally (full-bank vs local-shard shapes, wherever it sits in the
+leaf); output replicated. This is classic data parallelism riding ICI — no
+DCN traffic, no resharding inside the step.
 """
 
 from __future__ import annotations
@@ -50,24 +51,39 @@ class ShardedVoiceBank:
         self.local_voices = bank.n_voices // self.n_devices
         # a local bank instance describing one shard's worth of voices
         self._local = bank.make_local(self.local_voices)
+        self._specs = self._infer_state_specs()
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
-    def _state_specs(self, template):
+    def _infer_state_specs(self):
+        """Derive per-leaf PartitionSpecs structurally: each state leaf's
+        voice axis is the (single) axis where the full bank's shape differs
+        from a 1/n_devices local bank's (``make_local``) — any bank state
+        layout shards correctly without a name list to go stale. Leaves with
+        identical shapes are voice-independent and replicate."""
+        ctx = self.ctx
+        full = jax.eval_shape(lambda: self.bank.init(ctx))
+        local = jax.eval_shape(lambda: self._local.init(ctx))
         axis = self.axis
 
-        def spec_for(path, _leaf):
-            name = path[0].key if path else None
-            if name in ("fvals", "ftarget", "fstep", "frem", "fsdur", "ivals"):
-                return P(None, axis)  # [n_params, V]: shard the voice axis
-            return P(axis)  # everything else has voices leading
+        def spec_for(g, l):
+            gs, ls = g.shape, l.shape
+            if gs == ls:
+                return P()
+            diff = [d for d in range(min(len(gs), len(ls))) if gs[d] != ls[d]]
+            if len(gs) != len(ls) or len(diff) != 1:
+                raise ValueError(
+                    f"cannot infer the voice axis of a state leaf: full bank "
+                    f"shape {gs} vs local shard shape {ls}"
+                )
+            return P(*([None] * diff[0] + [axis]))
 
-        return jax.tree_util.tree_map_with_path(spec_for, template)
+        return jax.tree_util.tree_map(spec_for, full, local)
 
     def init_state(self):
         """Build the sharded state: voice axes laid out on the mesh."""
         full_state = self.bank.init(self.ctx)
-        specs = self._state_specs(full_state)
+        specs = self._specs
 
         def put(x, spec):
             return jax.device_put(x, NamedSharding(self.mesh, spec))
@@ -105,7 +121,7 @@ class ShardedVoiceBank:
             out = jax.lax.psum(out, axis)
             return new_state, out
 
-        state_specs = self._state_specs(self.bank.init(ctx))
+        state_specs = self._specs
         ev_specs = jax.tree_util.tree_map(
             lambda _: P(), self.empty_events()
         )

@@ -1,22 +1,31 @@
-"""PallasSineVoiceBank: the fused hot-path kernel for massed sine voices.
+"""Fused Pallas voice-bank kernels: the hot path for massed voices.
 
 The VoiceBank path builds the voice from composable UGens (vmap over a scan
-for the envelope, cumsum for the oscillator). This kernel fuses the whole
-many_sines voice — phasor-rotation sine oscillator (no per-sample
-transcendental; the exact u32 fixed-point phase is carried across blocks),
-ASR envelope state machine, equal-power pan, mix-down — into ONE Pallas
+for the envelope, cumsum for the oscillator). These kernels fuse the whole
+voice — oscillator, envelope state machine, pan, mix-down — into ONE Pallas
 kernel: state lives in VMEM, voices ride the 8×128 vector lanes, and the
-per-sample loop is a register loop instead of an XLA scan. Same control
-surface as VoiceBank (per-voice float sets at block rate, sample-accurate
-triggers via the event channel).
+per-sample loop is a register loop instead of an XLA scan.
 
-Layout: voices as [V/128, 128] tiles (sublane × lane); the grid walks voice
-tiles of ``tile_rows``×128 voices; each grid step emits its partial stereo
-mix [B, 2], summed in XLA afterwards.
-
+**Sample-accurate control, identical to the vmap path** (the reference's
+WrPreciseTiming semantics, wrappers_core/precise_timing.rs:65-114, at bank
+scale): per-voice float sets and smoothing ramps are materialized *per
+sample inside the kernel* — each float param arrives as its linear-ramp
+state (value/step/remaining/target per voice) plus, in eventful blocks, the
+pre-event trajectory and the event frame, and the kernel evaluates exactly
+the same select structure as ``VoiceBank.process``'s ``materialize``.
 Triggers are packed host→kernel as uint32 bitmasks (2 words per voice for
 block sizes up to 64), so the kernel reads one bit per sample instead of a
 [B, V] boolean array.
+
+Oscillator parity: the u32 fixed-point phase is carried *through* the kernel
+(per-sample increments from the materialized per-sample frequency), and the
+sine is ``jnp.sin`` of the same table-quantized angle ``SinWt`` computes
+(osc.rs:97-168 semantics) — the kernels match the vmap banks to float
+rounding, not just to a quantization bound.
+
+Layout: voices as [V/128, 128] tiles (sublane × lane); the grid walks voice
+tiles of ``tile_rows``×128 voices; each grid step emits its partial mix,
+summed in XLA afterwards.
 """
 
 from __future__ import annotations
@@ -34,11 +43,13 @@ from ..ugens.wavetable import FRACTIONAL_PART, TABLE_HIGH_MASK, TABLE_SIZE
 from .voicebank import VoiceBank
 
 LANES = 128
+_CYCLE = float(TABLE_SIZE) * float(FRACTIONAL_PART)  # 2**30 phase units/cycle
+_U2RAD = np.float32(2.0 * np.pi / _CYCLE)
+_IDX_SCALE = np.float32(2.0 * np.pi / TABLE_SIZE)
+_HALF_PI = np.float32(np.pi / 2.0)
 
-
-def _env_rate(seconds, sr):
-    return jnp.where(seconds == 0, jnp.ones_like(seconds), 1.0 / (seconds * sr))
-
+# ramp-operand group sizes (see _ramp_operands)
+N_FAST, N_EVENTFUL = 4, 9
 
 
 def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
@@ -54,70 +65,266 @@ def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
         tr -= 1
     return max(tr, 1)
 
-def _bank_kernel(
-    B: int,
-    unroll: bool,
-    s_ref, c_ref, rs_ref, rc_ref, stage_ref, t_ref, rscale_ref,
-    atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
-    restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
-    out_ref, stage_out, t_out, rscale_out,
-):
+
+# --------------------------------------------------------------------------
+# shared in-kernel pieces
+# --------------------------------------------------------------------------
+
+def _mat(i_f, g):
+    """Materialize one float param at sample ``i`` from its ramp group.
+
+    Mirrors VoiceBank.process's ``materialize`` + pre/post-event select:
+    ``where(i >= rem, target, v0 + step*i)`` on the new trajectory, and in
+    eventful blocks ``where(i >= frame, new, old)`` against the pre-event
+    ramp state. ``g`` is 4 refs (fast) or 9 (eventful):
+    (v0, step, rem, tgt[, v0_old, step_old, rem_old, tgt_old, frame])."""
+    v = jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
+    if len(g) == N_EVENTFUL:
+        o = jnp.where(i_f >= g[6][:], g[7][:], g[4][:] + g[5][:] * i_f)
+        v = jnp.where(i_f >= g[8][:], v, o)
+    return v
+
+
+def _trig_bit(i, lo_ref, hi_ref):
+    """Sample i's trigger bit from the packed 2×u32 per-voice words."""
+    iu = i.astype(jnp.uint32)
+    word = jnp.where(i < 32, lo_ref[:], hi_ref[:])
+    bit = jnp.where(i < 32, iu, iu - 32)
+    return ((word >> bit) & 1) == 1
+
+
+def _to_inc(f_times_f2pi):
+    """freq*f2pi -> u32 phase increment, Rust `as u32` saturation semantics
+    (osc.rs; same clamp as _freq_to_inc_u32 — int32 cast then bitcast is
+    bit-identical for values in [0, 2^31-1] and lowers on Mosaic)."""
+    return pltpu.bitcast(
+        jnp.clip(f_times_f2pi, 0.0, 2.0**31 - 1).astype(jnp.int32), jnp.uint32
+    )
+
+
+# degree-9 odd polynomial for sin(u) on [0, pi/2]: max error 1.2e-7 (the
+# float32 rounding floor) — fitted on the 16384-grid this kernel evaluates
+_SIN_C = (np.float32(1.0), np.float32(-0.16666652), np.float32(0.008332964),
+          np.float32(-0.00019804752), np.float32(2.5981028e-06))
+
+
+def _sin_quant(phase):
+    """SinWt's table-quantized sine: sin of the 16384-grid angle.
+
+    The grid index is folded to the first quadrant with integer identities
+    (sin(x+pi) = -sin x, sin(pi-x) = sin x) and evaluated with a degree-9
+    odd polynomial — error <= 1.2e-7 vs jnp.sin at roughly half the op count
+    of a generic range reduction."""
+    idx = (phase >> 16) & np.uint32(TABLE_HIGH_MASK)
+    half = idx & np.uint32(TABLE_SIZE // 2 - 1)
+    neg = idx >= np.uint32(TABLE_SIZE // 2)
+    m = jnp.where(half > np.uint32(TABLE_SIZE // 4),
+                  np.uint32(TABLE_SIZE // 2) - half, half)
+    u = pltpu.bitcast(m, jnp.int32).astype(jnp.float32) * _IDX_SCALE
+    u2 = u * u
+    p = _SIN_C[4]
+    p = p * u2 + _SIN_C[3]
+    p = p * u2 + _SIN_C[2]
+    p = p * u2 + _SIN_C[1]
+    p = (p * u2 + _SIN_C[0]) * u
+    return jnp.where(neg, -p, p)
+
+
+def _theta_full(phase):
+    """AdditiveVoice's full-resolution phase angle (mod one cycle)."""
+    return pltpu.bitcast(
+        phase & np.uint32(int(_CYCLE) - 1), jnp.int32
+    ).astype(jnp.float32) * _U2RAD
+
+
+def _env_asr(stage, t, rscale, restart, release, atk, rel):
+    """EnvAsr state machine (stages: 0 stop, 1 atk, 2 sus, 3 rel).
+    Returns (env, stage', t', rscale')."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
+    stage = jnp.where(restart, one, stage)
+    rel_from_atk = release & (stage == 1.0)
+    rel_from_sus = release & (stage == 2.0)
+    rscale = jnp.where(rel_from_atk, t, jnp.where(rel_from_sus, one, rscale))
+    t = jnp.where(rel_from_atk | rel_from_sus, one, t)
+    stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
+    env = jnp.where(
+        stage == 1.0, t,
+        jnp.where(stage == 2.0, one,
+                  jnp.where(stage == 3.0, t * t * t * rscale, zero)),
+    )
+    t_next = jnp.where(
+        stage == 1.0, t + atk,
+        jnp.where(stage == 3.0, t - rel, t),
+    )
+    to_sus = (stage == 1.0) & (t_next >= one)
+    done = (stage == 3.0) & (t_next <= zero)
+    stage = jnp.where(to_sus, np.float32(2.0), stage)
+    stage = jnp.where(done, zero, stage)
+    t_next = jnp.where(done, zero, t_next)
+    return env, stage, t_next, rscale
+
+
+def _env_ar(stage, t, restart, atk, rel):
+    """EnvAr state machine (stages: 0 stopped, 1 attack, 2 release)."""
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    stage = jnp.where(restart, one, stage)
+    env = jnp.where(
+        stage == 1.0, t,
+        jnp.where(stage == 2.0, t * t * t, zero),
+    )
+    t_next = jnp.where(
+        stage == 1.0, t + atk,
+        jnp.where(stage == 2.0, t - rel, t),
+    )
+    to_rel = (stage == 1.0) & (t_next >= one)
+    stage = jnp.where(to_rel, np.float32(2.0), stage)
+    t_next = jnp.where(to_rel, one, t_next)
+    done = (stage == 2.0) & ~to_rel & (t_next <= zero)
+    stage = jnp.where(done, zero, stage)
+    t_next = jnp.where(done, zero, t_next)
+    return env, stage, t_next
+
+
+# --------------------------------------------------------------------------
+# host-side operand staging
+# --------------------------------------------------------------------------
+
+def _ramp_operands(bank, state, fstate, fframe, dtype):
+    """Flat list of [R, LANES] ramp tiles, one group per float param in
+    ``bank._float_names`` order: (v0, step, rem, tgt) from the post-event
+    ramp state, plus (v0_old, step_old, rem_old, tgt_old, frame) from the
+    pre-event state when this block has events. ``rem``/``frame`` are cast
+    to the compute dtype so comparisons against the sample index are one
+    VPU select each."""
+    R = bank.n_voices // LANES
+
+    def g2(x):
+        return x.reshape(R, LANES)
+
+    fvals, ftgt, fstep, frem, _ = fstate
+    ops = []
+    for p in range(len(bank._float_names)):
+        ops += [g2(fvals[p]), g2(fstep[p]),
+                g2(frem[p].astype(dtype)), g2(ftgt[p])]
+        if fframe is not None:
+            ops += [g2(state["fvals"][p]), g2(state["fstep"][p]),
+                    g2(state["frem"][p].astype(dtype)),
+                    g2(state["ftarget"][p]), g2(fframe[p].astype(dtype))]
+    return ops
+
+
+def _bank_setup(bank, ctx, state, events):
+    """Common per-block staging for every kernel bank: apply the event
+    channel, build ramp operands + env constants, return the bits each
+    ``process`` needs. ``ng`` is the per-param ramp-group size."""
+    dtype = ctx.dtype
+    R = bank.n_voices // LANES
+    fstate, ivals, active, _, fframe = bank._apply_events(
+        ctx, state, events, trig_tensor=False
+    )
+    ramp_ops = _ramp_operands(bank, state, fstate, fframe, dtype)
+    ng = N_EVENTFUL if fframe is not None else N_FAST
+    atk = jnp.full((R, LANES), 1.0 / max(bank._attack * ctx.sample_rate, 1.0),
+                   dtype)
+    rel = jnp.full((R, LANES), 1.0 / max(bank._release * ctx.sample_rate, 1.0),
+                   dtype)
+    act = active.astype(dtype).reshape(R, LANES)
+    return fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act
+
+
+def _grid2(bank, x):
+    return x.reshape(bank.n_voices // LANES, LANES)
+
+
+def _pan_fast_operands(bank, fstate, dtype):
+    """Event-free blocks avoid per-sample pan transcendentals: the pan ramp
+    is linear, so its equal-power angle is linear too, and cos/sin of a
+    linear angle is a phasor rotation. Stage 7 tiles per block: the phasor
+    at sample 0, the per-sample rotation (identity when pan isn't ramping —
+    the common case is then *exact*), the post-ramp target gains, and the
+    ramp end frame. 6 transcendentals per block instead of 2 per sample."""
+    i = bank.float_index("pan")
+    fvals, ftgt, fstep, frem, _ = fstate
+    a0 = (fvals[i] * 0.5 + 0.5) * _HALF_PI
+    da = fstep[i] * np.float32(np.pi / 4.0)  # d(angle)/d(sample)
+    at = (ftgt[i] * 0.5 + 0.5) * _HALF_PI
+    g2 = lambda x: _grid2(bank, x.astype(dtype))
+    return [g2(jnp.cos(a0)), g2(jnp.sin(a0)),
+            g2(jnp.cos(da)), g2(jnp.sin(da)),
+            g2(jnp.cos(at)), g2(jnp.sin(at)),
+            g2(frem[i].astype(dtype))]
+
+
+N_PAN_FAST = 7
+
+
+def _pan_gains(i_f, g, carry):
+    """Per-sample equal-power pan gains.
+
+    Eventful blocks (``g`` is a 9-tile ramp group): materialize pan and take
+    cos/sin exactly like Pan2. Fast blocks (``g`` is the 7-tile rotation
+    pack): select the rotating phasor until the ramp ends, the precomputed
+    target gains after. Returns (panl, panr, carry')."""
+    if len(g) == N_EVENTFUL:
+        angle = (_mat(i_f, g) * np.float32(0.5) + np.float32(0.5)) * _HALF_PI
+        return jnp.cos(angle), jnp.sin(angle), carry
+    dc_ref, ds_ref, lt_ref, rt_ref, rem_ref = g[2], g[3], g[4], g[5], g[6]
+    cl, sl = carry
+    panl = jnp.where(i_f >= rem_ref[:], lt_ref[:], cl)
+    panr = jnp.where(i_f >= rem_ref[:], rt_ref[:], sl)
+    dc, ds = dc_ref[:], ds_ref[:]
+    return panl, panr, (cl * dc - sl * ds, sl * dc + cl * ds)
+
+
+# --------------------------------------------------------------------------
+# sine bank
+# --------------------------------------------------------------------------
+
+def _sine_kernel(B, ng, f2pi, unroll, *refs):
+    """Fused SineVoice: SinWt (u32 phase, table-quantized jnp.sin), EnvAsr,
+    equal-power Pan2, stereo mix. refs: ramp groups for freq and amp (``ng``
+    tiles each) and the pan group (9-tile ramp group when eventful, 7-tile
+    rotation pack otherwise), then stage, t, rscale, atk, rel, active,
+    restart_lo/hi, release_lo/hi, phase; outs: partial mix [1, B, 2, LANES],
+    stage, t, rscale, phase."""
+    np_ = N_EVENTFUL if ng == N_EVENTFUL else N_PAN_FAST
+    FREQ = refs[0:ng]
+    AMP = refs[ng:2 * ng]
+    PAN = refs[2 * ng:2 * ng + np_]
+    (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
+     rlo_ref, rhi_ref, qlo_ref, qhi_ref, phase_ref,
+     out_ref, stage_out, t_out, rscale_out, phase_out) = refs[2 * ng + np_:]
 
     def body(i, carry):
-        s, c, stage, t, rscale = carry
-        iu = i.astype(jnp.uint32)
-        word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
-        word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
-        bit = jnp.where(i < 32, iu, iu - 32)
-        restart = ((word_restart >> bit) & 1) == 1
-        release = ((word_release >> bit) & 1) == 1
+        phase, stage, t, rscale, pan_c = carry
+        i_f = i.astype(jnp.float32)
+        restart = _trig_bit(i, rlo_ref, rhi_ref)
+        release = _trig_bit(i, qlo_ref, qhi_ref)
 
-        # --- EnvAsr triggers (stages: 0 stop, 1 atk, 2 sus, 3 rel) ---
-        stage = jnp.where(restart, one, stage)
-        rel_from_atk = release & (stage == 1.0)
-        rel_from_sus = release & (stage == 2.0)
-        rscale = jnp.where(rel_from_atk, t, jnp.where(rel_from_sus, one, rscale))
-        t = jnp.where(rel_from_atk | rel_from_sus, one, t)
-        stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
-
-        # --- envelope value + advance ---
-        env = jnp.where(
-            stage == 1.0, t,
-            jnp.where(stage == 2.0, one,
-                      jnp.where(stage == 3.0, t * t * t * rscale, zero)),
+        env, stage, t_next, rscale = _env_asr(
+            stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
         )
-        t_next = jnp.where(
-            stage == 1.0, t + atk_ref[:],
-            jnp.where(stage == 3.0, t - rel_ref[:], t),
-        )
-        to_sus = (stage == 1.0) & (t_next >= one)
-        done = (stage == 3.0) & (t_next <= zero)
-        stage = jnp.where(to_sus, np.float32(2.0), stage)
-        stage = jnp.where(done, zero, stage)
-        t_next = jnp.where(done, zero, t_next)
 
-        # --- sine by phasor rotation: no transcendental in the loop ---
-        # s/c are sin/cos of the exact u32 phase at block start (computed in
-        # XLA once per block); each sample advances by the complex multiply
-        # (rs, rc) = (sin, cos) of the true per-sample angle. The u32 phase
-        # is still carried exactly outside the kernel, so there is no drift
-        # across blocks; within a block the rotation is *more* accurate than
-        # the table-quantized read it replaces (error <= 2*pi/TABLE_SIZE).
-        # Mix: reduce only the sublane axis here (cheap on the VPU); the
-        # 128-lane reduction happens once per block in XLA afterwards.
-        sig = s * env * amp_ref[:] * active_ref[:]
+        freq = _mat(i_f, FREQ)
+        osc = _sin_quant(phase)
+        phase = phase + _to_inc(freq * f2pi)
+
+        sig = osc * env * _mat(i_f, AMP) * act_ref[:]
+        panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
         out_ref[0, i, :] = jnp.stack(
-            [jnp.sum(sig * panl_ref[:], axis=0), jnp.sum(sig * panr_ref[:], axis=0)]
+            [jnp.sum(sig * panl, axis=0), jnp.sum(sig * panr, axis=0)]
         )
-        return (s * rc_ref[:] + c * rs_ref[:], c * rc_ref[:] - s * rs_ref[:],
-                stage, t_next, rscale)
+        return phase, stage, t_next, rscale, pan_c
 
-    carry = (s_ref[:], c_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    pan_c = (PAN[0][:], PAN[1][:]) if np_ == N_PAN_FAST else None
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
     # fully unrolled on hardware: Mosaic's loop overhead costs ~20% at this
     # body size (the CPU interpreter keeps the rolled loop: cheap to trace)
-    s, c, stage, t, rscale = jax.lax.fori_loop(0, B, body, carry, unroll=unroll)
+    phase, stage, t, rscale, _ = jax.lax.fori_loop(0, B, body, carry,
+                                                   unroll=unroll)
+    phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
@@ -168,56 +375,31 @@ class PallasSineVoiceBank(VoiceBank):
 
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
         from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
 
         B = ctx.block_size
-        V = self.n_voices
-        R = V // LANES
+        R = self.n_voices // LANES
         TR = self.tile_rows
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, _, _ = self._apply_events(
-            ctx, state, events, trig_tensor=False
-        )
-        # the kernel reads block-rate floats: ramps advance as block stairs
-        fvals = fstate[0]
-
-        def grid2(x):
-            return x.reshape(R, LANES)
-
-        freq = grid2(fvals[self.float_index("freq")])
-        amp = grid2(fvals[self.float_index("amp")])
-        pan = grid2(fvals[self.float_index("pan")])
-        p = pan * 0.5 + 0.5
-        panl = jnp.cos(p * (np.pi / 2)).astype(dtype)
-        panr = jnp.sin(p * (np.pi / 2)).astype(dtype)
-        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
-        inc = jnp.clip(freq * np.float32(f2pi), 0.0, 2.0**31 - 1).astype(
-            jnp.uint32
-        )
-        # block-start phasor + per-sample rotation angle (freq is block-rate
-        # in this kernel, so the rotation is exact-frequency; the u32 phase
-        # carries exactly across blocks below). One cycle is
-        # TABLE_SIZE*FRACTIONAL_PART = 2**30 phase units (osc.rs convention).
-        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
-        u2rad = np.float32(2.0 * np.pi / cycle)
-        theta0 = (state["phase"] & jnp.uint32(cycle - 1)).astype(dtype) * u2rad
-        s0 = jnp.sin(theta0)
-        c0 = jnp.cos(theta0)
-        ang = inc.astype(dtype) * u2rad
-        rs = jnp.sin(ang)
-        rc = jnp.cos(ang)
-        atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
-        rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
-        act = grid2(active.astype(dtype))
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
+            _bank_setup(self, ctx, state, events)
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        if ng == N_FAST:
+            # event-free block: swap pan's ramp group for the rotation pack
+            ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(
+                self, fstate, dtype
+            )
+            n_in = 2 * ng + N_PAN_FAST + 11
+        else:
+            n_in = 3 * ng + 11
 
         restart_lo, restart_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_restart"))
         )
         release_lo, release_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_release"))
         )
 
@@ -226,30 +408,29 @@ class PallasSineVoiceBank(VoiceBank):
         # tests run on CPU: use the pallas interpreter there
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
-            functools.partial(_bank_kernel, B, not interpret),
+            functools.partial(_sine_kernel, B, ng, f2pi, not interpret),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(17)],
+            in_specs=[tile() for _ in range(n_in)],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, 2, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
             ),
             out_specs=(
                 pl.BlockSpec((1, B, 2, LANES), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                tile(), tile(), tile(),
+                tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
         )(
-            s0, c0, rs, rc, state["stage"], state["t"], state["rscale"],
-            atk, rel, amp, panl, panr, act,
-            restart_lo, restart_hi, release_lo, release_hi,
+            *ramp_ops,
+            state["stage"], state["t"], state["rscale"], atk, rel, act,
+            restart_lo, restart_hi, release_lo, release_hi, state["phase"],
         )
-        partial_mix, stage, t, rscale = outs
+        partial_mix, stage, t, rscale, phase = outs
         out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
-        # exact u32 phase advance (wrapping multiply; phase is mod 2**32)
-        phase = state["phase"] + inc * jnp.uint32(B)
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
             fstate, B, dtype
         )
@@ -262,83 +443,45 @@ class PallasSineVoiceBank(VoiceBank):
         return new_state, out
 
 
-def _fm_bank_kernel(
-    B: int,
-    unroll: bool,
-    sm_ref, cm_ref, rsm_ref, rcm_ref, phc_ref, stage_ref, t_ref,
-    freq_ref, index_ref, amp_ref, atk_ref, rel_ref, active_ref,
-    restart_lo_ref, restart_hi_ref,
-    out_ref, phc_out, stage_out, t_out,
-):
-    """2-op FM voice bank: modulator sine FMs the carrier per sample,
-    AR envelope (models.FMVoice semantics), mono mix. The modulator's
-    frequency (freq*ratio) is block-constant, so it runs as a rotating
-    phasor (no transcendental); the carrier's instantaneous frequency is
-    audio-rate, so it keeps the per-sample computed sine."""
-    from ..ugens.wavetable import FRACTIONAL_PART, TABLE_HIGH_MASK, TABLE_SIZE
+# --------------------------------------------------------------------------
+# FM bank
+# --------------------------------------------------------------------------
 
-    scale = np.float32(2.0 * np.pi / TABLE_SIZE)
-    f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / 48000.0)
-    mask = np.uint32(TABLE_HIGH_MASK)
+def _fm_kernel(B, ng, f2pi, unroll, *refs):
+    """2-op FM voice (models.FMVoice): per-sample modulator AND carrier u32
+    phases (the modulator's frequency is freq*ratio of the materialized
+    per-sample params; the carrier's instantaneous frequency is audio-rate
+    FM), AR envelope, mono mix."""
+    FREQ = refs[0:ng]
+    RATIO = refs[ng:2 * ng]
+    INDEX = refs[2 * ng:3 * ng]
+    AMP = refs[3 * ng:4 * ng]
+    (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref, act_ref,
+     rlo_ref, rhi_ref,
+     out_ref, phm_out, phc_out, stage_out, t_out) = refs[4 * ng:]
     one = np.float32(1.0)
-    zero = np.float32(0.0)
-
-    def to_inc(f):
-        # Rust `as u32` saturation for negative FM frequencies
-        return pltpu.bitcast(
-            jnp.clip(f, 0.0, 2.0**31 - 1).astype(jnp.int32), jnp.uint32
-        )
-
-    def sine_of(phase):
-        # degree-7 odd minimax polynomial on [-pi, pi): max error 2.5e-4,
-        # below the 2*pi/TABLE_SIZE = 3.8e-4 table-quantization bound this
-        # path emulates, at ~1/3 the op count of jnp.sin
-        idx = pltpu.bitcast((phase >> 16) & mask, jnp.int32).astype(jnp.float32)
-        r = idx * scale - np.float32(np.pi)
-        r2 = r * r
-        p = r * (np.float32(9.9927639488e-01) + r2 * (
-            np.float32(-1.6566749647e-01) + r2 * (
-                np.float32(7.9581818171e-03) + r2 * np.float32(-1.4508485394e-04)
-            )
-        ))
-        return -p  # sin(theta) = -sin(theta - pi)
 
     def body(i, carry):
-        sm, cm, phc, stage, t = carry
-        iu = i.astype(jnp.uint32)
-        word = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
-        bit = jnp.where(i < 32, iu, iu - 32)
-        restart = ((word >> bit) & 1) == 1
+        phm, phc, stage, t = carry
+        i_f = i.astype(jnp.float32)
+        restart = _trig_bit(i, rlo_ref, rhi_ref)
 
-        # EnvAr (stages: 0 stopped, 1 attack, 2 release)
-        stage = jnp.where(restart, one, stage)
-        env = jnp.where(
-            stage == 1.0, t,
-            jnp.where(stage == 2.0, t * t * t, zero),
-        )
-        t_next = jnp.where(
-            stage == 1.0, t + atk_ref[:],
-            jnp.where(stage == 2.0, t - rel_ref[:], t),
-        )
-        to_rel = (stage == 1.0) & (t_next >= one)
-        stage = jnp.where(to_rel, np.float32(2.0), stage)
-        t_next = jnp.where(to_rel, one, t_next)
-        done = (stage == 2.0) & ~to_rel & (t_next <= zero)
-        stage = jnp.where(done, zero, stage)
-        t_next = jnp.where(done, zero, t_next)
+        env, stage, t_next = _env_ar(stage, t, restart, atk_ref[:], rel_ref[:])
 
-        car_freq = freq_ref[:] * (one + index_ref[:] * sm)
-        inc_c = to_inc(car_freq * f2pi)
-        car = sine_of(phc)
-        phc = phc + inc_c
+        freq = _mat(i_f, FREQ)
+        mod = _sin_quant(phm)
+        phm = phm + _to_inc(freq * _mat(i_f, RATIO) * f2pi)
+        car_freq = freq * (one + _mat(i_f, INDEX) * mod)
+        car = _sin_quant(phc)
+        phc = phc + _to_inc(car_freq * f2pi)
 
-        sig = car * env * amp_ref[:] * active_ref[:]
+        sig = car * env * _mat(i_f, AMP) * act_ref[:]
         out_ref[0, i, :] = jnp.sum(sig, axis=0)
-        return (sm * rcm_ref[:] + cm * rsm_ref[:],
-                cm * rcm_ref[:] - sm * rsm_ref[:], phc, stage, t_next)
+        return phm, phc, stage, t_next
 
-    carry = (sm_ref[:], cm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
-    _, _, phc, stage, t = jax.lax.fori_loop(0, B, body, carry, unroll=unroll)
+    carry = (phm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
+    phm, phc, stage, t = jax.lax.fori_loop(0, B, body, carry, unroll=unroll)
+    phm_out[:] = phm
     phc_out[:] = phc
     stage_out[:] = stage
     t_out[:] = t
@@ -346,11 +489,8 @@ def _fm_bank_kernel(
 
 class PallasFMVoiceBank(VoiceBank):
     """Drop-in VoiceBank for FMVoice with a fused Pallas kernel core.
-
-    Caveats vs the vmap path: the modulator's own freq*ratio increment is
-    block-rate (the vmap path recomputes it per sample, identical when ratio
-    and freq are block-rate anyway), and the sample rate is baked at 48 kHz
-    in the kernel constants."""
+    Sample-rate-agnostic (f2pi derived from the AudioCtx) and sample-accurate
+    for per-voice float sets/ramps like the vmap path."""
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.005, release: float = 0.3,
@@ -383,8 +523,6 @@ class PallasFMVoiceBank(VoiceBank):
     def init(self, ctx: AudioCtx):
         if ctx.block_size > 64:
             raise ValueError("PallasFMVoiceBank supports block_size <= 64")
-        if ctx.sample_rate != 48000:
-            raise ValueError("PallasFMVoiceBank is tuned for 48 kHz")
         base = super().init(ctx)
         R = self.n_voices // LANES
         base["phm"] = jnp.zeros((R, LANES), jnp.uint32)
@@ -395,60 +533,34 @@ class PallasFMVoiceBank(VoiceBank):
         return base
 
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
-        import functools
-
         from jax.experimental import pallas as pl
 
         B = ctx.block_size
-        V = self.n_voices
-        R = V // LANES
+        R = self.n_voices // LANES
         TR = self.tile_rows
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, _, _ = self._apply_events(
-            ctx, state, events, trig_tensor=False
-        )
-        fvals = fstate[0]
-
-        def grid2(x):
-            return x.reshape(R, LANES)
-
-        freq = grid2(fvals[self.float_index("freq")])
-        ratio = grid2(fvals[self.float_index("ratio")])
-        index = grid2(fvals[self.float_index("index")])
-        amp = grid2(fvals[self.float_index("amp")])
-        atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
-        rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
-        act = grid2(active.astype(dtype))
-
-        # modulator phasor (freq*ratio is block-rate): same saturating u32
-        # increment as the carrier, rotated per sample inside the kernel
-        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / 48000.0)
-        inc_m = jnp.clip(freq * ratio * f2pi, 0.0, 2.0**31 - 1).astype(jnp.uint32)
-        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
-        u2rad = np.float32(2.0 * np.pi / cycle)
-        thm = (state["phm"] & jnp.uint32(cycle - 1)).astype(dtype) * u2rad
-        sm0 = jnp.sin(thm)
-        cm0 = jnp.cos(thm)
-        angm = inc_m.astype(dtype) * u2rad
-        rsm = jnp.sin(angm)
-        rcm = jnp.cos(angm)
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
+            _bank_setup(self, ctx, state, events)
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
 
         r_lo, r_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_restart"))
         )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
+        n_in = 4 * ng + 9
         outs = pl.pallas_call(
-            functools.partial(_fm_bank_kernel, B, not interpret),
+            functools.partial(_fm_kernel, B, ng, f2pi, not interpret),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(15)],
+            in_specs=[tile() for _ in range(n_in)],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
@@ -456,16 +568,16 @@ class PallasFMVoiceBank(VoiceBank):
             out_specs=(
                 pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                tile(), tile(), tile(),
+                tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
         )(
-            sm0, cm0, rsm, rcm, state["phc"], state["stage"], state["t"],
-            freq, index, amp, atk, rel, act, r_lo, r_hi,
+            *ramp_ops,
+            state["phm"], state["phc"], state["stage"], state["t"],
+            atk, rel, act, r_lo, r_hi,
         )
-        partial_mix, phc, stage, t = outs
+        partial_mix, phm, phc, stage, t = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
-        phm = state["phm"] + inc_m * jnp.uint32(B)
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
@@ -476,23 +588,30 @@ class PallasFMVoiceBank(VoiceBank):
         return new_state, out
 
 
-def _sub_bank_kernel(
-    B: int,
-    unroll: bool,
-    t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
-    dt_ref, a1_ref, a2_ref, a3_ref, amp_ref, atk_ref, rel_ref, active_ref,
-    restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
-    out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out,
-):
-    """Subtractive voice bank: polyBLEP saw -> SVF lowpass -> ASR envelope.
+# --------------------------------------------------------------------------
+# subtractive bank
+# --------------------------------------------------------------------------
 
-    Coefficients (dt = freq/sr; SVF a1/a2/a3 from cutoff & q) are computed
-    block-rate outside the kernel; the per-sample loop carries oscillator
-    phase, the SVF integrator pair and the envelope state machine in VMEM.
-    """
+def _sub_kernel(B, ng, inv_sr, unroll, *refs):
+    """Subtractive voice: polyBLEP saw -> SVF lowpass -> ASR envelope.
+
+    Per-sample parity with the vmap path: dt = freq/sr from the materialized
+    per-sample freq, and the SVF coefficients (tan-based, svf.rs set_coeffs
+    Low type) are recomputed per sample exactly like SvfFilter, whose
+    coefficients always track the parameter arrays."""
+    FREQ = refs[0:ng]
+    CUT = refs[ng:2 * ng]
+    Q = refs[2 * ng:3 * ng]
+    AMP = refs[3 * ng:4 * ng]
+    (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
+     atk_ref, rel_ref, act_ref,
+     rlo_ref, rhi_ref, qlo_ref, qhi_ref,
+     out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
+        refs[4 * ng:]
     one = np.float32(1.0)
     zero = np.float32(0.0)
     two = np.float32(2.0)
+    pi_inv_sr = np.float32(np.pi) * inv_sr
 
     def blep(t, dt):
         safe_dt = jnp.maximum(dt, np.float32(1e-9))
@@ -504,52 +623,36 @@ def _sub_bank_kernel(
 
     def body(i, carry):
         t, ic1, ic2, stage, et, rscale = carry
-        iu = i.astype(jnp.uint32)
-        word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
-        word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
-        bit = jnp.where(i < 32, iu, iu - 32)
-        restart = ((word_restart >> bit) & 1) == 1
-        release = ((word_release >> bit) & 1) == 1
+        i_f = i.astype(jnp.float32)
+        restart = _trig_bit(i, rlo_ref, rhi_ref)
+        release = _trig_bit(i, qlo_ref, qhi_ref)
 
-        # EnvAsr (identical state machine to the sine bank kernel)
-        stage = jnp.where(restart, one, stage)
-        rel_from_atk = release & (stage == 1.0)
-        rel_from_sus = release & (stage == 2.0)
-        rscale = jnp.where(rel_from_atk, et, jnp.where(rel_from_sus, one, rscale))
-        et = jnp.where(rel_from_atk | rel_from_sus, one, et)
-        stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
-        env = jnp.where(
-            stage == 1.0, et,
-            jnp.where(stage == 2.0, one,
-                      jnp.where(stage == 3.0, et * et * et * rscale, zero)),
+        env, stage, et_next, rscale = _env_asr(
+            stage, et, rscale, restart, release, atk_ref[:], rel_ref[:]
         )
-        et_next = jnp.where(
-            stage == 1.0, et + atk_ref[:],
-            jnp.where(stage == 3.0, et - rel_ref[:], et),
-        )
-        to_sus = (stage == 1.0) & (et_next >= one)
-        done = (stage == 3.0) & (et_next <= zero)
-        stage = jnp.where(to_sus, np.float32(2.0), stage)
-        stage = jnp.where(done, zero, stage)
-        et_next = jnp.where(done, zero, et_next)
 
         # polyBLEP sawtooth (polyblep.rs saw): y = 2*frac(t+0.5)-1 - blep
-        dt = dt_ref[:]
+        dt = jnp.clip(_mat(i_f, FREQ) * inv_sr, 0.0, 0.5)
         _t = t + np.float32(0.5)
         _t = _t - jnp.floor(_t)
         saw = two * _t - one - blep(_t, dt)
         t = t + dt
         t = t - jnp.floor(t)
 
-        # SVF lowpass (cytomic; svf.rs process_sample, m = (0, 0, 1))
-        a1, a2, a3 = a1_ref[:], a2_ref[:], a3_ref[:]
+        # SVF lowpass coefficients per sample (svf.rs set_coeffs, Low type)
+        g = jnp.tan(pi_inv_sr * _mat(i_f, CUT))
+        k = one / _mat(i_f, Q)
+        a1 = one / (one + g * (g + k))
+        a2 = g * a1
+        a3 = g * a2
+        # SVF step (svf.rs process_sample, m = (0, 0, 1))
         v3 = saw - ic2
         v1 = a1 * ic1 + a2 * v3
         v2 = ic2 + a2 * ic1 + a3 * v3
         ic1 = two * v1 - ic1
         ic2 = two * v2 - ic2
 
-        sig = v2 * env * amp_ref[:] * active_ref[:]
+        sig = v2 * env * _mat(i_f, AMP) * act_ref[:]
         out_ref[0, i, :] = jnp.sum(sig, axis=0)
         return t, ic1, ic2, stage, et_next, rscale
 
@@ -570,8 +673,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
     """Drop-in VoiceBank for SubtractiveVoice with a fused Pallas kernel.
 
     Caveat vs the vmap path: the oscillator is the plain polyBLEP saw without
-    the >sr/4 sine fallback (keep fundamentals below 12 kHz), and parameters
-    are block-rate in the kernel."""
+    the >sr/4 sine fallback (keep fundamentals below sr/4)."""
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.2,
@@ -617,57 +719,35 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         return base
 
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
-        import functools
-
         from jax.experimental import pallas as pl
 
         B = ctx.block_size
-        V = self.n_voices
-        R = V // LANES
+        R = self.n_voices // LANES
         TR = self.tile_rows
         n_tiles = R // TR
         dtype = ctx.dtype
-        sr = float(ctx.sample_rate)
 
-        fstate, ivals, active, _, _ = self._apply_events(
-            ctx, state, events, trig_tensor=False
-        )
-        fvals = fstate[0]
-
-        def grid2(x):
-            return x.reshape(R, LANES)
-
-        freq = grid2(fvals[self.float_index("freq")])
-        cutoff = grid2(fvals[self.float_index("cutoff")])
-        q = grid2(fvals[self.float_index("q")])
-        amp = grid2(fvals[self.float_index("amp")])
-        dt = jnp.clip(freq / sr, 0.0, 0.5).astype(dtype)
-        # svf.rs set_coeffs, Low type
-        g = jnp.tan(jnp.asarray(np.pi, dtype) * cutoff / sr)
-        k = 1.0 / q
-        a1 = (1.0 / (1.0 + g * (g + k))).astype(dtype)
-        a2 = (g * a1).astype(dtype)
-        a3 = (g * a2).astype(dtype)
-        atk = jnp.full((R, LANES), 1.0 / max(self._attack * sr, 1.0), dtype)
-        rel = jnp.full((R, LANES), 1.0 / max(self._release * sr, 1.0), dtype)
-        act = grid2(active.astype(dtype))
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
+            _bank_setup(self, ctx, state, events)
+        inv_sr = np.float32(1.0 / ctx.sample_rate)
 
         r_lo, r_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_restart"))
         )
         rel_lo, rel_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_release"))
         )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
+        n_in = 4 * ng + 13
         outs = pl.pallas_call(
-            functools.partial(_sub_bank_kernel, B, not interpret),
+            functools.partial(_sub_kernel, B, ng, inv_sr, not interpret),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(18)],
+            in_specs=[tile() for _ in range(n_in)],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
@@ -684,10 +764,10 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             ),
             interpret=interpret,
         )(
+            *ramp_ops,
             state["t"], state["ic1"], state["ic2"], state["stage"],
             state["et"], state["rscale"],
-            dt, a1, a2, a3, amp, atk, rel, act,
-            r_lo, r_hi, rel_lo, rel_hi,
+            atk, rel, act, r_lo, r_hi, rel_lo, rel_hi,
         )
         partial_mix, t, ic1, ic2, stage, et, rscale = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
@@ -702,78 +782,69 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         return new_state, out
 
 
-def _wt_bank_kernel(
-    B: int,
-    H: int,
-    unroll: bool,
-    s_ref, c_ref, rs_ref, rc_ref, stage_ref, t_ref, rscale_ref,
-    atk_ref, rel_ref, amp_ref, panl_ref, panr_ref, active_ref,
-    ha_ref, hb_ref,  # [H, TR, LANES] band-limited sin/cos partial coeffs
-    restart_lo_ref, restart_hi_ref, release_lo_ref, release_hi_ref,
-    out_ref, stage_out, t_out, rscale_out,
-):
-    """Additive wavetable bank: H partials per voice by phasor recurrence,
-    ASR envelope, equal-power pan, stereo mix. No transcendental in the
-    loop: the fundamental phasor rotates per sample by the block-constant
-    (rs, rc) (sin/cos computed once per block in XLA from the exact u32
-    phase); harmonic h's phasor comes from a complex multiply against the
-    fundamental (phase-locked, one VPU multiply each); per-harmonic table
-    phases are folded into the static A/B coefficients (a*sin + b*cos)."""
-    one = np.float32(1.0)
+# --------------------------------------------------------------------------
+# additive wavetable bank
+# --------------------------------------------------------------------------
+
+def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
+    """Additive wavetable voice (models.AdditiveVoice): H partials per voice
+    by phasor recurrence from the per-sample full-resolution fundamental
+    angle, per-sample Nyquist masking, ASR envelope, equal-power pan, stereo
+    mix. The per-harmonic A/B coefficients are python-float constants baked
+    into the unrolled harmonic loop (no [H, R, LANES] tiles)."""
+    np_ = N_EVENTFUL if ng == N_EVENTFUL else N_PAN_FAST
+    FREQ = refs[0:ng]
+    AMP = refs[ng:2 * ng]
+    PAN = refs[2 * ng:2 * ng + np_]
+    (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
+     rlo_ref, rhi_ref, qlo_ref, qhi_ref,
+     out_ref, phase_out, stage_out, t_out, rscale_out) = refs[2 * ng + np_:]
+    H = len(acoef)
     zero = np.float32(0.0)
 
     def body(i, carry):
-        s1, c1, stage, t, rscale = carry
-        iu = i.astype(jnp.uint32)
-        word_restart = jnp.where(i < 32, restart_lo_ref[:], restart_hi_ref[:])
-        word_release = jnp.where(i < 32, release_lo_ref[:], release_hi_ref[:])
-        bit = jnp.where(i < 32, iu, iu - 32)
-        restart = ((word_restart >> bit) & 1) == 1
-        release = ((word_release >> bit) & 1) == 1
+        phase, stage, t, rscale, pan_c = carry
+        i_f = i.astype(jnp.float32)
+        restart = _trig_bit(i, rlo_ref, rhi_ref)
+        release = _trig_bit(i, qlo_ref, qhi_ref)
 
-        # --- EnvAsr (identical state machine to _bank_kernel) ---
-        stage = jnp.where(restart, one, stage)
-        rel_from_atk = release & (stage == 1.0)
-        rel_from_sus = release & (stage == 2.0)
-        rscale = jnp.where(rel_from_atk, t, jnp.where(rel_from_sus, one, rscale))
-        t = jnp.where(rel_from_atk | rel_from_sus, one, t)
-        stage = jnp.where(rel_from_atk | rel_from_sus, np.float32(3.0), stage)
-        env = jnp.where(
-            stage == 1.0, t,
-            jnp.where(stage == 2.0, one,
-                      jnp.where(stage == 3.0, t * t * t * rscale, zero)),
+        env, stage, t_next, rscale = _env_asr(
+            stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
         )
-        t_next = jnp.where(
-            stage == 1.0, t + atk_ref[:],
-            jnp.where(stage == 3.0, t - rel_ref[:], t),
-        )
-        to_sus = (stage == 1.0) & (t_next >= one)
-        done = (stage == 3.0) & (t_next <= zero)
-        stage = jnp.where(to_sus, np.float32(2.0), stage)
-        stage = jnp.where(done, zero, stage)
-        t_next = jnp.where(done, zero, t_next)
 
-        # --- additive partials: harmonic recurrence from the fundamental ---
+        freq = _mat(i_f, FREQ)
+        theta = _theta_full(phase)
+        s1 = jnp.sin(theta)
+        c1 = jnp.cos(theta)
+        phase = phase + _to_inc(freq * f2pi)
+
+        # per-sample AA mask, same comparison as AdditiveVoice (freq * h
+        # in f32 <= nyquist) so the boundary rounds identically
         s, c = s1, c1
-        acc = ha_ref[0] * s + hb_ref[0] * c
+        acc = jnp.where(freq <= np.float32(nyq),
+                        np.float32(acoef[0]) * s + np.float32(bcoef[0]) * c,
+                        zero)
         for h in range(1, H):
             s, c = s * c1 + c * s1, c * c1 - s * s1
-            acc = acc + ha_ref[h] * s + hb_ref[h] * c
+            part = np.float32(acoef[h]) * s + np.float32(bcoef[h]) * c
+            acc = acc + jnp.where(
+                freq * np.float32(h + 1) <= np.float32(nyq), part, zero
+            )
 
-        sig = acc * env * amp_ref[:] * active_ref[:]
+        sig = acc * env * _mat(i_f, AMP) * act_ref[:]
+        panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
         out_ref[0, i, :] = jnp.stack(
-            [jnp.sum(sig * panl_ref[:], axis=0),
-             jnp.sum(sig * panr_ref[:], axis=0)]
+            [jnp.sum(sig * panl, axis=0), jnp.sum(sig * panr, axis=0)]
         )
-        return (s1 * rc_ref[:] + c1 * rs_ref[:],
-                c1 * rc_ref[:] - s1 * rs_ref[:], stage, t_next, rscale)
+        return phase, stage, t_next, rscale, pan_c
 
-    carry = (s_ref[:], c_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    pan_c = (PAN[0][:], PAN[1][:]) if np_ == N_PAN_FAST else None
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
     # measured: unrolling this kernel is a net loss (the harmonic loop
     # already fills the VPU; 64x body duplication only bloats the program)
-    _, _, stage, t, rscale = jax.lax.fori_loop(
-        0, B, body, carry, unroll=unroll
-    )
+    phase, stage, t, rscale, _ = jax.lax.fori_loop(0, B, body, carry,
+                                                   unroll=unroll)
+    phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
@@ -786,8 +857,8 @@ class PallasWavetableVoiceBank(VoiceBank):
 
     Pass ``table`` (one waveform cycle) or ``harmonics`` (mags, or (mags,
     u32 offsets)); the table is decomposed into ``n_harmonics`` partials and
-    re-synthesized gather-free with exact per-voice anti-aliasing (partials
-    above Nyquist masked, block-rate). Cost scales linearly with
+    re-synthesized gather-free with exact per-voice per-sample anti-aliasing
+    (partials above Nyquist masked). Cost scales linearly with
     ``n_harmonics``."""
 
     def __init__(self, n_voices: int, table=None, harmonics=None,
@@ -800,12 +871,11 @@ class PallasWavetableVoiceBank(VoiceBank):
             table=table, harmonics=harmonics, n_harmonics=n_harmonics,
             attack=attack, release=release,
         )
-        # the A/B coefficient tiles are [H, tile_rows, 128]: shrink the tile
-        # to keep the kernel's VMEM footprint under the ~16M scoped limit
-        # (x8 = 4 bytes x Mosaic's double-buffered input windows)
+        # keep the unrolled harmonic loop's VMEM footprint bounded
         H = len(voice.mags)
-        while tile_rows > 8 and (2 * H + 24) * tile_rows * LANES * 8 > (10 << 20):
+        while tile_rows > 8 and (2 * H + 40) * tile_rows * LANES * 8 > (10 << 20):
             tile_rows //= 2
+        tile_rows = _cap_tile_rows(tile_rows, n_voices)
         if n_voices % (tile_rows * LANES):
             raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
         super().__init__(
@@ -845,76 +915,53 @@ class PallasWavetableVoiceBank(VoiceBank):
         from jax.experimental import pallas as pl
 
         B = ctx.block_size
-        V = self.n_voices
-        R = V // LANES
+        R = self.n_voices // LANES
         TR = self.tile_rows
         n_tiles = R // TR
-        H = len(self.mags)
         dtype = ctx.dtype
 
-        fstate, ivals, active, _, _ = self._apply_events(
-            ctx, state, events, trig_tensor=False
-        )
-        fvals = fstate[0]
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
+            _bank_setup(self, ctx, state, events)
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        if ng == N_FAST:
+            # event-free block: swap pan's ramp group for the rotation pack
+            ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(
+                self, fstate, dtype
+            )
+            n_in = 2 * ng + N_PAN_FAST + 11
+        else:
+            n_in = 3 * ng + 11
 
-        def grid2(x):
-            return x.reshape(R, LANES)
-
-        freq = grid2(fvals[self.float_index("freq")])
-        amp = grid2(fvals[self.float_index("amp")])
-        pan = grid2(fvals[self.float_index("pan")])
-        p = pan * 0.5 + 0.5
-        panl = jnp.cos(p * (np.pi / 2)).astype(dtype)
-        panr = jnp.sin(p * (np.pi / 2)).astype(dtype)
-        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
-        inc = jnp.clip(freq * np.float32(f2pi), 0.0, 2.0**31 - 1).astype(jnp.uint32)
-        # block-start fundamental phasor + per-sample rotation angle (one
-        # cycle is TABLE_SIZE*FRACTIONAL_PART = 2**30 phase units)
-        cycle = float(TABLE_SIZE) * float(FRACTIONAL_PART)
-        u2rad = np.float32(2.0 * np.pi / cycle)
-        theta0 = (state["phase"] & jnp.uint32(cycle - 1)).astype(dtype) * u2rad
-        s0 = jnp.sin(theta0)
-        c0 = jnp.cos(theta0)
-        ang = inc.astype(dtype) * u2rad
-        rs = jnp.sin(ang)
-        rc = jnp.cos(ang)
-        atk = jnp.full((R, LANES), 1.0 / max(self._attack * ctx.sample_rate, 1.0), dtype)
-        rel = jnp.full((R, LANES), 1.0 / max(self._release * ctx.sample_rate, 1.0), dtype)
-        act = grid2(active.astype(dtype))
-
-        # band-limited per-voice partial coefficients (block-rate AA mask);
-        # table phases folded in: partial_h = A_h*sin(h*theta) + B_h*cos(...)
-        hvec = jnp.arange(1, H + 1, dtype=dtype)
-        alive = (freq[None, :, :] * hvec[:, None, None] <= np.float32(
-            ctx.sample_rate / 2.0
-        )).astype(dtype)
+        # per-harmonic A/B constants: table phases folded into static coeffs
+        # (partial_h = A_h*sin(h*theta) + B_h*cos(h*theta))
         phi = self.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
-        acoef = (self.mags * np.cos(phi)).astype(np.float32)
-        bcoef = (self.mags * np.sin(phi)).astype(np.float32)
-        ha = jnp.asarray(acoef, dtype)[:, None, None] * alive
-        hb = jnp.asarray(bcoef, dtype)[:, None, None] * alive
+        acoef = tuple(float(x) for x in
+                      (self.mags * np.cos(phi)).astype(np.float32))
+        bcoef = tuple(float(x) for x in
+                      (self.mags * np.sin(phi)).astype(np.float32))
 
         restart_lo, restart_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_restart"))
         )
         release_lo, release_hi = (
-            grid2(w) for w in
+            _grid2(self, w) for w in
             self._packed_trigs(ctx, events, self.trig_index("t_release"))
         )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
-        hspec = lambda: pl.BlockSpec((H, TR, LANES), lambda i: (0, i, 0),
-                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
-            functools.partial(_wt_bank_kernel, B, H, False),
+            functools.partial(
+                _wt_kernel, B, ng, f2pi, acoef, bcoef,
+                float(ctx.sample_rate / 2.0), False,
+            ),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(13)] + [hspec(), hspec()]
-                     + [tile() for _ in range(4)],
+            in_specs=[tile() for _ in range(n_in)],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, 2, LANES), dtype),
+                jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
@@ -922,17 +969,17 @@ class PallasWavetableVoiceBank(VoiceBank):
             out_specs=(
                 pl.BlockSpec((1, B, 2, LANES), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                tile(), tile(), tile(),
+                tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
         )(
-            s0, c0, rs, rc, state["stage"], state["t"], state["rscale"],
-            atk, rel, amp, panl, panr, act, ha, hb,
+            *ramp_ops,
+            state["phase"], state["stage"], state["t"], state["rscale"],
+            atk, rel, act,
             restart_lo, restart_hi, release_lo, release_hi,
         )
-        partial_mix, stage, t, rscale = outs
+        partial_mix, phase, stage, t, rscale = outs
         out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
-        phase = state["phase"] + inc * jnp.uint32(B)
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
