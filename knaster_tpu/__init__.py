@@ -27,9 +27,11 @@ Quick start (the reference README example)::
 """
 
 from .primitives import (
+    NYQUIST,
     Beats,
     FloatHint,
     IntegerHint,
+    Nyquist,
     Param,
     ParameterKind,
     Seconds,

@@ -24,6 +24,7 @@ Per-sample form (wrapped in lax.scan; params are scalars per step)::
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 import inspect
 from typing import Callable, Optional
@@ -31,7 +32,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..primitives.params import pbool, pfloat, pinteger, ptrigger
+from ..primitives.params import Param, pbool, pfloat, pinteger, ptrigger
 from .ugen import AudioCtx, UGen
 
 
@@ -56,7 +57,15 @@ def _infer_params(fn: Callable, skip: int) -> tuple:
             raise TypeError(
                 f"@ugen parameter {name!r} needs a default to infer its type"
             )
-        if isinstance(d, _Trig):
+        if isinstance(d, Param):
+            # full declaration with hints: freq=pfloat(440.0, range=(20,
+            # NYQUIST), logarithmic=True) — the keyword supplies the name
+            # (the reference macro's #[param(range=…, logarithmic=…)],
+            # knaster_macros/src/lib.rs:773-779)
+            specs.append(
+                d if d.name == name else dataclasses.replace(d, name=name)
+            )
+        elif isinstance(d, _Trig):
             specs.append(ptrigger(name))
         elif isinstance(d, bool):
             specs.append(pbool(name, d))

@@ -164,6 +164,27 @@ class Handle(Source):
         except KeyError:
             return None
 
+    def param_hints(self, resolve: bool = True) -> dict:
+        """{name: hint} for every parameter of this node — the GUI-facing
+        hint surface (parameters.rs:109-230 param_hints()). With ``resolve``
+        (default), Nyquist maxima are resolved to the graph's sample rate;
+        params without a declared hint map to None."""
+        import dataclasses
+
+        from ..primitives.params import FloatHint, Nyquist
+
+        entry = self.graph._node(self.node_id)
+        out = {}
+        for p in entry.ugen.params:
+            h = p.hint
+            if (resolve and isinstance(h, FloatHint)
+                    and isinstance(h.maximum, Nyquist)):
+                h = dataclasses.replace(
+                    h, maximum=h.resolve_max(self.graph.sample_rate)
+                )
+            out[p.name] = h
+        return out
+
     def voice_param(self, name: str) -> "VoiceParameter":
         """Per-voice control of a VoiceBank node (see parallel/voicebank.py)."""
         entry = self.graph._node(self.node_id)
@@ -202,6 +223,12 @@ class Parameter:
         spec = graph._node(node_id).ugen.params[param_idx]
         self.ptype = spec.ptype
         self.name = spec.name
+
+    @property
+    def hint(self):
+        """The parameter's declared hint (FloatHint/IntegerHint or None),
+        Nyquist maxima resolved at the graph sample rate."""
+        return Handle(self.graph, self.node_id).param_hints()[self.name]
 
     # -- float / int / bool set ------------------------------------------
     def set(self, value) -> None:

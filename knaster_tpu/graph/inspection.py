@@ -15,6 +15,17 @@ from typing import List, Optional, Tuple
 from .graph import Graph
 
 
+def _resolved_hint(p, sample_rate: int):
+    import dataclasses
+
+    from ..primitives.params import FloatHint, Nyquist
+
+    h = p.hint
+    if isinstance(h, FloatHint) and isinstance(h.maximum, Nyquist):
+        h = dataclasses.replace(h, maximum=h.resolve_max(sample_rate))
+    return h
+
+
 @dataclass
 class NodeInspection:
     nid: int
@@ -22,7 +33,7 @@ class NodeInspection:
     type_name: str
     inputs: int
     outputs: int
-    params: List[Tuple[str, str]]  # (name, type)
+    params: List[Tuple[str, str, object]]  # (name, type, hint-or-None)
     done_action: str
     mortal: bool
     auto: bool
@@ -63,7 +74,12 @@ def inspect(graph: Graph) -> GraphInspection:
     for nid, e in graph.nodes.items():
         params = []
         if e.ugen is not None:
-            params = [(p.name, p.ptype) for p in e.ugen.params]
+            # hints ride along with Nyquist maxima resolved at the graph's
+            # sample rate (parameters.rs:109-230 GUI hint surface)
+            params = [
+                (p.name, p.ptype, _resolved_hint(p, graph.sample_rate))
+                for p in e.ugen.params
+            ]
         gi.nodes.append(
             NodeInspection(
                 nid=nid,
@@ -118,11 +134,17 @@ def to_dot(graph: Graph) -> str:
                 emit(n.subgraph, f"{prefix}s{n.nid}_", indent + "  ")
                 lines.append(f"{indent}}}")
             else:
-                plist = ", ".join(name for name, _ in n.params[:6])
+                plist = ", ".join(name for name, _, _ in n.params[:6])
                 style = ',style=dashed' if n.auto else ""
+                # param hints as a hover tooltip (range/log/kind surface)
+                hints = "; ".join(
+                    f"{name}: {hint}" for name, _, hint in n.params
+                    if hint is not None
+                )
+                tip = f',tooltip="{hints}"' if hints else ""
                 lines.append(
                     f'{indent}{prefix}n{n.nid} [label="{{{n.name}|{n.inputs}in '
-                    f'{n.outputs}out|{plist}}}"{style}];'
+                    f'{n.outputs}out|{plist}}}"{style}{tip}];'
                 )
         for e in gi.edges:
             src = f"{prefix}gin" if e.kind == "graph_in" else f"{prefix}n{e.src}"

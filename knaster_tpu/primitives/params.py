@@ -111,24 +111,66 @@ class Param:
         return self.default
 
 
-def ptrigger(name: str) -> Param:
+def ptrigger(name: Optional[str] = None) -> Param:
     return Param(name, ptype="trigger")
 
 
-def pfloat(name: str, default: float = 0.0, kind: ParameterKind = ParameterKind.GENERIC,
+def pfloat(name=None, default: float = 0.0,
+           kind: ParameterKind = ParameterKind.GENERIC,
+           range: Optional[Tuple[Any, Any]] = None,
+           logarithmic: Optional[bool] = None,
            hint: Optional[FloatHint] = None) -> Param:
-    return Param(name, ptype="float", default=float(default), kind=kind, hint=hint)
+    """Declare a float parameter, optionally with GUI/validation hints
+    (``#[param(range = …, logarithmic = …, kind = …)]``,
+    knaster_macros/src/lib.rs:773-779 / parameters.rs:109-179).
+
+    ``name`` may be omitted when the declaration is used as a ``@ugen``
+    keyword default — ``freq=pfloat(440.0, range=(20, NYQUIST))`` — the
+    decorator fills it in from the keyword. FREQUENCY-kind parameters
+    default to a logarithmic (0, Nyquist) range (our extension; the
+    reference's ``kind = Frequency`` attribute sets only the kind)."""
+    if name is not None and not isinstance(name, str):
+        name, default = None, float(name)
+    if hint is None:
+        if kind == ParameterKind.FREQUENCY and range is None:
+            range = (0.0, NYQUIST)
+        if logarithmic is None:
+            logarithmic = kind == ParameterKind.FREQUENCY
+        if range is not None:
+            hint = FloatHint(minimum=range[0], maximum=range[1],
+                             default=float(default), logarithmic=logarithmic,
+                             kind=kind)
+        elif logarithmic:
+            hint = FloatHint(default=float(default), logarithmic=True,
+                             kind=kind)
+    return Param(name, ptype="float", default=float(default), kind=kind,
+                 hint=hint)
 
 
-def pinteger(name: str, default: int = 0, enum: Any = None,
+def pinteger(name=None, default: int = 0, enum: Any = None,
+             range: Optional[Tuple[int, int]] = None,
              hint: Optional[IntegerHint] = None, retrigger: bool = False) -> Param:
+    if name is not None and not isinstance(name, str):
+        name, default = None, int(name)
     if enum is not None and not isinstance(default, int):
         default = int(default.value)
+    if hint is None:
+        if enum is not None:
+            vals = [int(m.value) for m in enum]
+            hint = IntegerHint(
+                minimum=min(vals), maximum=max(vals), default=int(default),
+                value_descriptions=tuple((int(m.value), m.name) for m in enum),
+            )
+        elif range is not None:
+            hint = IntegerHint(minimum=int(range[0]), maximum=int(range[1]),
+                               default=int(default))
     return Param(name, ptype="integer", default=int(default), enum=enum,
                  hint=hint, retrigger=retrigger)
 
 
-def pbool(name: str, default: bool = False) -> Param:
+def pbool(name=None, default: bool = False) -> Param:
+    if name is not None and not isinstance(name, str):
+        name, default = None, bool(name)
     return Param(name, ptype="bool", default=int(default))
 
 

@@ -256,7 +256,8 @@ class Envelope(UGen):
     inputs = 0
     outputs = 1
     params = (
-        pfloat("time_scale", 1.0),
+        # hint parity: envelopes.rs:469 (logarithmic, 0..=20)
+        pfloat("time_scale", 1.0, range=(0.0, 20.0), logarithmic=True),
         pinteger("jump_to_segment", 0, retrigger=True),
         ptrigger("t_restart"),
         ptrigger("t_stop"),

@@ -18,7 +18,7 @@ class Pan2(UGen):
 
     inputs = 1
     outputs = 2
-    params = (pfloat("pan", 0.0),)
+    params = (pfloat("pan", 0.0, range=(-1.0, 1.0)),)
 
     def batch_key(self):
         return (type(self),)

@@ -41,7 +41,7 @@ def test_inspect_structure():
     assert gi.frame_clock == 0
     # params carried through
     sine = next(n for n in gi.nodes if n.name == "sine")
-    assert ("freq", "float") in sine.params
+    assert ("freq", "float") in [(n, t) for n, t, _ in sine.params]
 
 
 def test_dot_export():
