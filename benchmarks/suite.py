@@ -45,12 +45,45 @@ def _bounce_rate(proc, seconds=0.5, runs=2):
     return best
 
 
-def _program_rate(proc, n_blocks=750, runs=3):
-    """Samples/sec of the no-events block program in one on-device scan —
-    the engine-capability number, free of tunnel dispatch and audio-fetch
-    overhead. Warm iterations with a forced fetch (on this stack the first
-    block_until_ready after compile can return before the run completes)."""
+def _scan_slope_rate(raw_step, state0, per_iter_samples, lo=200, hi=2200):
+    """Samples/sec of an on-device scanned step, measured as the SLOPE
+    between two scan lengths. One device->host fetch costs ~50 ms on this
+    tunnel; a single timed run of n iterations reports (fetch + n*step)/n
+    and was dominating every per-block measurement. The slope cancels the
+    fetch and any fixed dispatch cost. The carry evolves between runs (the
+    platform can serve cached results for bit-identical calls)."""
     import jax
+
+    def total(n, st):
+        @jax.jit
+        def run(s):
+            def body(c, _):
+                c2, out = raw_step(c)
+                return c2, (out.mean() if out.size else np.float32(0))
+            return jax.lax.scan(body, s, None, length=n)
+
+        st1, m = run(st)
+        jax.block_until_ready(m)
+        _ = np.asarray(m)  # warm + force completion
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            st1, m = run(st1)
+            jax.block_until_ready(m)
+            _ = np.asarray(m)
+            best = min(best, time.time() - t0)
+        return best
+
+    t_lo = total(lo, state0)
+    t_hi = total(hi, state0)
+    per = max((t_hi - t_lo) / (hi - lo), 1e-9)
+    return per_iter_samples / per
+
+
+def _program_rate(proc, **kw):
+    """Samples/sec of the no-events block program in an on-device scan --
+    the engine-capability number, free of tunnel dispatch/fetch overhead
+    (slope-measured, see _scan_slope_rate)."""
     import jax.numpy as jnp
 
     proc._ensure_compiled()
@@ -58,24 +91,45 @@ def _program_rate(proc, n_blocks=750, runs=3):
     B = cg.ctx.block_size
     inputs = jnp.zeros((proc.graph.inputs, B), cg.ctx.dtype)
 
-    def body(s, _):
+    def step(s):
         s2, out, _done = cg.render_fast_raw(s, inputs)
-        return s2, out.mean() if out.size else jnp.float32(0)
+        return s2, out
 
-    @jax.jit
-    def run(s):
-        return jax.lax.scan(body, s, None, length=n_blocks)
+    return _scan_slope_rate(step, proc.state, B, **kw)
 
-    st, m = run(proc.state)
-    _ = np.asarray(m)
-    best = 0.0
-    for _ in range(runs):
-        t0 = time.time()
-        st, m = run(st)
-        jax.block_until_ready(m)
-        _ = np.asarray(m)
-        best = max(best, n_blocks * B / (time.time() - t0))
-    return best
+
+def _super_rate(proc, latency_s=0.010):
+    """Samples/sec of the superblock fast program (the interactive path:
+    event-free runs of k blocks in ONE device program, k chosen as the
+    largest power of two within the control-latency budget). Slope-measured
+    (see _scan_slope_rate). Returns (rate, k) or (None, 0) when the graph
+    is superblock-ineligible."""
+    import jax.numpy as jnp
+
+    from knaster_tpu.graph.compile import (
+        _build_render,
+        superblock_eligible,
+    )
+
+    proc._ensure_compiled()
+    cg = proc.compiled
+    if not superblock_eligible(cg):
+        return None, 0
+    B = cg.ctx.block_size
+    budget = int(latency_s * cg.ctx.sample_rate / B)
+    k = 1
+    while k * 2 <= budget:
+        k *= 2
+    if k < 2:
+        return None, 0
+    raw = _build_render(cg, fast=True, block_multiple=k)
+    inputs = jnp.zeros((proc.graph.inputs, k * B), cg.ctx.dtype)
+
+    def step(s):
+        s2, out, _done = raw(s, inputs)
+        return s2, out
+
+    return _scan_slope_rate(step, proc.state, k * B), k
 
 
 def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
@@ -103,6 +157,7 @@ def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
         build_time = time.time() - t0
         rate = _bounce_rate(proc)
         prate = _program_rate(proc)
+        srate_, k = _super_rate(proc)
         print(
             json.dumps(
                 {
@@ -112,6 +167,11 @@ def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
                     "unit": "samples/s",
                     "realtime_x": round(rate / 48000, 1),
                     "program_realtime_x": round(prate / 48000, 1),
+                    "superblock_realtime_x": (
+                        round(srate_ / 48000, 1) if srate_ else None
+                    ),
+                    "superblock_k": k,
+                    "superblock_latency_ms": round(k * bs / 48.0, 1),
                     "compile_s": round(build_time, 2),
                 }
             )

@@ -75,6 +75,9 @@ class Galactic(UGen):
         # clamped to >= block_size and `bigness` is sampled at block rate.
         # blockwise=False forces the exact per-sample scan.
         self.blockwise = bool(blockwise)
+        # blockwise mode reads the previous block's buffer: semantics depend
+        # on the block length, so it opts out of superblocked fast programs
+        self.block_invariant = not self.blockwise
 
     def init(self, ctx: AudioCtx):
         sr = ctx.sample_rate

@@ -60,6 +60,12 @@ class AudioCtx:
     sample_rate: int = 48000
     block_size: int = 64
     dtype: Any = np.float32
+    # True inside the event-free fast program: every trigger param is
+    # statically all-False, so nodes may skip trigger machinery entirely
+    # (e.g. oscillators drop the segmented-reset cumsum's gathers). Purely
+    # an optimization hint — behavior must match no_events=False with
+    # all-False triggers.
+    no_events: bool = False
 
     @property
     def nyquist(self) -> float:
@@ -76,6 +82,13 @@ class UGen:
     # set this > 0; the compiler then passes an `events` kwarg to process()
     # built by empty_node_events / node_events_from_lists.
     event_capacity: int = 0
+    # True when ``process`` over one block of k*B samples equals k calls of
+    # B samples (state carried through). Almost every UGen is — phase cumsums,
+    # scans and closed forms are length-parametric. Set False on instances
+    # whose algorithm treats "the block" semantically (e.g. blockwise delay
+    # modes that read the previous block's buffer); such nodes exclude their
+    # graph from the multi-block superblock fast path (compile.build_super).
+    block_invariant: bool = True
 
     def empty_node_events(self, dtype=np.float32):
         raise NotImplementedError

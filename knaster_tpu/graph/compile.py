@@ -59,6 +59,10 @@ class CompiledGraph:
     # on the instance so superseded compiles are garbage-collectable
     scan_fn: Any = None
     full_scan_fn: Any = None
+    # lazily-built superblock fast programs keyed by block multiple, and the
+    # cached eligibility verdict (None = not yet checked)
+    super_fns: Dict[int, Any] = field(default_factory=dict)
+    superblock_ok: Optional[bool] = None
     # canonical node labels (position in topo order): state/event pytree keys
     # use these, NOT node ids, so topologically identical graphs share both
     # program and state structure (the program cache)
@@ -278,15 +282,6 @@ def compile_graph(
     for n in sorted(proc_entries):
         visit(n)
 
-    # ------------------------------------------------------------ param slots
-    layout = ParamLayout()
-    for nid in order:
-        ugen = proc_entries[nid].ugen
-        for pidx, spec in enumerate(ugen.params):
-            layout.add(nid, pidx, spec.ptype, _instance_default(ugen, pidx))
-
-    engine = PEngine(layout, ctx.block_size, dtype=ctx.dtype)
-
     # feedback buffers
     fb_set = set()
     for per_ch in resolved_in.values():
@@ -313,8 +308,8 @@ def compile_graph(
     cg = CompiledGraph(
         graph=root,
         ctx=ctx,
-        layout=layout,
-        engine=engine,
+        layout=None,  # assigned after planning (slot order follows the plan)
+        engine=None,
         order=order,
         entries=proc_entries,
         resolved_in=resolved_in,
@@ -327,6 +322,29 @@ def compile_graph(
         canon={nid: i for i, nid in enumerate(order)},
     )
     cg.plan = _plan_batches(cg) if auto_batch else [("single", nid) for nid in order]
+
+    # ------------------------------------------------------------ param slots
+    # Slot order follows the PLAN: a batch group's members get CONTIGUOUS
+    # slots per parameter, so the batch's engine reads are static slices —
+    # gathers (+ their bounds-check custom-calls and index transposes) were
+    # a dominant share of the block program's op count on TPU.
+    layout = ParamLayout()
+    for kind, item in cg.plan:
+        if kind == "single":
+            ugen = proc_entries[item].ugen
+            for pidx, spec in enumerate(ugen.params):
+                layout.add(item, pidx, spec.ptype,
+                           _instance_default(ugen, pidx))
+        else:
+            rep = proc_entries[item[0]].ugen
+            for pidx, spec in enumerate(rep.params):
+                for nid in item:
+                    ugen = proc_entries[nid].ugen
+                    layout.add(nid, pidx, spec.ptype,
+                               _instance_default(ugen, pidx))
+    cg.layout = layout
+    cg.engine = PEngine(layout, ctx.block_size, dtype=ctx.dtype)
+
     # done-flag output order: singles first per plan, then batch vectors
     done_order: List[int] = []
     for kind, item in cg.plan:
@@ -350,6 +368,8 @@ def compile_graph(
         cg.render_fast_raw = hit["render_fast_raw"]
         cg.scan_fn = hit.get("scan_fn")
         cg.full_scan_fn = hit.get("full_scan_fn")
+        cg.super_fns = hit.setdefault("super_fns", {})
+        cg.superblock_ok = hit.get("superblock_ok")
         cg.cache_entry = hit
         cg.cache_hit = True
         return cg
@@ -364,10 +384,62 @@ def compile_graph(
             "render_raw": cg.render_raw,
             "render_fast": cg.render_fast,
             "render_fast_raw": cg.render_fast_raw,
+            "super_fns": cg.super_fns,  # shared dict: lazily-built multiples
         }
         _program_cache_put(cg.signature, entry)
         cg.cache_entry = entry
     return cg
+
+
+# ----------------------------------------------------------- superblocks
+def superblock_eligible(cg: CompiledGraph) -> bool:
+    """True when the graph can run the event-free fast program at block
+    k*B in one dispatch (the interactive/bounce fast path): no feedback
+    edges (their one-block delay is a semantic boundary), every node is
+    block-length invariant, and no node's state shapes depend on the block
+    size (the k*B program must consume the same state pytree)."""
+    if cg.superblock_ok is not None:
+        return cg.superblock_ok
+    ok = not cg.fb_sources
+    if ok:
+        for e in cg.entries.values():
+            if not getattr(e.ugen, "block_invariant", True):
+                ok = False
+                break
+    if ok:
+        ctx2 = AudioCtx(cg.ctx.sample_rate, cg.ctx.block_size * 2, cg.ctx.dtype)
+        for e in cg.entries.values():
+            try:
+                a = jax.eval_shape(lambda u=e.ugen: u.init(cg.ctx))
+                b = jax.eval_shape(lambda u=e.ugen: u.init(ctx2))
+            except Exception:
+                ok = False
+                break
+            sa = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), a)
+            sb = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), b)
+            if sa != sb:
+                ok = False
+                break
+    cg.superblock_ok = ok
+    if cg.cache_entry is not None:
+        cg.cache_entry["superblock_ok"] = ok
+    return ok
+
+
+def get_super_fn(cg: CompiledGraph, m: int):
+    """The jitted superblock fast program fn(state, inputs[in, m*B]) ->
+    (state, out[ch, m*B], done_vec), or None if the graph is ineligible.
+    Built lazily per multiple and shared through the program cache."""
+    if m <= 1 or not superblock_eligible(cg):
+        return None
+    fn = cg.super_fns.get(m)
+    if fn is None:
+        raw = _build_render(cg, fast=True, block_multiple=m)
+        fn = jax.jit(raw, donate_argnums=(0,))
+        cg.super_fns[m] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("super_fns", {})[m] = fn
+    return fn
 
 
 # -------------------------------------------------------- program cache
@@ -505,11 +577,31 @@ def _instance_default(ugen, pidx: int):
     return spec.default_value()
 
 
-def _build_render(cg: CompiledGraph, fast: bool = False):
+def _build_render(cg: CompiledGraph, fast: bool = False,
+                  block_multiple: int = 1):
     """Trace the block program. ``fast=True`` builds the no-events variant
     (base ramps only; node event channels get all-padding constants) — the
-    steady-state program the bounce scan uses."""
-    ctx = cg.ctx
+    steady-state program the bounce scan uses.
+
+    ``block_multiple`` = k > 1 builds the SUPERBLOCK fast program: the whole
+    graph evaluated over one k*B-sample block in a single device dispatch —
+    k× fewer sequential scan steps, and every cumsum/scan inside the nodes
+    vectorizes over k× more samples. Only valid when the graph passes
+    ``superblock_eligible`` (no feedback edges, block-invariant nodes, state
+    shapes independent of the block size)."""
+    m = int(block_multiple)
+    if m > 1:
+        assert fast, "superblock programs are event-free by construction"
+        ctx = AudioCtx(cg.ctx.sample_rate, cg.ctx.block_size * m, cg.ctx.dtype,
+                       no_events=True)
+        engine = PEngine(cg.layout, ctx.block_size, dtype=ctx.dtype,
+                         native_block=cg.ctx.block_size)
+    else:
+        # the fast program statically knows every trigger is False — nodes
+        # may skip trigger machinery (AudioCtx.no_events)
+        ctx = (AudioCtx(cg.ctx.sample_rate, cg.ctx.block_size, cg.ctx.dtype,
+                        no_events=True) if fast else cg.ctx)
+        engine = cg.engine
     B = ctx.block_size
     dtype = ctx.dtype
     n_nodes = len(cg.order)
@@ -525,10 +617,77 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
     }
 
     def render(state, events, graph_inputs):
+        # Parameter access. The eventful program materializes the full
+        # [slots, B] planes (the event fold needs them); the fast program
+        # reads LAZILY — per node/batch, gather the tiny [n] ramp vectors
+        # and materialize [n, B] in place. The lazy path eliminates the
+        # [n, B]-sized row gathers that dominated generic-graph blocks
+        # (TPU gathers run ~1e9 elem/s; everything else here is VPU-wide).
+        def _idx(slots):
+            """Static slice when the slot list is contiguous (the layout
+            orders batch members contiguously, so this is the common case
+            — slices fuse; gathers don't), index array otherwise."""
+            s0 = slots[0]
+            if list(slots) == list(range(s0, s0 + len(slots))):
+                return slice(s0, s0 + len(slots))
+            return jnp.asarray(slots, jnp.int32)
+
         if fast:
-            pf, pt, pi, pset, pe_state = cg.engine.materialize_fast(state["pe"])
+            pe = state["pe"]
+            pe_state = engine.advance_fast(pe)
+
+            def pf_rows(slots):
+                return engine.materialize_rows_fast(pe, _idx(slots))
+
+            def pf_row(slot):
+                return pf_rows([slot])[0]
+
+            def pt_row(slot):
+                return jnp.zeros((B,), bool)
+
+            def pt_rows(slots):
+                return jnp.zeros((len(slots), B), bool)
+
+            def pi_row(slot):
+                return jnp.broadcast_to(pe["int_value"][slot], (B,))
+
+            def pi_rows(slots):
+                return jnp.broadcast_to(
+                    pe["int_value"][_idx(slots)][:, None],
+                    (len(slots), B),
+                )
+
+            def pset_row(slot):
+                return jnp.zeros((B,), bool)
+
+            def pset_rows(slots):
+                return jnp.zeros((len(slots), B), bool)
         else:
-            pf, pt, pi, pset, pe_state = cg.engine.materialize(state["pe"], events)
+            pf, pt, pi, pset, pe_state = engine.materialize(state["pe"], events)
+
+            def pf_rows(slots):
+                return pf[_idx(slots)]
+
+            def pf_row(slot):
+                return pf[slot]
+
+            def pt_rows(slots):
+                return pt[_idx(slots)]
+
+            def pt_row(slot):
+                return pt[slot]
+
+            def pi_rows(slots):
+                return pi[_idx(slots)]
+
+            def pi_row(slot):
+                return pi[slot]
+
+            def pset_rows(slots):
+                return pset[_idx(slots)]
+
+            def pset_row(slot):
+                return pset[slot]
 
         outs: Dict[int, jnp.ndarray] = {}
         # batched groups: nid -> (group_key, index); group outputs [N, ch, B]
@@ -561,16 +720,22 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
 
         def gather_rows(srcs):
             """[len(srcs), B] rows; one fused gather when every source is a
-            single 'node' output living in the same batched group."""
+            single 'node' output living in the same batched group — and a
+            plain SLICE (free under XLA) when the indices are the identity,
+            the dominant mix-bus shape (member i of a batch, channel c)."""
             if len(srcs) > 1 and all(
                 k == "node" and s in node_loc for (k, s, _c) in srcs
             ):
                 gks = {node_loc[s][0] for (_k, s, _c) in srcs}
                 if len(gks) == 1:
                     gk = gks.pop()
-                    ks = jnp.asarray([node_loc[s][1] for (_k, s, _c) in srcs])
-                    cs = jnp.asarray([c for (_k, _s, c) in srcs])
-                    return group_out[gk][ks, cs]
+                    ks = [node_loc[s][1] for (_k, s, _c) in srcs]
+                    cs = [c for (_k, _s, c) in srcs]
+                    if ks == list(range(group_out[gk].shape[0])) and (
+                        len(set(cs)) == 1
+                    ):
+                        return group_out[gk][:, cs[0]]
+                    return group_out[gk][jnp.asarray(ks), jnp.asarray(cs)]
             return jnp.stack([read_source(*sp) for sp in srcs])
 
         def node_inputs(nid):
@@ -590,20 +755,21 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                     continue
                 typ, slot = cg.layout.lookup(nid, pidx)
                 if typ == "float":
-                    params[spec.name] = pf[slot]
+                    params[spec.name] = pf_row(slot)
                 elif typ == "trigger":
-                    params[spec.name] = pt[slot]
+                    params[spec.name] = pt_row(slot)
                 else:
-                    params[spec.name] = pi[slot]
+                    params[spec.name] = pi_row(slot)
                     if getattr(spec, "retrigger", False):
-                        params[spec.name + "_set"] = pset[slot]
+                        params[spec.name + "_set"] = pset_row(slot)
             return params
 
         def batch_params(nids):
             """Per-sample parameter arrays for a batch, [N, B] per name.
 
             When every member reads the same engine-slot type for a param,
-            this is ONE row-gather from the materialized param matrix."""
+            this is ONE gather (of [N] ramp vectors in the fast program, of
+            [N, B] rows in the eventful one)."""
             rep = cg.entries[nids[0]].ugen
             out_params = {}
             for pidx, spec in enumerate(rep.params):
@@ -615,12 +781,12 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                         break
                     slots.append(cg.layout.lookup(n, pidx)[1])
                 if uniform:
-                    idx = jnp.asarray(slots, jnp.int32)
                     typ = cg.layout.lookup(nids[0], pidx)[0]
-                    src = {"float": pf, "trigger": pt, "int": pi}[typ]
-                    out_params[spec.name] = src[idx]
+                    rows = {"float": pf_rows, "trigger": pt_rows,
+                            "int": pi_rows}[typ]
+                    out_params[spec.name] = rows(slots)
                     if typ == "int" and getattr(spec, "retrigger", False):
-                        out_params[spec.name + "_set"] = pset[idx]
+                        out_params[spec.name + "_set"] = pset_rows(slots)
                 else:
                     rows = [node_params(n)[spec.name] for n in nids]
                     out_params[spec.name] = jnp.stack(rows)
@@ -648,9 +814,18 @@ def _build_render(cg: CompiledGraph, fast: bool = False):
                     gks = {node_loc[s[0][1]][0] for s in per_node}
                     if len(gks) == 1:
                         gk = gks.pop()
-                        ks = jnp.asarray([node_loc[s[0][1]][1] for s in per_node])
-                        cs = jnp.asarray([s[0][2] for s in per_node])
-                        ch_arrays.append(group_out[gk][ks, cs])
+                        ks = [node_loc[s[0][1]][1] for s in per_node]
+                        cs = [s[0][2] for s in per_node]
+                        if ks == list(range(group_out[gk].shape[0])) and (
+                            len(set(cs)) == 1
+                        ):
+                            # identity wiring: member i reads member i — a
+                            # slice, not a gather
+                            ch_arrays.append(group_out[gk][:, cs[0]])
+                        else:
+                            ch_arrays.append(
+                                group_out[gk][jnp.asarray(ks), jnp.asarray(cs)]
+                            )
                         continue
                 ch_arrays.append(
                     jnp.stack([sum_sources(cg.resolved_in[n][ch]) for n in nids])

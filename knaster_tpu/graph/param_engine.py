@@ -38,7 +38,7 @@ the event. Both update values only at block boundaries.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -190,11 +190,18 @@ def events_from_lists(
 
 
 class PEngine:
-    """Bound parameter engine for a fixed layout (created per compiled graph)."""
+    """Bound parameter engine for a fixed layout (created per compiled graph).
 
-    def __init__(self, layout: ParamLayout, block_size: int, dtype=np.float32):
+    ``native_block`` is the graph's semantic block size: block-rate smoothing
+    stairs at its boundaries even when the engine materializes a larger
+    superblock (``block_size`` = k * native_block, the event-free multi-block
+    fast path)."""
+
+    def __init__(self, layout: ParamLayout, block_size: int, dtype=np.float32,
+                 native_block: Optional[int] = None):
         self.layout = layout
         self.block_size = int(block_size)
+        self.native_block = int(native_block or block_size)
         self.dtype = dtype
 
     # -- jax-traced -------------------------------------------------------
@@ -224,8 +231,11 @@ class PEngine:
         step, rem = state["step"], state["remaining"]
         smode, sdur, srate = state["smode"], state["sdur"], state["srate"]
         if Pf:
+            nb = self.native_block
             ar_prog = jnp.minimum(t[None, :], rem[:, None])
-            br_prog = jnp.where(t[None, :] == B, jnp.minimum(B, rem[:, None]), 0)
+            # block-rate ramps stair at NATIVE block boundaries — identical
+            # to the per-block program even inside a k-block superblock
+            br_prog = jnp.minimum((t[None, :] // nb) * nb, rem[:, None])
             prog = jnp.where((srate == RATE_AUDIO)[:, None], ar_prog, br_prog)
             vals = jnp.where(
                 prog >= rem[:, None],
@@ -253,6 +263,51 @@ class PEngine:
             "int_value": state["int_value"],
         }
         return pf, pt, pi, pset, new_state
+
+    def materialize_rows_fast(self, state, idx):
+        """[len(idx), B] per-sample values for the given float slots,
+        computed straight from the ramp state — the no-events program's
+        param access. Gathering the tiny [n] ramp vectors and materializing
+        in place avoids both the [slots, B] intermediate and the [n, B]
+        row gathers that dominated the generic-graph block program."""
+        B = self.block_size
+        nb = self.native_block
+        dtype = self.dtype
+        t = jnp.arange(B, dtype=jnp.int32)
+        value = state["value"][idx]
+        target = state["target"][idx]
+        step = state["step"][idx]
+        rem = state["remaining"][idx]
+        srate = state["srate"][idx]
+        ar = jnp.minimum(t[None, :], rem[:, None])
+        br = jnp.minimum((t[None, :] // nb) * nb, rem[:, None])
+        prog = jnp.where((srate == RATE_AUDIO)[:, None], ar, br)
+        return jnp.where(
+            prog >= rem[:, None],
+            target[:, None],
+            value[:, None] + step[:, None] * prog.astype(dtype),
+        )
+
+    def advance_fast(self, state):
+        """The pe-state carry after one (super)block of event-free ramping,
+        without materializing any per-sample plane. Identical to
+        ``materialize_fast``'s new_state."""
+        B = self.block_size
+        dtype = self.dtype
+        value, target = state["value"], state["target"]
+        step, rem = state["step"], state["remaining"]
+        p = jnp.minimum(B, rem)
+        new_value = jnp.where(p >= rem, target, value + step * p.astype(dtype))
+        return {
+            "value": new_value,
+            "target": target,
+            "step": step,
+            "remaining": jnp.maximum(rem - B, 0),
+            "smode": state["smode"],
+            "sdur": state["sdur"],
+            "srate": state["srate"],
+            "int_value": state["int_value"],
+        }
 
     def _materialize_floats(self, state, events):
         B = self.block_size

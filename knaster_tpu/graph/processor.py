@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compile import CompiledGraph, compile_graph
+from .compile import CompiledGraph, compile_graph, get_super_fn
 from .graph import Done, Graph
 from .param_engine import events_from_lists
 from .scheduling import ScheduledEvent
@@ -124,10 +124,22 @@ class AudioProcessor:
         if not self._warm_scan_lengths:
             return
         ev_np = jax.tree_util.tree_map(np.asarray, ev)
+        from .compile import get_super_fn as _gsf
+
         for sub in self._warm_scan_lengths:
             shape = (sub, self.graph.inputs, self.graph.block_size)
             in_stack = jnp.zeros(shape, self.graph.dtype)
-            out = _get_scan_fn(cg)(cp(base_state), in_stack)
+            super_fn = _gsf(cg, sub)
+            if super_fn is not None:
+                out = super_fn(
+                    cp(base_state),
+                    jnp.zeros(
+                        (self.graph.inputs, sub * self.graph.block_size),
+                        self.graph.dtype,
+                    ),
+                )
+            else:
+                out = _get_scan_fn(cg)(cp(base_state), in_stack)
             jax.block_until_ready(out[1])
             ev_stack = jax.tree_util.tree_map(
                 lambda x: np.broadcast_to(x, (sub,) + x.shape).copy(), ev_np
@@ -510,6 +522,19 @@ class AudioProcessor:
             seg = np.moveaxis(avail.reshape(self.graph.inputs, n, B), 1, 0)
             return jnp.asarray(seg, dtype=self.graph.dtype)
 
+        def in_super_for(start_block, n):
+            """[inputs, n*B] flat segment for the superblock program."""
+            if inputs is None:
+                return jnp.zeros(
+                    (self.graph.inputs, n * B), dtype=self.graph.dtype
+                )
+            i0 = start_block * B
+            avail = np.asarray(inputs)[:, i0 : i0 + n * B]
+            pad = n * B - avail.shape[1]
+            if pad > 0:
+                avail = np.pad(avail, ((0, 0), (0, pad)))
+            return jnp.asarray(avail, dtype=self.graph.dtype)
+
         # host-dispatch over the tunnel costs ~ms per call: event-free runs
         # are covered by descending power-of-two scans (a bounded set of
         # compiled scan lengths, each traced once), with single blocks only
@@ -540,16 +565,34 @@ class AudioProcessor:
                         self.state, out_stack, done_stack = scan_fn(
                             self.state, ev_stack, in_stack_for(rendered, sub)
                         )
+                        done_any = None
                     else:
-                        scan_fn = _get_scan_fn(self.compiled)
-                        self.state, out_stack, done_stack = scan_fn(
-                            self.state, in_stack_for(rendered, sub)
-                        )
+                        super_fn = get_super_fn(self.compiled, sub)
+                        if super_fn is not None:
+                            # superblock: the whole event-free run in ONE
+                            # dispatch at block sub*B — no scan iterations
+                            self.state, out_flat, done_vec = super_fn(
+                                self.state, in_super_for(rendered, sub)
+                            )
+                            out_stack = jnp.moveaxis(
+                                out_flat.reshape(
+                                    self.graph.outputs, sub, B
+                                ), 1, 0,
+                            )
+                            done_stack, done_any = None, done_vec
+                        else:
+                            scan_fn = _get_scan_fn(self.compiled)
+                            self.state, out_stack, done_stack = scan_fn(
+                                self.state, in_stack_for(rendered, sub)
+                            )
+                            done_any = None
                     outs.append(out_stack)
                     if self.compiled.has_done_actions:
-                        self._apply_done_flags(
-                            np.asarray(done_stack).any(axis=0)
-                        )
+                        if done_any is None:
+                            done_any = np.asarray(done_stack).any(axis=0)
+                        else:
+                            done_any = np.asarray(done_any)
+                        self._apply_done_flags(done_any)
                 else:
                     sub = 1
                     if eventful[bi]:

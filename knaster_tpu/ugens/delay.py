@@ -83,6 +83,8 @@ class AllpassDelay(UGen):
     def __init__(self, max_delay_time, long: bool = False):
         self.max_delay_time = _as_seconds(max_delay_time)
         self.long = bool(long)
+        # the long fast path clamps delays to >= one block: block-dependent
+        self.block_invariant = not self.long
 
     def init(self, ctx: AudioCtx):
         n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
@@ -177,6 +179,7 @@ class AllpassFeedbackDelay(UGen):
     def __init__(self, max_delay_time, feedback: float = 0.0, long: bool = False):
         self.max_delay_time = _as_seconds(max_delay_time)
         self.long = bool(long)  # see AllpassDelay.long
+        self.block_invariant = not self.long
         self.pdefaults = {
             "feedback": float(feedback),
             # default delay = max (reference previous_delay_time init)

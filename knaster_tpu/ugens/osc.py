@@ -38,17 +38,26 @@ def _freq_to_inc_u32(freq, f2pi: float, dtype):
     return prod.astype(jnp.uint32)
 
 
-def _segmented_cumsum_u32(inc_u32, reset_mask, phase0_u32, block_size: int):
+def _segmented_cumsum_u32(inc_u32, reset_mask, phase0_u32, block_size: int,
+                          no_resets: bool = False):
     """phases[t] for t in 0..B and the carried phase after the block.
 
     phases[t] = phase0 + sum(inc[0:t])  (wrapping u32), unless a reset
     trigger fired at some frame r <= t, in which case the phase restarts at 0
     at frame r: phases[t] = sum(inc[r:t]).
+
+    ``no_resets`` (the fast program's static AudioCtx.no_events hint) skips
+    the reset machinery — its cummax + per-sample gather are the expensive
+    part, and under vmapped batches the gather alone can dominate the block.
     """
     B = block_size
     inc = inc_u32.astype(jnp.uint32)
     csum = jnp.cumsum(inc)  # inclusive, wrapping
     ecs = jnp.concatenate([jnp.zeros((1,), jnp.uint32), csum])  # [B+1] exclusive
+    if no_resets:
+        return (phase0_u32 + ecs[:B]).astype(jnp.uint32), (
+            phase0_u32 + ecs[B]
+        ).astype(jnp.uint32)
     t_idx = jnp.arange(B, dtype=jnp.int32)
     last_reset = lax.cummax(jnp.where(reset_mask, t_idx, jnp.int32(-1)))
     has_reset = last_reset >= 0
@@ -67,11 +76,14 @@ def _segmented_cumsum_u32(inc_u32, reset_mask, phase0_u32, block_size: int):
     return phases, carry
 
 
-def _segmented_cumsum_f(inc, reset_mask, phase0, block_size: int, dtype):
+def _segmented_cumsum_f(inc, reset_mask, phase0, block_size: int, dtype,
+                        no_resets: bool = False):
     """Float phase accumulation with reset triggers (for SinNumeric/Phasor)."""
     B = block_size
     csum = jnp.cumsum(inc.astype(dtype))
     ecs = jnp.concatenate([jnp.zeros((1,), dtype), csum])
+    if no_resets:
+        return phase0 + ecs[:B], phase0 + ecs[B]
     t_idx = jnp.arange(B, dtype=jnp.int32)
     last_reset = lax.cummax(jnp.where(reset_mask, t_idx, jnp.int32(-1)))
     has_reset = last_reset >= 0
@@ -118,7 +130,8 @@ class SinWt(UGen):
         f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
         inc = _freq_to_inc_u32(params["freq"], f2pi, ctx.dtype)
         phases, carry = _segmented_cumsum_u32(
-            inc, params["reset_phase"], state["phase"], B
+            inc, params["reset_phase"], state["phase"], B,
+            no_resets=ctx.no_events,
         )
         off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
         idx = ((phases + off) >> 16) & TABLE_HIGH_MASK
@@ -163,7 +176,8 @@ class OscWt(UGen):
         freq = params["freq"]
         inc = _freq_to_inc_u32(freq, f2pi, ctx.dtype)
         phases, carry = _segmented_cumsum_u32(
-            inc, params["reset_phase"], state["phase"], B
+            inc, params["reset_phase"], state["phase"], B,
+            no_resets=ctx.no_events,
         )
         off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
         ph = phases + off
@@ -205,7 +219,8 @@ class SinNumeric(UGen):
         B = ctx.block_size
         inc = params["freq"] / jnp.asarray(float(ctx.sample_rate), ctx.dtype)
         phases, carry = _segmented_cumsum_f(
-            inc, params["reset_phase"], state["phase"], B, ctx.dtype
+            inc, params["reset_phase"], state["phase"], B, ctx.dtype,
+            no_resets=ctx.no_events,
         )
         out = jnp.sin((phases + params["phase_offset"]) * jnp.asarray(2.0 * np.pi, ctx.dtype))
         # keep the carried phase bounded (reference wraps with `-= 1.0`)

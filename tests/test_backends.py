@@ -132,8 +132,10 @@ def test_stream_backend_structural_edit_glitch_free():
     underruns_before_edit = be.underruns
     # structural edit from the control thread: add another constant
     g.edit(lambda gg: (gg.push(Constant(0.5))).to_graph_out())
-    # background compile + warmup + swap: poll up to 6 s
-    for _ in range(60):
+    # background compile + warmup + swap: poll up to 30 s (the worker warms
+    # every program the producer can hit, which is slow on starved CI hosts;
+    # the loop exits as soon as the swap lands)
+    for _ in range(300):
         time.sleep(0.1)
         if captured and np.any(np.round(captured[-1], 3) == 0.75):
             break
@@ -189,5 +191,10 @@ def test_async_recompile_worker_warms_new_program():
         ready = proc.compiled
         assert ready.revision == g.root().revision
     assert ready is not None
-    assert ready.scan_fn is not None and ready.scan_fn._cache_size() >= 1
+    # the event-free path is warmed either as superblock programs (eligible
+    # graphs) or as the per-block scan fallback
+    if ready.super_fns:
+        assert all(f._cache_size() >= 1 for f in ready.super_fns.values())
+    else:
+        assert ready.scan_fn is not None and ready.scan_fn._cache_size() >= 1
     assert ready.full_scan_fn is not None and ready.full_scan_fn._cache_size() >= 1
