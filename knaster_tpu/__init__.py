@@ -76,7 +76,7 @@ from .ugens.wavetable import NonAaWavetable, Wavetable, harmonics_from_table
 from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
 from .backends import AudioBackend, OfflineBackend, StreamBackend
-from .parallel.mesh import ShardedVoiceBank
+from .parallel.mesh import MeshVoiceBank, ShardedVoiceBank
 from .parallel.pallas_bank import (
     PallasFMVoiceBank,
     PallasSineVoiceBank,
@@ -100,6 +100,7 @@ __all__ = [
     "PallasSubtractiveVoiceBank",
     "PallasWavetableVoiceBank",
     "AdditiveVoice",
+    "MeshVoiceBank",
     "ShardedVoiceBank",
     "SineVoice",
     "SubtractiveVoice",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.ugen import AudioCtx
@@ -53,6 +54,7 @@ class ShardedVoiceBank:
         self._local = bank.make_local(self.local_voices)
         self._specs = self._infer_state_specs()
         self._step = self._build_step()
+        self._render_scan = None
 
     # ------------------------------------------------------------------
     def _infer_state_specs(self):
@@ -141,7 +143,9 @@ class ShardedVoiceBank:
         return self._step(state, events)
 
     def render(self, n_blocks: int, events_per_block=None):
-        """Convenience bounce: scan n_blocks on the mesh, return [ch, frames]."""
+        """Bounce n_blocks fully ON DEVICE: one ``lax.scan`` over the
+        shard-mapped step (stacked event tensors ride along), one dispatch,
+        one result — no per-block Python loop."""
         state = self.init_state()
         if events_per_block is None:
             ev = self.empty_events()
@@ -151,14 +155,139 @@ class ShardedVoiceBank:
         else:
             events_stacked = events_per_block
 
-        def body(st, ev):
-            st, out = self._step(st, ev)
-            return st, out
+        fn = self._render_scan
+        if fn is None:
+            step = self._step
 
-        outs = []
-        for i in range(n_blocks):
-            ev = jax.tree_util.tree_map(lambda x: x[i], events_stacked)
-            state, out = self._step(state, ev)
-            outs.append(out)
-        cat = jnp.stack(outs)  # [NB, ch, B]
-        return jnp.swapaxes(cat, 0, 1).reshape(self.bank.voice.outputs, -1)
+            def run(st, evs):
+                def body(c, e):
+                    c2, out = step(c, e)
+                    return c2, out
+
+                st, outs = jax.lax.scan(body, st, evs)
+                return st, outs  # outs: [NB, ch, B]
+
+            fn = self._render_scan = jax.jit(run)
+        state, outs = fn(state, events_stacked)
+        return jnp.swapaxes(outs, 0, 1).reshape(self.bank.voice.outputs, -1)
+
+
+class MeshVoiceBank(VoiceBank):
+    """A mesh-sharded VoiceBank that is a first-class GRAPH NODE.
+
+    Wraps any VoiceBank (vmap or Pallas): its state shards over the mesh's
+    voice axis, its block program runs under ``shard_map`` *inside* the
+    graph's compiled program, and the mix bus is a ``psum`` over ICI — so a
+    sharded 100k-voice bank composes with ordinary nodes (filters, reverb
+    busses) in one Graph (SURVEY §5.8 voice-sharding as an engine
+    capability). Per-voice control works through the same bank event channel
+    (``Handle.voice_param``); events are replicated and masked to each
+    shard's voice range on device."""
+
+    def __init__(self, bank: VoiceBank, mesh: Mesh, axis: str = "voices"):
+        if bank.mix != "sum":
+            raise ValueError("sharded banks must use mix='sum'")
+        n_dev = mesh.shape[axis]
+        if bank.n_voices % n_dev:
+            raise ValueError(
+                f"n_voices ({bank.n_voices}) must divide the mesh axis ({n_dev})"
+            )
+        self.bank = bank
+        self.mesh = mesh
+        self.axis = axis
+        self.inputs = 0
+        self.outputs = bank.outputs
+        self.mix = "sum"
+        self.params = ()
+        self.event_capacity = bank.event_capacity
+        self.n_voices = bank.n_voices
+        self.voice = bank.voice
+        self.local_voices = bank.n_voices // n_dev
+        self._local = bank.make_local(self.local_voices)
+        self._float_names = bank._float_names
+        self._trig_names = bank._trig_names
+        self._int_names = bank._int_names
+        self._specs_cache = None
+
+    def name(self):
+        return f"Mesh[{self.bank.name()}]"
+
+    def batch_key(self):
+        return None
+
+    # event construction: the global bank's layout (voice ids are global)
+    def empty_node_events(self, dtype=np.float32):
+        return self.bank.empty_node_events(dtype=dtype)
+
+    def node_events_from_lists(self, events, dtype=np.float32):
+        return self.bank.node_events_from_lists(events, dtype=dtype)
+
+    def _specs(self, ctx: AudioCtx):
+        if self._specs_cache is None:
+            full = jax.eval_shape(lambda: self.bank.init(ctx))
+            local = jax.eval_shape(lambda: self._local.init(ctx))
+            axis = self.axis
+
+            def spec_for(g, l):
+                gs, ls = g.shape, l.shape
+                if gs == ls:
+                    return P()
+                diff = [d for d in range(min(len(gs), len(ls)))
+                        if gs[d] != ls[d]]
+                if len(gs) != len(ls) or len(diff) != 1:
+                    raise ValueError(
+                        f"cannot infer the voice axis of a state leaf: "
+                        f"full bank shape {gs} vs local shard shape {ls}"
+                    )
+                return P(*([None] * diff[0] + [axis]))
+
+            self._specs_cache = jax.tree_util.tree_map(spec_for, full, local)
+        return self._specs_cache
+
+    def init(self, ctx: AudioCtx):
+        specs = self._specs(ctx)
+        full = self.bank.init(ctx)
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(put, full, specs)
+
+    def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        specs = self._specs(ctx)
+        local_bank = self._local
+        axis = self.axis
+        Vl = self.local_voices
+
+        def local_step(st, ev):
+            shard = jax.lax.axis_index(axis)
+            lo = shard * Vl
+            if ev is not None:
+                v = ev["voice"]
+                local_v = v - lo
+                in_shard = (v >= 0) & (local_v >= 0) & (local_v < Vl)
+                ev = dict(ev)
+                ev["voice"] = jnp.where(in_shard, local_v, -1)
+            r = local_bank.process(
+                ctx, st, jnp.zeros((0, ctx.block_size), ctx.dtype), {},
+                events=ev,
+            )
+            new_state, out = r[0], r[1]
+            return new_state, jax.lax.psum(out, axis)
+
+        if events is None:
+            fn = jax.shard_map(
+                lambda st: local_step(st, None),
+                mesh=self.mesh, in_specs=(specs,),
+                out_specs=(specs, P()), check_vma=False,
+            )
+            new_state, out = fn(state)
+        else:
+            ev_specs = jax.tree_util.tree_map(lambda _: P(), events)
+            fn = jax.shard_map(
+                local_step,
+                mesh=self.mesh, in_specs=(specs, ev_specs),
+                out_specs=(specs, P()), check_vma=False,
+            )
+            new_state, out = fn(state, events)
+        return new_state, out

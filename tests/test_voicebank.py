@@ -163,6 +163,14 @@ def test_sharded_voicebank_matches_single_device():
     np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
     assert np.abs(sharded).max() > 0
 
+    # render(): the on-device lax.scan bounce equals the step-by-step path
+    ev_stack = jax.tree_util.tree_map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+        sb.events_from_lists(events), sb.empty_events(),
+    )
+    scanned = np.asarray(sb.render(2, events_per_block=ev_stack))
+    np.testing.assert_allclose(scanned, unsharded, atol=1e-5)
+
 
 def test_pallas_bank_matches_vmap_bank():
     """The fused Pallas kernel bank == the composable vmap bank
@@ -779,3 +787,72 @@ def test_sharded_bank_spec_inference_nonleading_axis():
     st = sb.init_state()
     st, out = sb.step(st, sb.empty_events())
     assert np.asarray(out).shape == (2, 64)
+
+
+def test_mesh_voicebank_inside_graph_matches_unsharded():
+    """A MeshVoiceBank IS a graph node: sharded bank + SVF bus in one Graph
+    equals the same graph with the plain (unsharded) bank, and per-voice
+    events work through the normal voice_param handles."""
+    from knaster_tpu import MeshVoiceBank, SvfFilter
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    V = 4 * n_dev
+    freqs = 220.0 * (1 + np.arange(V, dtype=np.float32) / V)
+
+    def render(shard):
+        g, proc = AudioProcessor.new(0, 2, OPTS)
+        bank = VoiceBank(SineVoice(amp=0.05), V, voice_defaults={"freq": freqs})
+        node = MeshVoiceBank(bank, mesh) if shard else bank
+
+        def build(gg):
+            h = gg.push(node)
+            f = gg.push(SvfFilter(cutoff_freq=4000.0))
+            h.out([0]).to(f)  # left channel through the filter bus
+            f.to_graph_out()
+            h.out([1]).to_graph_out_channels([1])
+            return h
+
+        h = g.edit(build)
+        trig = h.voice_param("t_restart")
+        for v in range(V):
+            trig.trig(v)
+        h.voice_param("t_restart").trig_at(1, _samples(100))
+        h.voice_param("freq").set_at(2, 990.0, _samples(200))
+        return proc.render(frames=1024)
+
+    a = render(True)
+    b = render(False)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_mesh_voicebank_pallas_inside_graph():
+    """Pallas kernel banks shard into the graph too (shard_map around the
+    pallas_call, per-device interpret on CPU)."""
+    from knaster_tpu import MeshVoiceBank, PallasSineVoiceBank
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    V = 128 * n_dev
+    rng = np.random.default_rng(7)
+    d = {"freq": rng.uniform(100, 2000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+
+    def render(shard):
+        g, proc = AudioProcessor.new(0, 2, OPTS)
+        bank = PallasSineVoiceBank(V, voice_defaults=d, tile_rows=1,
+                                   event_capacity=512)
+        node = MeshVoiceBank(bank, mesh) if shard else bank
+        h = g.edit(lambda gg: (lambda hh: (hh.to_graph_out(), hh)[1])(
+            gg.push(node)))
+        trig = h.voice_param("t_restart")
+        for v in range(0, V, 3):
+            trig.trig(v)
+        return proc.render(frames=512)
+
+    a = render(True)
+    b = render(False)
+    assert np.abs(b).max() > 1e-4
+    np.testing.assert_allclose(a, b, atol=1e-5)
