@@ -429,12 +429,77 @@ def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     }))
 
 
+def bench_edit_latency(n_nodes=256, block_size=16):
+    """Live-edit cost at 256 nodes: time from g.edit() commit to the first
+    rendered block of the NEW program, for (a) a cold topology (fresh trace
+    + XLA compile) and (b) a recurring topology (program-cache hit — the
+    reference's microsecond TaskData swap, graph.rs:1707-1726, is matched
+    by reusing both compiled programs and rebuilding only the state carry).
+    """
+    from knaster_tpu import (
+        AudioProcessor,
+        AudioProcessorOptions,
+        SinWt,
+    )
+    from knaster_tpu.graph.compile import clear_program_cache
+
+    clear_program_cache()
+    g, proc = AudioProcessor.new(
+        0, 1, AudioProcessorOptions(block_size=block_size)
+    )
+
+    def add_sine(gg):
+        s = gg.push(SinWt(440.0))
+        (s * 0.001).to_graph_out()
+        return s
+
+    handles = []
+    def build(gg):
+        for _ in range(n_nodes):
+            handles.append(add_sine(gg))
+    g.edit(build)
+    proc.run_without_inputs()  # warm the n_nodes-topology programs
+
+    def edit_to_audible(mutate):
+        t0 = time.time()
+        g.edit(mutate)
+        proc.run_without_inputs()  # recompile (or cache hit) + 1 block
+        return time.time() - t0
+
+    # cold: n_nodes+1 sines is a new topology -> trace + compile
+    cold = edit_to_audible(lambda gg: handles.append(add_sine(gg)))
+    # free/push cycles: both topologies are now program-cached; the first
+    # cycle still pays one-time eager compiles of the state-carry ops, the
+    # second is the recurring live-edit cost (the SuperCollider-style case)
+    cycle = []
+    for _ in range(3):
+        f = edit_to_audible(lambda gg: handles.pop().free())
+        p = edit_to_audible(lambda gg: handles.append(add_sine(gg)))
+        cycle.append((f, p))
+    hot_free, hot_push = cycle[-1]
+    print(
+        json.dumps(
+            {
+                "bench": "edit_latency",
+                "config": f"{n_nodes}nodes_block{block_size}",
+                "value": round(hot_push * 1e3, 2),
+                "unit": "ms (cache-hit edit -> audible)",
+                "cold_compile_ms": round(cold * 1e3, 1),
+                "first_cycle_ms": [round(x * 1e3, 1) for x in cycle[0]],
+                "cache_hit_free_ms": round(hot_free * 1e3, 2),
+                "cache_hit_push_ms": round(hot_push * 1e3, 2),
+            }
+        )
+    )
+
+
 def bench_voicebank():
     os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), '..', 'bench.py')}")
 
 
 ALL = {
     "sines_const": bench_sines_const,
+    "edit_latency": bench_edit_latency,
     "fm_cascade": bench_fm_cascade,
     "wrappers": bench_wrappers,
     "galactic": bench_galactic,

@@ -85,28 +85,59 @@ class CompiledGraph:
         return f"{self.canon[nid]}:{ch}"
 
     # ------------------------------------------------------------------
+    def _node_loc(self, nid: int):
+        """('single', state_key) or ('batch', group_key, index) or None."""
+        for kind, item in self.plan:
+            if kind == "single" and item == nid:
+                return ("single", self.state_key(nid))
+            if kind == "batch" and nid in item:
+                return ("batch", self.group_key(item), item.index(nid))
+        return None
+
     def _extract_node_state(self, state: dict, nid: int):
         """Pull one node's state out of this compile's (possibly batched)
         state layout; None if absent."""
-        for kind, item in self.plan:
-            if kind == "single" and item == nid:
-                return state["nodes"].get(self.state_key(nid))
-            if kind == "batch" and nid in item:
-                stacked = state["nodes"].get(self.group_key(item))
-                if stacked is None:
-                    return None
-                k = item.index(nid)
-                return jax.tree_util.tree_map(lambda x: x[k], stacked)
-        return None
+        loc = self._node_loc(nid)
+        if loc is None:
+            return None
+        if loc[0] == "single":
+            return state["nodes"].get(loc[1])
+        stacked = state["nodes"].get(loc[1])
+        if stacked is None:
+            return None
+        return jax.tree_util.tree_map(lambda x: x[loc[2]], stacked)
 
     def init_state(self, prev: Optional[dict] = None,
                    prev_compiled: Optional["CompiledGraph"] = None) -> dict:
         """Build the state pytree, carrying state over from a previous commit
         (TakeFromTask parity: same node id => same state).
 
+        The carry-over runs as ONE jitted program per (previous-topology,
+        this-topology) pair, cached alongside the compiled programs — eager
+        per-leaf ops each cost a host↔device roundtrip (live-edit latency).
+
         Batched groups store their members' states stacked on a leading axis
         — that keeps the scan carry small and lets the render read/write
         group state without per-block restacking."""
+        if prev is None or prev_compiled is None:
+            return self._build_state(prev, prev_compiled)
+        key = prev_compiled.signature
+        if self.cache_entry is not None and key is not None:
+            fns = self.cache_entry.setdefault("carry_fns", {})
+            fn = fns.get(key)
+            if fn is None:
+                pc = prev_compiled
+
+                def carry(p):
+                    return self._build_state(p, pc)
+
+                fn = jax.jit(carry)
+                fns[key] = fn
+            return fn(prev)
+        return self._build_state(prev, prev_compiled)
+
+    def _build_state(self, prev: Optional[dict],
+                     prev_compiled: Optional["CompiledGraph"]) -> dict:
         ctx = self.ctx
 
         def node_state(nid):
@@ -116,32 +147,82 @@ class CompiledGraph:
                     return old
             return self.entries[nid].ugen.init(ctx)
 
+        def batch_state(item):
+            """Stacked state for a batch group. When every carried member
+            lives in ONE previous group, the carry is a single gather per
+            leaf (+ one scatter for freshly-initialized members) — the
+            per-node extract/restack path issues thousands of eager device
+            ops for big groups (live-edit latency)."""
+            gkey = self.group_key(item)
+            if prev is not None and prev_compiled is not None:
+                locs = [prev_compiled._node_loc(n) for n in item]
+                prev_gks = {l[1] for l in locs if l is not None and l[0] == "batch"}
+                carried_ok = [
+                    l is not None and l[0] == "batch" for l in locs
+                ]
+                if len(prev_gks) == 1 and any(carried_ok):
+                    prev_stack = prev["nodes"].get(prev_gks.pop())
+                    if prev_stack is not None:
+                        idx = jnp.asarray(
+                            [l[2] if ok else 0
+                             for l, ok in zip(locs, carried_ok)], jnp.int32
+                        )
+                        carried = jax.tree_util.tree_map(
+                            lambda x: x[idx], prev_stack
+                        )
+                        missing = [k for k, ok in enumerate(carried_ok) if not ok]
+                        if missing:
+                            fresh = jax.tree_util.tree_map(
+                                lambda *xs: jnp.stack(xs),
+                                *[self.entries[item[k]].ugen.init(ctx)
+                                  for k in missing],
+                            )
+                            mi = jnp.asarray(missing, jnp.int32)
+                            carried = jax.tree_util.tree_map(
+                                lambda c, f: c.at[mi].set(f), carried, fresh
+                            )
+                        return carried
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[node_state(n) for n in item]
+            )
+
         nodes = {}
         for kind, item in self.plan:
             if kind == "single":
                 nodes[self.state_key(item)] = node_state(item)
             else:
-                nodes[self.group_key(item)] = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *[node_state(n) for n in item]
-                )
+                nodes[self.group_key(item)] = batch_state(item)
         pe = pe_init_state(self.layout, dtype=ctx.dtype)
         if prev is not None and prev_compiled is not None:
             pe = dict(pe)
             old = prev.get("pe", {})
             old_layout = prev_compiled.layout
-            # carry per-slot float/int values across the re-layout
+            # carry per-slot float/int values across the re-layout with ONE
+            # gather+scatter per array (a per-slot .at[].set() chain is
+            # thousands of eager device ops on big graphs — live-edit cost)
+            f_new, f_old, i_new, i_old = [], [], [], []
             for (nid, pidx), (typ, slot) in self.layout.slots.items():
-                if (nid, pidx) in old_layout.slots:
-                    otyp, oslot = old_layout.slots[(nid, pidx)]
-                    if otyp == typ:
-                        if typ == "float":
-                            for k in ("value", "target", "step", "remaining",
-                                      "smode", "sdur", "srate"):
-                                pe[k] = pe[k].at[slot].set(old[k][oslot])
-                        elif typ == "int":
-                            pe["int_value"] = pe["int_value"].at[slot].set(
-                                old["int_value"][oslot]
-                            )
+                o = old_layout.slots.get((nid, pidx))
+                if o is None or o[0] != typ:
+                    continue
+                if typ == "float":
+                    f_new.append(slot)
+                    f_old.append(o[1])
+                elif typ == "int":
+                    i_new.append(slot)
+                    i_old.append(o[1])
+            if f_new:
+                ni = jnp.asarray(f_new, jnp.int32)
+                oi = jnp.asarray(f_old, jnp.int32)
+                for k in ("value", "target", "step", "remaining",
+                          "smode", "sdur", "srate"):
+                    pe[k] = pe[k].at[ni].set(old[k][oi])
+            if i_new:
+                ni = jnp.asarray(i_new, jnp.int32)
+                oi = jnp.asarray(i_old, jnp.int32)
+                pe["int_value"] = pe["int_value"].at[ni].set(
+                    old["int_value"][oi]
+                )
         fb = {}
         prev_fb = (prev or {}).get("fb", {})
         for (nid, ch) in self.fb_sources:

@@ -444,8 +444,11 @@ class Graph:
         self._node(nid).mortal = bool(mortal)
 
     def _gc_auto_nodes(self) -> None:
-        """Free operator-sugar nodes whose outputs no longer feed anything
-        (reference graph.rs evaluate_if_node_should_be_removed:1098-1161)."""
+        """Free operator-sugar nodes whose outputs no longer feed anything —
+        or whose INPUTS lost their source (freeing a sine must also collect
+        its dangling ``(sine * 0.001)`` sugar chain, so a push/free cycle
+        returns to the exact prior topology and hits the program cache).
+        Reference: graph.rs evaluate_if_node_should_be_removed:1098-1161."""
         changed = True
         while changed:
             changed = False
@@ -461,7 +464,12 @@ class Graph:
                 consumed.add(e.src)
             for nid in list(self.nodes):
                 entry = self.nodes[nid]
-                if entry.auto and nid not in consumed:
+                if not entry.auto:
+                    continue
+                dangling = entry.inputs > 0 and any(
+                    not lst for lst in self.in_edges.get(nid, [])
+                )
+                if nid not in consumed or dangling:
                     self._free_node_unchecked(nid)
                     changed = True
 
