@@ -288,7 +288,7 @@ def bench_galactic(block_size=64):
 
     g.edit(build)
     rate = _bounce_rate(proc, seconds=1.0)
-    prate = _program_rate(proc, n_blocks=400)
+    prate = _program_rate(proc, lo=100, hi=600)
     print(
         json.dumps(
             {

@@ -48,7 +48,7 @@ from .core.ugen import AudioCtx, UGen, sample_scan
 from .graph.graph import Done, Graph, GraphError, CircularConnection
 from .graph.handles import Handle, Parameter, Source
 from .graph.processor import AudioProcessor, AudioProcessorOptions
-from .graph.scheduling import Time
+from .graph.scheduling import SchedulingToken, Time
 from .ugens.buffer import Buffer, BufferReader
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn
 from .ugens.delay import (
@@ -159,6 +159,7 @@ __all__ = [
     "SinWt",
     "Smoothing",
     "Source",
+    "SchedulingToken",
     "Time",
     "UGen",
     "Wavetable",

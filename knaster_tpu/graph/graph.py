@@ -509,24 +509,35 @@ class Graph:
         p = h.param(param)
         p.set_time(value, t or Time.asap())
 
-    def _queue_event(self, node_id: int, param_idx: int, payload, t: Time) -> None:
+    def _queue_event(self, node_id: int, param_idx: int, payload, t: Time,
+                     token=None) -> None:
         self._node(node_id)  # raises if freed
         root = self.root()
         if root.freed:
             raise NodeFreed("graph was freed")
         sr = self.sample_rate
-        if t.kind == "asap":
-            due = -1  # next block, frame 0
-        elif t.kind == "at":
-            due = t.seconds.to_samples(sr)
-        elif t.kind == "after":
-            due = root.clock.frames + t.seconds.to_samples(sr)
-        else:
-            raise ValueError(t.kind)
-        root.event_queue.append(
-            ScheduledEvent(due, node_id, param_idx, payload, order=root._event_order)
-        )
-        root._event_order += 1
+
+        def make() -> ScheduledEvent:
+            # time resolves HERE — immediately, or at token activation so
+            # every change in a token batch shares the same reference frame
+            if t.kind == "asap":
+                due = -1  # next block, frame 0
+            elif t.kind == "at":
+                due = t.seconds.to_samples(sr)
+            elif t.kind == "after":
+                due = root.clock.frames + t.seconds.to_samples(sr)
+            else:
+                raise ValueError(t.kind)
+            ev = ScheduledEvent(
+                due, node_id, param_idx, payload, order=root._event_order
+            )
+            root._event_order += 1
+            return ev
+
+        if token is not None:
+            token._hold(root, make)
+            return
+        root.event_queue.append(make())
 
     # ------------------------------------------------------------- inspection
     def all_entries(self) -> Dict[int, NodeEntry]:

@@ -231,16 +231,18 @@ class Parameter:
         return Handle(self.graph, self.node_id).param_hints()[self.name]
 
     # -- float / int / bool set ------------------------------------------
-    def set(self, value) -> None:
-        self.set_time(value, Time.asap())
+    # every scheduler takes ``token=`` (a SchedulingToken) to group changes
+    # into one atomic same-block batch (scheduling.rs:146-188)
+    def set(self, value, token=None) -> None:
+        self.set_time(value, Time.asap(), token=token)
 
-    def set_at(self, value, t) -> None:
-        self.set_time(value, Time.at(t))
+    def set_at(self, value, t, token=None) -> None:
+        self.set_time(value, Time.at(t), token=token)
 
-    def set_after(self, value, t) -> None:
-        self.set_time(value, Time.after(t))
+    def set_after(self, value, t, token=None) -> None:
+        self.set_time(value, Time.after(t), token=token)
 
-    def set_time(self, value, t: Time) -> None:
+    def set_time(self, value, t: Time, token=None) -> None:
         if self.ptype == "float":
             payload = ("set_float", float(value))
         elif self.ptype in ("integer", "bool"):
@@ -251,19 +253,20 @@ class Parameter:
             payload = ("trig",)
         else:
             raise TypeError(self.ptype)
-        self.graph._queue_event(self.node_id, self.param_idx, payload, t)
+        self.graph._queue_event(self.node_id, self.param_idx, payload, t,
+                                token=token)
 
     # -- smoothing config ---------------------------------------------------
-    def smooth(self, s, rate: str = "audio") -> None:
-        self.smooth_time(s, Time.asap(), rate=rate)
+    def smooth(self, s, rate: str = "audio", token=None) -> None:
+        self.smooth_time(s, Time.asap(), rate=rate, token=token)
 
-    def smooth_at(self, s, t, rate: str = "audio") -> None:
-        self.smooth_time(s, Time.at(t), rate=rate)
+    def smooth_at(self, s, t, rate: str = "audio", token=None) -> None:
+        self.smooth_time(s, Time.at(t), rate=rate, token=token)
 
-    def smooth_after(self, s, t, rate: str = "audio") -> None:
-        self.smooth_time(s, Time.after(t), rate=rate)
+    def smooth_after(self, s, t, rate: str = "audio", token=None) -> None:
+        self.smooth_time(s, Time.after(t), rate=rate, token=token)
 
-    def smooth_time(self, s, t: Time, rate: str = "audio") -> None:
+    def smooth_time(self, s, t: Time, rate: str = "audio", token=None) -> None:
         if self.ptype != "float":
             raise TypeError("smoothing only applies to float parameters")
         if isinstance(s, Smoothing):
@@ -278,22 +281,24 @@ class Parameter:
         srate = 1 if sm.rate == "block" else 0
         dur_frames = int(round(sm.time * self.graph.sample_rate))
         payload = ("smooth_cfg", mode, dur_frames, srate)
-        self.graph._queue_event(self.node_id, self.param_idx, payload, t)
+        self.graph._queue_event(self.node_id, self.param_idx, payload, t,
+                                token=token)
 
     # -- triggers -------------------------------------------------------------
-    def trig(self) -> None:
-        self.trig_time(Time.asap())
+    def trig(self, token=None) -> None:
+        self.trig_time(Time.asap(), token=token)
 
-    def trig_at(self, t) -> None:
-        self.trig_time(Time.at(t))
+    def trig_at(self, t, token=None) -> None:
+        self.trig_time(Time.at(t), token=token)
 
-    def trig_after(self, t) -> None:
-        self.trig_time(Time.after(t))
+    def trig_after(self, t, token=None) -> None:
+        self.trig_time(Time.after(t), token=token)
 
-    def trig_time(self, t: Time) -> None:
+    def trig_time(self, t: Time, token=None) -> None:
         if self.ptype != "trigger":
             raise TypeError(f"parameter {self.name!r} is not a trigger")
-        self.graph._queue_event(self.node_id, self.param_idx, ("trig",), t)
+        self.graph._queue_event(self.node_id, self.param_idx, ("trig",), t,
+                                token=token)
 
 
 class VoiceParameter:

@@ -64,3 +64,51 @@ class ScheduledEvent:
     param_idx: int
     payload: Tuple[Any, ...]
     order: int = 0  # stable tie-break: send order
+
+
+class SchedulingToken:
+    """Group parameter changes and apply them ATOMICALLY in one block.
+
+    Parity with knaster_graph/src/scheduling.rs:146-188 (the reference
+    declares the same contract but leaves ``activate`` as ``todo!()``; we
+    implement the documented semantics). Attach the token to any number of
+    ``Parameter.set/trig/smooth`` calls via ``token=``; none of the changes
+    is queued until :meth:`activate`, which releases them in one atomic
+    batch — asap changes land at the same block start, timed changes keep
+    their own frames but become visible to the engine together. ::
+
+        tok = SchedulingToken()
+        freq.set(880.0, token=tok)
+        amp.set(0.5, token=tok)
+        tok.activate()       # both take effect in the same block
+    """
+
+    def __init__(self):
+        self._held = []  # (root_graph, queue_fn) pairs
+        self._activated = False
+
+    def is_activated(self) -> bool:
+        return self._activated
+
+    def _hold(self, root, queue_fn) -> None:
+        if self._activated:
+            raise RuntimeError("SchedulingToken was already activated")
+        self._held.append((root, queue_fn))
+
+    def activate(self) -> None:
+        """Release every attached change in one atomic batch per graph.
+
+        Event times resolve NOW (so every 'after'/'asap' in the batch shares
+        the same reference frame) and the whole batch is appended to each
+        graph's queue in one list.extend — the processor's atomic drain sees
+        either none or all of it."""
+        if self._activated:
+            raise RuntimeError("SchedulingToken was already activated")
+        self._activated = True
+        by_root = {}
+        for root, queue_fn in self._held:
+            by_root.setdefault(id(root), (root, []))[1].append(queue_fn)
+        for root, fns in by_root.values():
+            events = [fn() for fn in fns]
+            root.event_queue.extend(events)  # single atomic append (GIL)
+        self._held.clear()

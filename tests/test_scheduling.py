@@ -359,3 +359,55 @@ def test_event_overflow_in_render_bounce():
     # monotone application (each block applies a non-negative batch)
     block_starts = audio[0, ::16]
     assert np.all(np.diff(block_starts) >= 0)
+
+
+def test_scheduling_token_atomic_batch():
+    """SchedulingToken (scheduling.rs:146-188): changes attached to a token
+    are invisible until activate(), then all land in the same block."""
+    from knaster_tpu import Constant, SchedulingToken
+
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        a = gg.push(Constant(1.0))
+        b = gg.push(Constant(10.0))
+        a.to_graph_out_channels([0])
+        b.to_graph_out_channels([1])
+        return a, b
+
+    a, b = g.edit(build)
+    tok = SchedulingToken()
+    a.param("value").set(2.0, token=tok)
+    b.param("value").set(20.0, token=tok)
+    assert not tok.is_activated()
+    # not queued yet: a render sees the old values
+    out = proc.render(frames=64)
+    np.testing.assert_allclose(out[0], 1.0)
+    np.testing.assert_allclose(out[1], 10.0)
+    tok.activate()
+    assert tok.is_activated()
+    out = proc.render(frames=128)
+    # both changes land at the SAME frame (start of the next block)
+    np.testing.assert_allclose(out[0], 2.0)
+    np.testing.assert_allclose(out[1], 20.0)
+    # double activation is an error
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        tok.activate()
+
+
+def test_scheduling_token_preserves_timed_events():
+    """Timed changes in a token batch keep their own frames; 'after' times
+    resolve at activation (the batch shares one reference frame)."""
+    from knaster_tpu import Constant, SchedulingToken
+
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+    c = g.edit(lambda gg: (lambda h: (h.to_graph_out(), h)[1])(
+        gg.push(Constant(1.0))))
+    proc.render(frames=64)  # advance the clock one block
+    tok = SchedulingToken()
+    c.param("value").set_at(3.0, _samples(64 + 32), token=tok)
+    tok.activate()
+    out = proc.render(frames=64)
+    np.testing.assert_allclose(out[0, :32], 1.0)
+    np.testing.assert_allclose(out[0, 32:], 3.0)
