@@ -44,6 +44,7 @@ from .primitives import (
     ptrigger,
 )
 from .core.decorator import TRIG, ugen
+from .core.log import ArLogReceiver, ArLogSender, rt_log
 from .core.ugen import AudioCtx, UGen, sample_scan
 from .graph.graph import Done, Graph, GraphError, CircularConnection
 from .graph.handles import Handle, Parameter, Source
@@ -163,6 +164,9 @@ __all__ = [
     "Time",
     "UGen",
     "Wavetable",
+    "ArLogReceiver",
+    "ArLogSender",
+    "rt_log",
     "TRIG",
     "default_dtype",
     "ugen",

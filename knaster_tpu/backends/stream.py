@@ -138,10 +138,18 @@ class StreamBackend(AudioBackend):
         # render must not pay a jit trace while the ring drains.
         processor._ensure_compiled()
         cap = min(self.chunk_blocks, processor.options.render_chunk_blocks)
-        lengths, sub = [], 16
+        # every power of two up to the chunk: live events segment a chunk
+        # into event-free runs of any length, each covered by one superblock
+        # dispatch (short tails included — per-dispatch overhead is ~ms).
+        # Also warm chunk-1 exactly: an asap control batch lands at block 0,
+        # leaving a (chunk-1)-block event-free run that then renders as ONE
+        # dispatch instead of a pow2 ladder.
+        lengths, sub = [], 2
         while sub <= cap:
             lengths.append(sub)
             sub *= 2
+        if cap - 1 >= 2 and (cap - 1) not in lengths:
+            lengths.append(cap - 1)
         processor._warm_scan_lengths = tuple(lengths)
         # structural edits while live compile on a worker and swap between
         # blocks (the reference's TaskData swap semantics)
@@ -156,12 +164,17 @@ class StreamBackend(AudioBackend):
         self.ring.write(processor.render(frames=chunk_frames))
 
         def producer():
+            # pipelined: dispatch chunk k+1 BEFORE fetching chunk k, so the
+            # ~RTT-priced device→host fetch overlaps the next chunk's
+            # compute instead of serializing with it (the tunnel prices
+            # every dispatch and fetch in the tens of ms)
+            pending = None
             while self._running.is_set():
                 if self.ring.available_write() >= chunk_frames:
-                    # one device round trip per chunk: on-device scan of the
-                    # fast program (eventful blocks split automatically),
-                    # one fetch
-                    self.ring.write(processor.render(frames=chunk_frames))
+                    nxt = processor.render(frames=chunk_frames, fetch=False)
+                    if pending is not None:
+                        self.ring.write(np.asarray(pending))
+                    pending = nxt
                 else:
                     time.sleep(self._block / self._sr / 4)
 

@@ -63,6 +63,8 @@ class CompiledGraph:
     # cached eligibility verdict (None = not yet checked)
     super_fns: Dict[int, Any] = field(default_factory=dict)
     superblock_ok: Optional[bool] = None
+    # one-dispatch eventful-chunk programs (block-0 events + superblock rest)
+    evchunk_fns: Dict[int, Any] = field(default_factory=dict)
     # canonical node labels (position in topo order): state/event pytree keys
     # use these, NOT node ids, so topologically identical graphs share both
     # program and state structure (the program cache)
@@ -450,6 +452,7 @@ def compile_graph(
         cg.scan_fn = hit.get("scan_fn")
         cg.full_scan_fn = hit.get("full_scan_fn")
         cg.super_fns = hit.setdefault("super_fns", {})
+        cg.evchunk_fns = hit.setdefault("evchunk_fns", {})
         cg.superblock_ok = hit.get("superblock_ok")
         cg.cache_entry = hit
         cg.cache_hit = True
@@ -466,6 +469,7 @@ def compile_graph(
             "render_fast": cg.render_fast,
             "render_fast_raw": cg.render_fast_raw,
             "super_fns": cg.super_fns,  # shared dict: lazily-built multiples
+            "evchunk_fns": cg.evchunk_fns,
         }
         _program_cache_put(cg.signature, entry)
         cg.cache_entry = entry
@@ -507,19 +511,57 @@ def superblock_eligible(cg: CompiledGraph) -> bool:
     return ok
 
 
-def get_super_fn(cg: CompiledGraph, m: int):
+def get_super_fn(cg: CompiledGraph, m: int, existing_only: bool = False):
     """The jitted superblock fast program fn(state, inputs[in, m*B]) ->
     (state, out[ch, m*B], done_vec), or None if the graph is ineligible.
-    Built lazily per multiple and shared through the program cache."""
+    Built lazily per multiple and shared through the program cache.
+
+    ``existing_only`` returns the fn only when ``m`` was already compiled —
+    the runner uses it to cover an arbitrary-length event-free run in ONE
+    dispatch when a matching program is warm (e.g. the streaming backend
+    pre-warms chunk-1, the run an asap control batch leaves behind) without
+    tracing unbounded new lengths mid-render."""
     if m <= 1 or not superblock_eligible(cg):
         return None
     fn = cg.super_fns.get(m)
     if fn is None:
+        if existing_only:
+            return None
         raw = _build_render(cg, fast=True, block_multiple=m)
         fn = jax.jit(raw, donate_argnums=(0,))
         cg.super_fns[m] = fn
         if cg.cache_entry is not None:
             cg.cache_entry.setdefault("super_fns", {})[m] = fn
+    return fn
+
+
+def get_evchunk_fn(cg: CompiledGraph, n: int, existing_only: bool = False):
+    """ONE-dispatch program for the dominant live-streaming chunk shape:
+    events in block 0 only (asap control batches land at the next block
+    start). fn(state, events, in_first[in, B], in_rest[in, (n-1)*B]) ->
+    (state, out[ch, n*B], done_vec): the full per-block program renders
+    block 0 with its event tensors, then the (n-1)-superblock renders the
+    event-free remainder — fused into one jit so a control batch costs one
+    tunnel dispatch instead of several (each is ~10-20 ms here)."""
+    if n < 2 or not superblock_eligible(cg):
+        return None
+    fn = cg.evchunk_fns.get(n)
+    if fn is None:
+        if existing_only:
+            return None
+        super_raw = _build_render(cg, fast=True, block_multiple=n - 1)
+
+        def evchunk(state, events, in_first, in_rest):
+            st, out0, done0 = cg.render_raw(state, events, in_first)
+            st, out_rest, done1 = super_raw(st, in_rest)
+            out = (jnp.concatenate([out0, out_rest], axis=1)
+                   if out0.size else out0)
+            return st, out, done0 | done1
+
+        fn = jax.jit(evchunk, donate_argnums=(0,))
+        cg.evchunk_fns[n] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("evchunk_fns", {})[n] = fn
     return fn
 
 

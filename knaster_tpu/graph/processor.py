@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compile import CompiledGraph, compile_graph, get_super_fn
+from .compile import (CompiledGraph, compile_graph, get_evchunk_fn,
+                      get_super_fn)
 from .graph import Done, Graph
 from .param_engine import events_from_lists
 from .scheduling import ScheduledEvent
@@ -138,13 +139,30 @@ class AudioProcessor:
                         self.graph.dtype,
                     ),
                 )
-            else:
+                jax.block_until_ready(out[1])
+            elif sub >= 16:
                 out = _get_scan_fn(cg)(cp(base_state), in_stack)
-            jax.block_until_ready(out[1])
-            ev_stack = jax.tree_util.tree_map(
-                lambda x: np.broadcast_to(x, (sub,) + x.shape).copy(), ev_np
+                jax.block_until_ready(out[1])
+            if sub >= 16:  # eventful runs below this render block-by-block
+                ev_stack = jax.tree_util.tree_map(
+                    lambda x: np.broadcast_to(x, (sub,) + x.shape).copy(),
+                    ev_np,
+                )
+                out = _get_full_scan_fn(cg)(cp(base_state), ev_stack, in_stack)
+                jax.block_until_ready(out[1])
+        # the one-dispatch eventful-chunk program at the full chunk length
+        from .compile import get_evchunk_fn as _gec
+
+        n_chunk = max(self._warm_scan_lengths)
+        evfn = _gec(cg, n_chunk)
+        if evfn is not None:
+            B = self.graph.block_size
+            out = evfn(
+                cp(base_state), cg.empty_events(),
+                jnp.zeros((self.graph.inputs, B), self.graph.dtype),
+                jnp.zeros((self.graph.inputs, (n_chunk - 1) * B),
+                          self.graph.dtype),
             )
-            out = _get_full_scan_fn(cg)(cp(base_state), ev_stack, in_stack)
             jax.block_until_ready(out[1])
 
     def _kick_async_compile(self) -> None:
@@ -451,6 +469,7 @@ class AudioProcessor:
         frames: Optional[int] = None,
         inputs: Optional[np.ndarray] = None,
         check_done_every: Optional[int] = None,
+        fetch: bool = True,
     ) -> np.ndarray:
         """Offline bounce: render ``seconds`` (or ``frames``) of audio.
 
@@ -470,6 +489,11 @@ class AudioProcessor:
         zero-padded (outputs past ``frames`` can't be computed causally
         without future input), so an unaligned incremental feed diverges
         from a single-call render at those boundaries.
+
+        ``fetch=False`` returns a DEVICE array instead of numpy — no
+        device→host transfer. The streaming producer uses it to overlap the
+        previous chunk's ~RTT-priced fetch with the next chunk's compute.
+        Requires block-aligned ``frames`` and no pending remainder.
         """
         B = self.graph.block_size
         if frames is None:
@@ -548,69 +572,157 @@ class AudioProcessor:
             self._ensure_compiled()
             per_block = self._collect_due_events(n)
             eventful = [bool(any(pb)) for pb in per_block]
-            # cover the chunk with power-of-two scans: sub-chunks with any
-            # events run the FULL program over stacked per-block event
-            # tensors (still one device dispatch), event-free sub-chunks run
-            # the cheaper fast program
+            # Cover the chunk run-by-run: maximal EVENTFUL runs pay the full
+            # program only for their own blocks (a single live control batch
+            # must not drag a whole chunk through the event machinery —
+            # that's what under-ran the realtime soak), maximal event-free
+            # runs ride superblocks / fast scans in descending power-of-two
+            # lengths, with single-block calls below MIN_SCAN.
+            # one-dispatch fast path for the dominant live pattern: events
+            # only in the chunk's first block (asap control batches) — the
+            # fused [eventful block + (n-1)-superblock] program, pre-warmed
+            # by the streaming backend
+            if n >= 2 and eventful[0] and not any(eventful[1:]):
+                evfn = get_evchunk_fn(self.compiled, n, existing_only=True)
+                if evfn is not None:
+                    ev = self._events_tensor(per_block[0])
+                    self.state, out_flat, done_vec = evfn(
+                        self.state, ev, block_inputs(rendered),
+                        in_super_for(rendered + 1, n - 1),
+                    )
+                    outs.append(jnp.moveaxis(
+                        out_flat.reshape(self.graph.outputs, n, B), 1, 0
+                    ))
+                    if self.compiled.has_done_actions:
+                        self._apply_done_flags(np.asarray(done_vec))
+                    self.graph.clock.frames += n * B
+                    rendered += n
+                    continue
+
             bi = 0
-            remaining = n
-            while remaining:
-                sub = chunk
-                while sub > remaining:
-                    sub //= 2
-                if sub >= MIN_SCAN:
-                    if any(eventful[bi : bi + sub]):
-                        ev_stack = self._events_stack(per_block[bi : bi + sub])
-                        scan_fn = _get_full_scan_fn(self.compiled)
-                        self.state, out_stack, done_stack = scan_fn(
-                            self.state, ev_stack, in_stack_for(rendered, sub)
+            while bi < n:
+                run = 1
+                flag = eventful[bi]
+                while bi + run < n and eventful[bi + run] == flag:
+                    run += 1
+                if not flag and run >= 2:
+                    # an already-compiled exact-length superblock covers the
+                    # whole event-free run in ONE dispatch (the streaming
+                    # backend pre-warms chunk-1 for the asap-event pattern)
+                    exact = get_super_fn(self.compiled, run,
+                                         existing_only=True)
+                    if exact is not None:
+                        self.state, out_flat, done_vec = exact(
+                            self.state, in_super_for(rendered, run)
                         )
-                        done_any = None
-                    else:
-                        super_fn = get_super_fn(self.compiled, sub)
-                        if super_fn is not None:
-                            # superblock: the whole event-free run in ONE
-                            # dispatch at block sub*B — no scan iterations
-                            self.state, out_flat, done_vec = super_fn(
-                                self.state, in_super_for(rendered, sub)
+                        outs.append(jnp.moveaxis(
+                            out_flat.reshape(self.graph.outputs, run, B),
+                            1, 0,
+                        ))
+                        if self.compiled.has_done_actions:
+                            self._apply_done_flags(np.asarray(done_vec))
+                        self.graph.clock.frames += run * B
+                        rendered += run
+                        bi += run
+                        continue
+                while run:
+                    sub = chunk
+                    while sub > run:
+                        sub //= 2
+                    done_any = done_stack = None
+                    if sub >= MIN_SCAN:
+                        if flag:
+                            ev_stack = self._events_stack(
+                                per_block[bi : bi + sub]
                             )
-                            out_stack = jnp.moveaxis(
-                                out_flat.reshape(
-                                    self.graph.outputs, sub, B
-                                ), 1, 0,
-                            )
-                            done_stack, done_any = None, done_vec
-                        else:
-                            scan_fn = _get_scan_fn(self.compiled)
+                            scan_fn = _get_full_scan_fn(self.compiled)
                             self.state, out_stack, done_stack = scan_fn(
-                                self.state, in_stack_for(rendered, sub)
+                                self.state, ev_stack,
+                                in_stack_for(rendered, sub),
                             )
-                            done_any = None
-                    outs.append(out_stack)
-                    if self.compiled.has_done_actions:
-                        if done_any is None:
-                            done_any = np.asarray(done_stack).any(axis=0)
                         else:
-                            done_any = np.asarray(done_any)
-                        self._apply_done_flags(done_any)
-                else:
-                    sub = 1
-                    if eventful[bi]:
-                        ev = self._events_tensor(per_block[bi])
-                        self.state, out, done = self.compiled.render(
-                            self.state, ev, block_inputs(rendered)
+                            super_fn = get_super_fn(self.compiled, sub)
+                            if super_fn is not None:
+                                # superblock: the whole event-free run in
+                                # ONE dispatch at block sub*B
+                                self.state, out_flat, done_vec = super_fn(
+                                    self.state, in_super_for(rendered, sub)
+                                )
+                                out_stack = jnp.moveaxis(
+                                    out_flat.reshape(
+                                        self.graph.outputs, sub, B
+                                    ), 1, 0,
+                                )
+                                done_any = done_vec
+                            else:
+                                scan_fn = _get_scan_fn(self.compiled)
+                                self.state, out_stack, done_stack = scan_fn(
+                                    self.state, in_stack_for(rendered, sub)
+                                )
+                        outs.append(out_stack)
+                        if self.compiled.has_done_actions:
+                            if done_any is None:
+                                done_any = np.asarray(done_stack).any(axis=0)
+                            else:
+                                done_any = np.asarray(done_any)
+                            self._apply_done_flags(done_any)
+                    elif (not flag and sub >= 2
+                          and (super_fn := get_super_fn(self.compiled, sub))
+                          is not None):
+                        # short event-free tails: still ONE dispatch via a
+                        # small superblock — per-dispatch host overhead is
+                        # ~ms over this tunnel, so covering a 15-block tail
+                        # block-by-block starves a realtime producer
+                        self.state, out_flat, done_vec = super_fn(
+                            self.state, in_super_for(rendered, sub)
                         )
+                        outs.append(jnp.moveaxis(
+                            out_flat.reshape(self.graph.outputs, sub, B), 1, 0
+                        ))
+                        if self.compiled.has_done_actions:
+                            self._apply_done_flags(np.asarray(done_vec))
                     else:
-                        self.state, out, done = self.compiled.render_fast(
-                            self.state, block_inputs(rendered)
-                        )
-                    outs.append(out[None])
-                    if self.compiled.has_done_actions:
-                        self._apply_done_flags(np.asarray(done))
-                self.graph.clock.frames += sub * B
-                rendered += sub
-                remaining -= sub
-                bi += sub
+                        sub = 1
+                        if flag:
+                            ev = self._events_tensor(per_block[bi])
+                            self.state, out, done = self.compiled.render(
+                                self.state, ev, block_inputs(rendered)
+                            )
+                        else:
+                            self.state, out, done = self.compiled.render_fast(
+                                self.state, block_inputs(rendered)
+                            )
+                        outs.append(out[None])
+                        if self.compiled.has_done_actions:
+                            self._apply_done_flags(np.asarray(done))
+                    self.graph.clock.frames += sub * B
+                    rendered += sub
+                    run -= sub
+                    bi += sub
+
+        if not fetch:
+            if prefix is not None or frames_needed % B:
+                raise ValueError(
+                    "fetch=False requires block-aligned frames and no "
+                    "pending remainder"
+                )
+            rows = [
+                jnp.moveaxis(p, 0, 1).reshape(self.graph.outputs, -1)
+                for p in outs
+            ]
+            if not rows:
+                return jnp.zeros(
+                    (self.graph.outputs, frames_needed), self.graph.dtype
+                )
+            audio_dev = rows[0] if len(rows) == 1 else jnp.concatenate(rows, 1)
+            if audio_dev.shape[1] < frames_needed:  # freed mid-render
+                audio_dev = jnp.concatenate(
+                    [audio_dev,
+                     jnp.zeros((self.graph.outputs,
+                                frames_needed - audio_dev.shape[1]),
+                               audio_dev.dtype)], axis=1,
+                )
+            return audio_dev
 
         if outs:
             outs = jax.device_get(outs)  # ONE host fetch for all audio

@@ -90,3 +90,50 @@ def test_rt_log_inside_jit(capfd):
     jax.effects_barrier()
     out = capfd.readouterr()
     assert "peak 3.0" in out.out or "peak 3.0" in out.err
+
+
+def test_arlog_ring_semantics():
+    """ArLogSender/Receiver: typed chains, capacity backpressure (full ring
+    DROPS the chain, never blocks), complete-chain-only delivery, and traced
+    values delivered through the jit host callback (log.rs:118-271)."""
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import ArLogReceiver, rt_log
+
+    rec = ArLogReceiver()
+    logger = rec.sender(capacity=8)
+    assert rec.channels() == 1
+
+    # host-side chains
+    rt_log(logger, "peak ", 0.5, 3)
+    got = []
+    assert rec.recv(got.append) == 1
+    assert got == [("peak ", 0.5, 3)]
+
+    # capacity: an oversized batch drops whole chains instead of blocking
+    for _ in range(10):
+        rt_log(logger, "x", 1.0)  # 3 slots each incl. END; cap 8 -> 2 fit
+    assert logger.dropped == 8
+    got = []
+    assert rec.recv(got.append) == 2
+
+    # traced values arrive via the debug callback from inside jit
+    @jax.jit
+    def f(x):
+        rt_log(logger, "jit peak ", jnp.abs(x).max())
+        return x * 2
+
+    _ = f(jnp.asarray([1.0, -3.0]))
+    jax.effects_barrier()
+    got = []
+    rec.recv(got.append)
+    assert got and got[0][0] == "jit peak " and abs(got[0][1] - 3.0) < 1e-6
+
+    # a partial chain (send without End) stays queued until terminated
+    logger.send("partial")
+    got = []
+    assert rec.recv(got.append) == 0
+    rt_log(logger)  # empty log() = bare End terminator
+    assert rec.recv(got.append) == 1
+    assert got == [("partial",)]

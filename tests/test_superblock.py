@@ -137,3 +137,31 @@ def test_envelope_done_inside_superblock():
     a = p1.render(frames=2048)
     b = p2.render(frames=2048, check_done_every=1)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_evchunk_program_matches_per_block():
+    """The one-dispatch eventful-chunk program (block-0 events + superblock
+    rest) equals the strict per-block path — the live-streaming hot shape."""
+    from knaster_tpu.graph.compile import get_evchunk_fn
+
+    def build(gg):
+        sines = [gg.push(SinWt(150.0 + 10 * i)) for i in range(8)]
+        for s in sines:
+            (s * 0.05).to_graph_out()
+        return sines
+
+    g1, p1 = AudioProcessor.new(0, 1, OPTS)
+    g2, p2 = AudioProcessor.new(0, 1, OPTS)
+    s1, s2 = g1.edit(build), g2.edit(build)
+    p1._ensure_compiled()
+    # warm the fused program so render() takes the one-dispatch path
+    n = 32
+    assert get_evchunk_fn(p1.compiled, n) is not None
+    for s, proc in ((s1, p1), (s2, p2)):
+        for h in s:
+            h.param("freq").set(432.0)  # asap -> block 0 of the next chunk
+    a = p1.render(frames=n * 16)
+    b = p2.render(frames=n * 16, check_done_every=1)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    assert p1.compiled.evchunk_fns, "evchunk program was not built"
