@@ -141,16 +141,15 @@ class StreamBackend(AudioBackend):
         # every power of two up to the chunk: live events segment a chunk
         # into event-free runs of any length, each covered by one superblock
         # dispatch (short tails included — per-dispatch overhead is ~ms).
-        # Also warm chunk-1 exactly: an asap control batch lands at block 0,
-        # leaving a (chunk-1)-block event-free run that then renders as ONE
-        # dispatch instead of a pow2 ladder.
+        # _warm_chunk_len tells the warmup the chunk length render() will
+        # actually request, so the fused eventful-chunk program (and its
+        # chunk-1 tail) compile for the right n.
         lengths, sub = [], 2
         while sub <= cap:
             lengths.append(sub)
             sub *= 2
-        if cap - 1 >= 2 and (cap - 1) not in lengths:
-            lengths.append(cap - 1)
         processor._warm_scan_lengths = tuple(lengths)
+        processor._warm_chunk_len = cap
         # structural edits while live compile on a worker and swap between
         # blocks (the reference's TaskData swap semantics)
         processor.enable_async_recompile()

@@ -123,7 +123,7 @@ class CompiledGraph:
         group state without per-block restacking."""
         if prev is None or prev_compiled is None:
             return self._build_state(prev, prev_compiled)
-        key = prev_compiled.signature
+        key = self._carry_key(prev_compiled)
         if self.cache_entry is not None and key is not None:
             fns = self.cache_entry.setdefault("carry_fns", {})
             fn = fns.get(key)
@@ -135,8 +135,41 @@ class CompiledGraph:
 
                 fn = jax.jit(carry)
                 fns[key] = fn
+                # the closures capture whole CompiledGraph pairs; bound the
+                # per-entry set so superseded compiles stay collectable
+                while len(fns) > 8:
+                    fns.pop(next(iter(fns)))
             return fn(prev)
         return self._build_state(prev, prev_compiled)
+
+    def _carry_key(self, prev_compiled: "CompiledGraph"):
+        """Cache key for the jitted carry program: everything the traced
+        prev->new mapping depends on. The previous topology's SIGNATURE is
+        not enough — two same-signature commits can pair surviving node ids
+        with different slots (free A + push C vs free B + push D), and a
+        carry traced for one correspondence would assign states to the
+        wrong nodes."""
+        if prev_compiled.signature is None:
+            return None
+        node_map = tuple(
+            (self.canon[nid], prev_compiled._node_loc(nid))
+            for nid in self.order
+        )
+        pe_map = tuple(
+            sorted(
+                (typ, slot, prev_compiled.layout.slots.get((nid, pidx)))
+                for (nid, pidx), (typ, slot) in self.layout.slots.items()
+            )
+        )
+        fb_map = tuple(
+            (
+                self.fb_key(nid, ch),
+                prev_compiled.fb_key(nid, ch)
+                if nid in prev_compiled.canon else None,
+            )
+            for (nid, ch) in self.fb_sources
+        )
+        return (prev_compiled.signature, node_map, pe_map, fb_map)
 
     def _build_state(self, prev: Optional[dict],
                      prev_compiled: Optional["CompiledGraph"]) -> dict:
@@ -158,30 +191,34 @@ class CompiledGraph:
             gkey = self.group_key(item)
             if prev is not None and prev_compiled is not None:
                 locs = [prev_compiled._node_loc(n) for n in item]
-                prev_gks = {l[1] for l in locs if l is not None and l[0] == "batch"}
-                carried_ok = [
+                from_batch = [
                     l is not None and l[0] == "batch" for l in locs
                 ]
-                if len(prev_gks) == 1 and any(carried_ok):
+                prev_gks = {l[1] for l, ok in zip(locs, from_batch) if ok}
+                if len(prev_gks) == 1 and any(from_batch):
                     prev_stack = prev["nodes"].get(prev_gks.pop())
                     if prev_stack is not None:
                         idx = jnp.asarray(
                             [l[2] if ok else 0
-                             for l, ok in zip(locs, carried_ok)], jnp.int32
+                             for l, ok in zip(locs, from_batch)], jnp.int32
                         )
                         carried = jax.tree_util.tree_map(
                             lambda x: x[idx], prev_stack
                         )
-                        missing = [k for k, ok in enumerate(carried_ok) if not ok]
-                        if missing:
-                            fresh = jax.tree_util.tree_map(
+                        # members not in that batch: carry their individual
+                        # previous state ('single' plan slots — node_state
+                        # extracts it) or fresh-init, then scatter the rows
+                        others = [
+                            k for k, ok in enumerate(from_batch) if not ok
+                        ]
+                        if others:
+                            fill = jax.tree_util.tree_map(
                                 lambda *xs: jnp.stack(xs),
-                                *[self.entries[item[k]].ugen.init(ctx)
-                                  for k in missing],
+                                *[node_state(item[k]) for k in others],
                             )
-                            mi = jnp.asarray(missing, jnp.int32)
+                            oi = jnp.asarray(others, jnp.int32)
                             carried = jax.tree_util.tree_map(
-                                lambda c, f: c.at[mi].set(f), carried, fresh
+                                lambda c, f: c.at[oi].set(f), carried, fill
                             )
                         return carried
             return jax.tree_util.tree_map(

@@ -217,53 +217,6 @@ class PEngine:
         new_state["int_value"] = int_value
         return pf, pt, pi, pset, new_state
 
-    def materialize_fast(self, state):
-        """The no-events path: base ramps only, no folds, no scatters.
-
-        The host knows statically whether a block has scheduled events, so
-        the compiler builds a second, much cheaper program around this —
-        the steady-state render never pays for the event machinery."""
-        B = self.block_size
-        dtype = self.dtype
-        Pf = self.layout.n_float
-        t = jnp.arange(B + 1, dtype=jnp.int32)
-        value, target = state["value"], state["target"]
-        step, rem = state["step"], state["remaining"]
-        smode, sdur, srate = state["smode"], state["sdur"], state["srate"]
-        if Pf:
-            nb = self.native_block
-            ar_prog = jnp.minimum(t[None, :], rem[:, None])
-            # block-rate ramps stair at NATIVE block boundaries — identical
-            # to the per-block program even inside a k-block superblock
-            br_prog = jnp.minimum((t[None, :] // nb) * nb, rem[:, None])
-            prog = jnp.where((srate == RATE_AUDIO)[:, None], ar_prog, br_prog)
-            vals = jnp.where(
-                prog >= rem[:, None],
-                target[:, None],
-                value[:, None] + step[:, None] * prog.astype(dtype),
-            )
-            pf = vals[:, :B]
-            new_value = vals[:, B]
-        else:
-            pf = jnp.zeros((0, B), dtype=dtype)
-            new_value = value
-        pt = jnp.zeros((self.layout.n_trig, B), dtype=bool)
-        pi = jnp.broadcast_to(
-            state["int_value"][:, None], (self.layout.n_int, B)
-        )
-        pset = jnp.zeros((self.layout.n_int, B), dtype=bool)
-        new_state = {
-            "value": new_value,
-            "target": target,
-            "step": step,
-            "remaining": jnp.maximum(rem - B, 0),
-            "smode": smode,
-            "sdur": sdur,
-            "srate": srate,
-            "int_value": state["int_value"],
-        }
-        return pf, pt, pi, pset, new_state
-
     def materialize_rows_fast(self, state, idx):
         """[len(idx), B] per-sample values for the given float slots,
         computed straight from the ramp state — the no-events program's
@@ -290,8 +243,8 @@ class PEngine:
 
     def advance_fast(self, state):
         """The pe-state carry after one (super)block of event-free ramping,
-        without materializing any per-sample plane. Identical to
-        ``materialize_fast``'s new_state."""
+        without materializing any per-sample plane (what the fast program's
+        sequential per-block stepping would produce)."""
         B = self.block_size
         dtype = self.dtype
         value, target = state["value"], state["target"]

@@ -105,6 +105,9 @@ class AudioProcessor:
     # pre-warms these on the NEW program so the post-swap chunk render does
     # not stall the producer on a jit trace (the ring only holds ~100s of ms)
     _warm_scan_lengths: Tuple[int, ...] = ()
+    # the stream's chunk length (blocks) — the one-dispatch eventful-chunk
+    # program is warmed for the length render() will request, not a guess
+    _warm_chunk_len: int = 0
 
     def enable_async_recompile(self, enabled: bool = True) -> None:
         """Compile graph edits on a worker thread and swap between blocks,
@@ -150,10 +153,31 @@ class AudioProcessor:
                 )
                 out = _get_full_scan_fn(cg)(cp(base_state), ev_stack, in_stack)
                 jax.block_until_ready(out[1])
-        # the one-dispatch eventful-chunk program at the full chunk length
+        # the one-dispatch eventful-chunk program, at the chunk length
+        # render() will actually request (mirrors its clamps: the
+        # render_chunk_blocks cap and the check_done_every=16 default when
+        # the graph has done actions), plus its exact-length remainder
         from .compile import get_evchunk_fn as _gec
 
-        n_chunk = max(self._warm_scan_lengths)
+        n_chunk = self._warm_chunk_len or max(self._warm_scan_lengths)
+        n_chunk = min(n_chunk, self.options.render_chunk_blocks)
+        if cg.has_done_actions:
+            n_chunk = min(n_chunk, 16)
+        if n_chunk - 1 >= 2:
+            # the evchunk's tail length, also used standalone when an asap
+            # batch misses the fused path — EXECUTE it (creating the jit
+            # alone leaves the call cache cold)
+            tail_fn = _gsf(cg, n_chunk - 1)
+            if tail_fn is not None:
+                out = tail_fn(
+                    cp(base_state),
+                    jnp.zeros(
+                        (self.graph.inputs,
+                         (n_chunk - 1) * self.graph.block_size),
+                        self.graph.dtype,
+                    ),
+                )
+                jax.block_until_ready(out[1])
         evfn = _gec(cg, n_chunk)
         if evfn is not None:
             B = self.graph.block_size

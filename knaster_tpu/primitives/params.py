@@ -115,7 +115,25 @@ def ptrigger(name: Optional[str] = None) -> Param:
     return Param(name, ptype="trigger")
 
 
-def pfloat(name=None, default: float = 0.0,
+_UNSET = object()
+
+
+def _shift_name_default(name, default, unset_default):
+    """Support the name-omitted @ugen form (``pfloat(440.0, ...)``). A
+    numeric first argument is the default — but then a second positional
+    default is ambiguous and rejected instead of silently discarded."""
+    if name is None or isinstance(name, str):
+        return name, (unset_default if default is _UNSET else default)
+    if default is not _UNSET:
+        raise TypeError(
+            "value-first parameter declaration cannot also take a "
+            "positional default (got both "
+            f"{name!r} and {default!r})"
+        )
+    return None, name
+
+
+def pfloat(name=None, default: float = _UNSET,
            kind: ParameterKind = ParameterKind.GENERIC,
            range: Optional[Tuple[Any, Any]] = None,
            logarithmic: Optional[bool] = None,
@@ -129,8 +147,8 @@ def pfloat(name=None, default: float = 0.0,
     decorator fills it in from the keyword. FREQUENCY-kind parameters
     default to a logarithmic (0, Nyquist) range (our extension; the
     reference's ``kind = Frequency`` attribute sets only the kind)."""
-    if name is not None and not isinstance(name, str):
-        name, default = None, float(name)
+    name, default = _shift_name_default(name, default, 0.0)
+    default = float(default)
     if hint is None:
         if kind == ParameterKind.FREQUENCY and range is None:
             range = (0.0, NYQUIST)
@@ -147,11 +165,10 @@ def pfloat(name=None, default: float = 0.0,
                  hint=hint)
 
 
-def pinteger(name=None, default: int = 0, enum: Any = None,
+def pinteger(name=None, default: int = _UNSET, enum: Any = None,
              range: Optional[Tuple[int, int]] = None,
              hint: Optional[IntegerHint] = None, retrigger: bool = False) -> Param:
-    if name is not None and not isinstance(name, str):
-        name, default = None, int(name)
+    name, default = _shift_name_default(name, default, 0)
     if enum is not None and not isinstance(default, int):
         default = int(default.value)
     if hint is None:
@@ -168,9 +185,8 @@ def pinteger(name=None, default: int = 0, enum: Any = None,
                  hint=hint, retrigger=retrigger)
 
 
-def pbool(name=None, default: bool = False) -> Param:
-    if name is not None and not isinstance(name, str):
-        name, default = None, bool(name)
+def pbool(name=None, default: bool = _UNSET) -> Param:
+    name, default = _shift_name_default(name, default, False)
     return Param(name, ptype="bool", default=int(default))
 
 

@@ -192,3 +192,71 @@ def test_two_processors_share_programs():
     p2.run_without_inputs()
     assert p2.compiled.render is p1.compiled.render
     np.testing.assert_allclose(p1.output_block(), p2.output_block(), atol=0)
+
+
+def test_carry_keyed_by_correspondence_not_just_prev_signature():
+    """Two same-signature commits can pair surviving node ids with DIFFERENT
+    slots (free A + push C vs free C + push D); a cached carry program traced
+    for the first correspondence must not be reused for the second
+    (TakeFromTask: same node id => same state)."""
+    from knaster_tpu.graph.compile import clear_program_cache
+
+    def run(use_cache):
+        if not use_cache:
+            clear_program_cache()
+        g, proc = AudioProcessor.new(0, 1, OPTS)
+        hs = g.edit(lambda gg: [
+            (lambda h: (h.to_graph_out(), h)[1])(gg.push(SinWt(440.0)))
+            for _ in range(2)
+        ])
+        # distinguish the two identical nodes through runtime param values
+        hs[0].param("freq").set(100.0)
+        hs[1].param("freq").set(900.0)
+        proc.render(frames=256)
+        # edit 1: free node B, push C  (correspondence: A->pos0, C fresh)
+        g.edit(lambda gg: hs[1].free())
+        hC = g.edit(lambda gg: (lambda h: (h.to_graph_out(), h)[1])(
+            gg.push(SinWt(440.0))))
+        hC.param("freq").set(500.0)
+        proc.render(frames=256)
+        # edit 2: SAME signatures, DIFFERENT correspondence (free A, push D)
+        g.edit(lambda gg: hs[0].free())
+        hD = g.edit(lambda gg: (lambda h: (h.to_graph_out(), h)[1])(
+            gg.push(SinWt(440.0))))
+        return proc.render(frames=512)
+
+    a = run(use_cache=True)
+    b = run(use_cache=False)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_carry_from_single_slot_into_batch():
+    """A node that moves from a 'single' plan slot into a batch on re-edit
+    keeps its state (the batched carry gather must not treat it as fresh)."""
+    from knaster_tpu import OnePoleLpf
+
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def build(gg):
+        src = gg.push(SinWt(220.0))
+        f1 = gg.push(OnePoleLpf(500.0))
+        f2 = gg.push(OnePoleLpf(500.0))
+        f3 = gg.push(OnePoleLpf(500.0))
+        src.to(f1)
+        src.to(f2)
+        f1.to(f3)     # depth 2: planned as a 'single'
+        f3.to_graph_out()
+        f2.to_graph_out()
+        return src, f1, f3
+
+    src, f1, f3 = g.edit(build)
+    proc.render(frames=512)  # filters accumulate state
+    before = proc.compiled._extract_node_state(proc.state, f3.node_id)
+    before = {k: float(np.asarray(v)) for k, v in before.items()}
+    assert any(abs(v) > 1e-6 for v in before.values())
+    # rewire f3 to read the source directly: it joins the depth-1 batch
+    g.edit(lambda gg: src.to_replace(f3))
+    proc._ensure_compiled()
+    after = proc.compiled._extract_node_state(proc.state, f3.node_id)
+    after = {k: float(np.asarray(v)) for k, v in after.items()}
+    assert before == after, (before, after)
