@@ -303,10 +303,12 @@ class Parameter:
 
 class VoiceParameter:
     """Per-voice parameter of a VoiceBank: ``vp.set(voice, value)`` /
-    ``vp.trig(voice)``, each schedulable with the usual Time forms.
+    ``vp.trig(voice)``, each schedulable with the usual Time forms and
+    groupable into atomic batches via ``token=`` (SchedulingToken).
 
-    Float sets and triggers are sample-accurate in vmap banks (Pallas banks
-    and int sets apply at block rate — see parallel/voicebank.py)."""
+    Float sets and triggers are sample-accurate in both the vmap and the
+    Pallas kernel banks (int sets apply at block rate — see
+    parallel/voicebank.py)."""
 
     def __init__(self, graph, node_id: int, bank, name: str):
         self.graph = graph
@@ -327,7 +329,8 @@ class VoiceParameter:
         else:
             self.index = bank.int_index(name)
 
-    def set(self, voice: int, value, t: Optional[Time] = None) -> None:
+    def set(self, voice: int, value, t: Optional[Time] = None,
+            token=None) -> None:
         t = t or Time.asap()
         if self.ptype == "float":
             payload = ("voice_float", int(voice), self.index, float(value))
@@ -337,16 +340,17 @@ class VoiceParameter:
             payload = ("voice_int", int(voice), self.index, int(value))
         else:
             payload = ("voice_trig", int(voice), self.index)
-        self.graph._queue_event(self.node_id, self.index, payload, t)
+        self.graph._queue_event(self.node_id, self.index, payload, t,
+                                token=token)
 
-    def set_at(self, voice: int, value, at) -> None:
-        self.set(voice, value, Time.at(at))
+    def set_at(self, voice: int, value, at, token=None) -> None:
+        self.set(voice, value, Time.at(at), token=token)
 
-    def set_after(self, voice: int, value, after) -> None:
-        self.set(voice, value, Time.after(after))
+    def set_after(self, voice: int, value, after, token=None) -> None:
+        self.set(voice, value, Time.after(after), token=token)
 
     def smooth(self, voice: int, time_seconds: float,
-               t: Optional[Time] = None) -> None:
+               t: Optional[Time] = None, token=None) -> None:
         """Configure per-voice linear smoothing: subsequent ``set``s for this
         (param, voice) ramp linearly over ``time_seconds`` (0 disables).
         Bank ramps start at block boundaries."""
@@ -356,21 +360,22 @@ class VoiceParameter:
         self.graph._queue_event(
             self.node_id, self.index,
             ("voice_smooth", int(voice), self.index, dur), t or Time.asap(),
+            token=token,
         )
 
-    def trig(self, voice: int, t: Optional[Time] = None) -> None:
+    def trig(self, voice: int, t: Optional[Time] = None, token=None) -> None:
         if self.ptype != "trigger":
             raise TypeError(f"voice parameter {self.name!r} is not a trigger")
         self.graph._queue_event(
             self.node_id, self.index, ("voice_trig", int(voice), self.index),
-            t or Time.asap(),
+            t or Time.asap(), token=token,
         )
 
-    def trig_at(self, voice: int, at) -> None:
-        self.trig(voice, Time.at(at))
+    def trig_at(self, voice: int, at, token=None) -> None:
+        self.trig(voice, Time.at(at), token=token)
 
-    def trig_after(self, voice: int, after) -> None:
-        self.trig(voice, Time.after(after))
+    def trig_after(self, voice: int, after, token=None) -> None:
+        self.trig(voice, Time.after(after), token=token)
 
 
 def _as_channel_list(chs) -> List[int]:
