@@ -12,7 +12,7 @@ suite:           ## criterion-parity workload suite
 	python benchmarks/suite.py sines_const wrappers galactic fm_bank fm_cascade_model
 
 examples:        ## render every example offline
-	cd examples && for e in simple_sine many_sines buffer_player visualize_graph live_edit wavetable_orchestra; do \
+	cd examples && for e in simple_sine many_sines buffer_player visualize_graph live_edit wavetable_orchestra mesh_voice_cluster; do \
 		python $$e.py || exit 1; done
 
 native:          ## build the C++ realtime support library

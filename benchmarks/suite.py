@@ -211,6 +211,7 @@ def bench_fm_cascade(n_nodes=256, block_sizes=(64,)):
         build_time = time.time() - t0
         rate = _bounce_rate(proc)
         prate = _program_rate(proc)
+        srate_, k = _super_rate(proc)
         print(
             json.dumps(
                 {
@@ -220,6 +221,10 @@ def bench_fm_cascade(n_nodes=256, block_sizes=(64,)):
                     "unit": "samples/s",
                     "realtime_x": round(rate / 48000, 1),
                     "program_realtime_x": round(prate / 48000, 1),
+                    "superblock_realtime_x": (
+                        round(srate_ / 48000, 1) if srate_ else None
+                    ),
+                    "superblock_k": k,
                     "compile_s": round(build_time, 2),
                 }
             )

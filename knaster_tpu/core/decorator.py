@@ -82,6 +82,35 @@ def _infer_params(fn: Callable, skip: int) -> tuple:
     return tuple(specs)
 
 
+def _positional_adapter(fn: Callable):
+    """Flexible-signature adapter (the reference macro lets user fns take
+    any subset of ``(&mut AudioCtx, &mut UGenFlags, input)``,
+    knaster_macros/src/lib.rs:824-870): the block function may declare any
+    subset of the positional args ``ctx``/``state``/``inputs`` (recognized
+    by name), in any order; missing ones simply aren't passed."""
+    sig = inspect.signature(fn)
+    names = [
+        p.name for p in sig.parameters.values()
+        if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                      inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    allowed = {"ctx", "state", "st", "inputs", "inp", "input"}
+    unknown = [n for n in names if n not in allowed]
+    if unknown:
+        raise TypeError(
+            f"@ugen positional args must be a subset of ctx/state/inputs, "
+            f"got {unknown!r}"
+        )
+    canon = {"st": "state", "inp": "inputs", "input": "inputs"}
+    order = [canon.get(n, n) for n in names]
+
+    def call(ctx, st, inp, params):
+        avail = {"ctx": ctx, "state": st, "inputs": inp}
+        return fn(*[avail[n] for n in order], **params)
+
+    return call, ("state" in order)
+
+
 def ugen(
     inputs: int = 0,
     outputs: int = 1,
@@ -92,6 +121,7 @@ def ugen(
 
     def deco(fn: Callable) -> Callable[..., UGen]:
         specs = _infer_params(fn, 3)
+        call, takes_state = _positional_adapter(fn)
 
         class _FnUGen(UGen):
             params = specs
@@ -114,7 +144,11 @@ def ugen(
                 return state(ctx) if state else {}
 
             def process(self, ctx, st, inp, params):
-                return fn(ctx, st, inp, **params)
+                result = call(ctx, st, inp, params)
+                if not takes_state:
+                    # stateless form: the fn returns just the output block
+                    return st, result
+                return result
 
         _FnUGen.__name__ = name or fn.__name__
         _FnUGen.__doc__ = fn.__doc__

@@ -90,3 +90,42 @@ def test_checkpoint_resume(tmp_path):
     b_restored = p2.render(frames=480)
     np.testing.assert_array_equal(b_continued, b_restored)
     assert g2.clock.frames >= 480
+
+
+def test_ugen_decorator_flexible_signatures():
+    """The block fn may take any subset of ctx/state/inputs (the reference
+    macro's flexible-signature adapter, knaster_macros/src/lib.rs:824-870);
+    stateless forms return just the output block."""
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions, ugen
+
+    @ugen(inputs=0, outputs=1)
+    def just_params(ctx, *, level=0.25):
+        return level[None, :] * jnp.ones((1, ctx.block_size), ctx.dtype)
+
+    @ugen(inputs=1, outputs=1)
+    def gain_no_ctx(inputs, *, amount=2.0):
+        return inputs * amount[None, :]
+
+    g, proc = AudioProcessor.new(
+        0, 1, AudioProcessorOptions(block_size=16)
+    )
+
+    def build(gg):
+        src = gg.push(just_params())
+        amp = gg.push(gain_no_ctx())
+        src.to(amp)
+        amp.to_graph_out()
+        return src
+
+    g.edit(build)
+    out = proc.render(frames=64)
+    np.testing.assert_allclose(out[0], 0.5, atol=1e-7)
+
+    # unknown positional names are rejected at decoration time
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        @ugen(inputs=0, outputs=1)
+        def bad(banana, *, x=1.0):
+            return banana
