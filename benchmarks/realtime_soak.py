@@ -29,6 +29,11 @@ V = 131072
 SR = 48000
 BLOCK = 64
 CHUNK_BLOCKS = int(os.environ.get("SOAK_CHUNK", 64))  # control latency = chunk
+# ring depth (blocks): how much transport jitter the stream can absorb.
+# The engine's steady-state chunk cost is ~3-7 ms against the 85 ms budget
+# (see RESULTS.md), but this environment's TPU tunnel occasionally stalls
+# for SECONDS; a deep ring rides those out at the cost of control latency.
+LOOKAHEAD = int(os.environ.get("SOAK_LOOKAHEAD", 96))
 
 
 def main():
@@ -74,7 +79,8 @@ def main():
         peak[0] = max(peak[0], float(np.abs(block).max()))
 
     backend = StreamBackend(SR, BLOCK, consumer=consumer,
-                            chunk_blocks=CHUNK_BLOCKS)
+                            chunk_blocks=CHUNK_BLOCKS,
+                            lookahead_blocks=LOOKAHEAD)
     t_setup = time.time()
     backend.start_processing(proc)
     setup_s = time.time() - t_setup
@@ -106,7 +112,7 @@ def main():
     audio_s = consumed[0] / SR
     print(json.dumps({
         "bench": "realtime_soak",
-        "config": f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}" + ("_galactic" if with_fx else ""),
+        "config": f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}" + ("_galactic" if with_fx else ""),
         "value": backend.underruns,
         "unit": "underruns",
         "wall_s": round(wall, 1),

@@ -162,20 +162,35 @@ class StreamBackend(AudioBackend):
         # starts draining (the role of a device buffer's initial latency)
         self.ring.write(processor.render(frames=chunk_frames))
 
+        # producer/fetcher split: over a remote-device tunnel BOTH the
+        # dispatch and the device→host fetch are RTT-priced (tens of ms
+        # each); on one thread they serialize and a chunk budget of ~85 ms
+        # is marginal. The producer thread only dispatches (render with
+        # fetch=False returns device-resident audio); the fetcher thread
+        # pulls completed chunks to host and feeds the ring — the two RTTs
+        # overlap.
+        import queue as _queue
+
+        inflight: "_queue.Queue" = _queue.Queue(maxsize=2)
+
         def producer():
-            # pipelined: dispatch chunk k+1 BEFORE fetching chunk k, so the
-            # ~RTT-priced device→host fetch overlaps the next chunk's
-            # compute instead of serializing with it (the tunnel prices
-            # every dispatch and fetch in the tens of ms)
-            pending = None
             while self._running.is_set():
-                if self.ring.available_write() >= chunk_frames:
-                    nxt = processor.render(frames=chunk_frames, fetch=False)
-                    if pending is not None:
-                        self.ring.write(np.asarray(pending))
-                    pending = nxt
+                if (self.ring.available_write()
+                        >= chunk_frames * (1 + inflight.qsize())
+                        and not inflight.full()):
+                    inflight.put(
+                        processor.render(frames=chunk_frames, fetch=False)
+                    )
                 else:
                     time.sleep(self._block / self._sr / 4)
+
+        def fetcher():
+            while self._running.is_set() or not inflight.empty():
+                try:
+                    dev = inflight.get(timeout=0.05)
+                except _queue.Empty:
+                    continue
+                self.ring.write(np.asarray(dev))
 
         def consume():
             period = self._block / self._sr
@@ -193,6 +208,7 @@ class StreamBackend(AudioBackend):
 
         self._threads = [
             threading.Thread(target=producer, daemon=True, name="knaster-producer"),
+            threading.Thread(target=fetcher, daemon=True, name="knaster-fetcher"),
             threading.Thread(target=consume, daemon=True, name="knaster-consumer"),
         ]
         for t in self._threads:

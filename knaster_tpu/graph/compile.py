@@ -580,17 +580,42 @@ def get_evchunk_fn(cg: CompiledGraph, n: int, existing_only: bool = False):
     block 0 with its event tensors, then the (n-1)-superblock renders the
     event-free remainder — fused into one jit so a control batch costs one
     tunnel dispatch instead of several (each is ~10-20 ms here)."""
-    if n < 2 or not superblock_eligible(cg):
+    if n < 2:
         return None
     fn = cg.evchunk_fns.get(n)
     if fn is None:
         if existing_only:
             return None
-        super_raw = _build_render(cg, fast=True, block_multiple=n - 1)
+        B = cg.ctx.block_size
+        n_in = cg.graph.inputs
+        if superblock_eligible(cg):
+            rest_raw = _build_render(cg, fast=True, block_multiple=n - 1)
+
+            def rest(st, in_rest):
+                return rest_raw(st, in_rest)
+        else:
+            # superblock-ineligible graphs (feedback edges, blockwise or
+            # block-capped nodes like the Pallas banks): the tail is an
+            # in-program lax.scan of the fast block program — still ONE
+            # dispatch for the whole chunk
+            def rest(st, in_rest):
+                stack = jnp.moveaxis(
+                    in_rest.reshape(n_in, n - 1, B), 1, 0
+                )
+
+                def body(c, inp):
+                    c2, out, done = cg.render_fast_raw(c, inp)
+                    return c2, (out, done)
+
+                st, (outs, dones) = jax.lax.scan(body, st, stack)
+                out_rest = jnp.moveaxis(outs, 0, 1).reshape(
+                    cg.graph.outputs, (n - 1) * B
+                )
+                return st, out_rest, jnp.any(dones, axis=0)
 
         def evchunk(state, events, in_first, in_rest):
             st, out0, done0 = cg.render_raw(state, events, in_first)
-            st, out_rest, done1 = super_raw(st, in_rest)
+            st, out_rest, done1 = rest(st, in_rest)
             out = (jnp.concatenate([out0, out_rest], axis=1)
                    if out0.size else out0)
             return st, out, done0 | done1

@@ -165,3 +165,36 @@ def test_evchunk_program_matches_per_block():
     assert np.abs(b).max() > 1e-3
     np.testing.assert_allclose(a, b, atol=2e-5)
     assert p1.compiled.evchunk_fns, "evchunk program was not built"
+
+
+def test_evchunk_scan_tail_for_ineligible_graphs():
+    """Superblock-ineligible graphs (e.g. Pallas banks, which cap the block
+    size) still get the one-dispatch eventful-chunk program: its tail is an
+    in-program scan of the fast block program."""
+    from knaster_tpu import PallasSineVoiceBank
+    from knaster_tpu.graph.compile import get_evchunk_fn, superblock_eligible
+
+    def build(gg):
+        bank = gg.push(PallasSineVoiceBank(
+            128, tile_rows=1, event_capacity=256,
+            voice_defaults={"freq": np.linspace(100, 900, 128).astype(np.float32),
+                            "amp": np.full(128, 0.01, np.float32)}))
+        bank.to_graph_out()
+        return bank
+
+    opts = AudioProcessorOptions(block_size=64)
+    g1, p1 = AudioProcessor.new(0, 2, opts)
+    g2, p2 = AudioProcessor.new(0, 2, opts)
+    b1, b2 = g1.edit(build), g2.edit(build)
+    p1._ensure_compiled()
+    assert not superblock_eligible(p1.compiled)
+    n = 32
+    assert get_evchunk_fn(p1.compiled, n) is not None  # warm the fused path
+    for b in (b1, b2):
+        for v in range(0, 128, 2):
+            b.voice_param("t_restart").trig(v)
+    a = p1.render(frames=n * 64)
+    b = p2.render(frames=n * 64, check_done_every=1)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert p1.compiled.evchunk_fns
