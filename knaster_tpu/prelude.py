@@ -8,15 +8,16 @@ Parity with the reference facade's ``knaster::prelude`` / ``preludef32``
 """
 
 from . import knaster  # noqa: F401
-from .core.log import rt_log  # noqa: F401
+from .core.log import ArLogReceiver, ArLogSender, rt_log  # noqa: F401
 from .core.decorator import TRIG, ugen  # noqa: F401
 from .core.ugen import AudioCtx, UGen, sample_scan  # noqa: F401
 from .graph.graph import CircularConnection, Done, Graph, GraphError  # noqa: F401
 from .graph.handles import Handle, Parameter, Source, VoiceParameter  # noqa: F401
 from .graph.inspection import inspect, show_dot_svg, to_dot  # noqa: F401
 from .graph.processor import AudioProcessor, AudioProcessorOptions  # noqa: F401
-from .graph.scheduling import Time  # noqa: F401
+from .graph.scheduling import SchedulingToken, Time  # noqa: F401
 from .primitives import (  # noqa: F401
+    NYQUIST,
     Beats,
     FloatHint,
     IntegerHint,
@@ -33,7 +34,7 @@ from .primitives import (  # noqa: F401
 from .airwindows import Galactic  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
 from .models.voices import AdditiveVoice, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice  # noqa: F401
-from .parallel.mesh import ShardedVoiceBank  # noqa: F401
+from .parallel.mesh import MeshVoiceBank, ShardedVoiceBank  # noqa: F401
 from .parallel.pallas_bank import (  # noqa: F401
     PallasFMVoiceBank,
     PallasSineVoiceBank,
