@@ -402,10 +402,21 @@ class AudioProcessor:
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
         )
 
-    def _zero_inputs(self):
-        return jnp.zeros(
-            (self.graph.inputs, self.graph.block_size), dtype=self.graph.dtype
-        )
+    def _zero_inputs(self, frames: Optional[int] = None):
+        """Cached zero input buffers: creating a fresh jnp.zeros is one
+        eager device op — an RTT-priced RPC over this tunnel, per chunk, in
+        the streaming hot loop. The buffers are read-only (never donated),
+        so one per length is safe to reuse."""
+        n = frames if frames is not None else self.graph.block_size
+        cache = getattr(self, "_zero_in_cache", None)
+        if cache is None:
+            cache = self._zero_in_cache = {}
+        buf = cache.get(n)
+        if buf is None:
+            buf = cache[n] = jnp.zeros(
+                (self.graph.inputs, n), dtype=self.graph.dtype
+            )
+        return buf
 
     # ------------------------------------------------------------------ run
     def run(self, inputs=None):
@@ -550,7 +561,7 @@ class AudioProcessor:
 
         def block_inputs(bi):
             if inputs is None:
-                return self._zero_inputs()
+                return self._zero_inputs()  # cached device buffer
             i0 = bi * B
             seg = np.zeros((self.graph.inputs, B), self.graph.dtype)
             avail = np.asarray(inputs)[:, i0 : i0 + B]
@@ -559,9 +570,15 @@ class AudioProcessor:
 
         def in_stack_for(start_block, n):
             if inputs is None:
-                return jnp.zeros(
-                    (n, self.graph.inputs, B), dtype=self.graph.dtype
-                )
+                cache = getattr(self, "_zero_in_cache", None)
+                if cache is None:
+                    cache = self._zero_in_cache = {}
+                buf = cache.get(("stack", n))
+                if buf is None:
+                    buf = cache[("stack", n)] = jnp.zeros(
+                        (n, self.graph.inputs, B), dtype=self.graph.dtype
+                    )
+                return buf
             i0 = start_block * B
             avail = np.asarray(inputs)[:, i0 : i0 + n * B]
             pad = n * B - avail.shape[1]
@@ -573,9 +590,7 @@ class AudioProcessor:
         def in_super_for(start_block, n):
             """[inputs, n*B] flat segment for the superblock program."""
             if inputs is None:
-                return jnp.zeros(
-                    (self.graph.inputs, n * B), dtype=self.graph.dtype
-                )
+                return self._zero_inputs(n * B)  # cached device buffer
             i0 = start_block * B
             avail = np.asarray(inputs)[:, i0 : i0 + n * B]
             pad = n * B - avail.shape[1]
@@ -614,9 +629,7 @@ class AudioProcessor:
                         self.state, ev, block_inputs(rendered),
                         in_super_for(rendered + 1, n - 1),
                     )
-                    outs.append(jnp.moveaxis(
-                        out_flat.reshape(self.graph.outputs, n, B), 1, 0
-                    ))
+                    outs.append(out_flat)  # already [ch, n*B]
                     if self.compiled.has_done_actions:
                         self._apply_done_flags(np.asarray(done_vec))
                     self.graph.clock.frames += n * B
@@ -639,10 +652,7 @@ class AudioProcessor:
                         self.state, out_flat, done_vec = exact(
                             self.state, in_super_for(rendered, run)
                         )
-                        outs.append(jnp.moveaxis(
-                            out_flat.reshape(self.graph.outputs, run, B),
-                            1, 0,
-                        ))
+                        outs.append(out_flat)  # already [ch, run*B]
                         if self.compiled.has_done_actions:
                             self._apply_done_flags(np.asarray(done_vec))
                         self.graph.clock.frames += run * B
@@ -664,6 +674,9 @@ class AudioProcessor:
                                 self.state, ev_stack,
                                 in_stack_for(rendered, sub),
                             )
+                            out_stack = jnp.moveaxis(
+                                out_stack, 0, 1
+                            ).reshape(self.graph.outputs, -1)
                         else:
                             super_fn = get_super_fn(self.compiled, sub)
                             if super_fn is not None:
@@ -672,17 +685,16 @@ class AudioProcessor:
                                 self.state, out_flat, done_vec = super_fn(
                                     self.state, in_super_for(rendered, sub)
                                 )
-                                out_stack = jnp.moveaxis(
-                                    out_flat.reshape(
-                                        self.graph.outputs, sub, B
-                                    ), 1, 0,
-                                )
+                                out_stack = out_flat  # already [ch, sub*B]
                                 done_any = done_vec
                             else:
                                 scan_fn = _get_scan_fn(self.compiled)
                                 self.state, out_stack, done_stack = scan_fn(
                                     self.state, in_stack_for(rendered, sub)
                                 )
+                                out_stack = jnp.moveaxis(
+                                    out_stack, 0, 1
+                                ).reshape(self.graph.outputs, -1)
                         outs.append(out_stack)
                         if self.compiled.has_done_actions:
                             if done_any is None:
@@ -700,9 +712,7 @@ class AudioProcessor:
                         self.state, out_flat, done_vec = super_fn(
                             self.state, in_super_for(rendered, sub)
                         )
-                        outs.append(jnp.moveaxis(
-                            out_flat.reshape(self.graph.outputs, sub, B), 1, 0
-                        ))
+                        outs.append(out_flat)  # already [ch, sub*B]
                         if self.compiled.has_done_actions:
                             self._apply_done_flags(np.asarray(done_vec))
                     else:
@@ -716,7 +726,7 @@ class AudioProcessor:
                             self.state, out, done = self.compiled.render_fast(
                                 self.state, block_inputs(rendered)
                             )
-                        outs.append(out[None])
+                        outs.append(out)
                         if self.compiled.has_done_actions:
                             self._apply_done_flags(np.asarray(done))
                     self.graph.clock.frames += sub * B
@@ -730,15 +740,11 @@ class AudioProcessor:
                     "fetch=False requires block-aligned frames and no "
                     "pending remainder"
                 )
-            rows = [
-                jnp.moveaxis(p, 0, 1).reshape(self.graph.outputs, -1)
-                for p in outs
-            ]
-            if not rows:
+            if not outs:
                 return jnp.zeros(
                     (self.graph.outputs, frames_needed), self.graph.dtype
                 )
-            audio_dev = rows[0] if len(rows) == 1 else jnp.concatenate(rows, 1)
+            audio_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 1)
             if audio_dev.shape[1] < frames_needed:  # freed mid-render
                 audio_dev = jnp.concatenate(
                     [audio_dev,
@@ -750,8 +756,7 @@ class AudioProcessor:
 
         if outs:
             outs = jax.device_get(outs)  # ONE host fetch for all audio
-            cat = np.concatenate(outs, axis=0)  # [NB, ch, B]
-            audio = np.moveaxis(cat, 0, 1).reshape(self.graph.outputs, -1)
+            audio = np.concatenate(outs, axis=1)  # flat [ch, len] pieces
         else:
             audio = np.zeros((self.graph.outputs, 0), dtype=self.graph.dtype)
         if audio.shape[1] > frames_needed:
