@@ -19,6 +19,7 @@ pointers run sequentially on the audio thread, we trace every node's pure
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -30,6 +31,51 @@ from ..core.ugen import AudioCtx, normalize_process_result
 from .graph import Done, Graph, GraphError, NodeEntry
 from .handles import K_GRAPH_IN
 from .param_engine import ParamLayout, PEngine, empty_events, init_state as pe_init_state
+
+
+# ---------------------------------------------------------------------------
+# Chain collapse (the deep-isomorphic-chain compiler pass)
+# ---------------------------------------------------------------------------
+# A graph like the reference's 256-stage FM cascade
+# (knaster_benchmarks/benches/graph_dsp_performance.rs:38-80) is a K-deep
+# chain of small isomorphic units: stage k's nodes feed only stage k+1.
+# Inlining K stages serializes the TPU on K dependent op groups AND blows up
+# the program (K copies of the unit body). This pass detects maximal runs of
+# isomorphic units in the topological order and executes each run as ONE
+# ``lax.scan`` over the *stage* axis with stacked per-stage states and
+# parameters — the generic-graph equivalent of what models.FMCascade
+# hand-fuses. Sequential depth is unchanged (it is inherent to the sound),
+# but the program contains one traced unit body instead of K.
+MIN_CHAIN_STAGES = int(os.environ.get("KNASTER_CHAIN_MIN_STAGES", "8"))
+MAX_CHAIN_PERIOD = int(os.environ.get("KNASTER_CHAIN_MAX_PERIOD", "16"))
+CHAIN_UNROLL = int(os.environ.get("KNASTER_CHAIN_UNROLL", "8"))
+_CHAIN_COLLAPSE_ON = os.environ.get("KNASTER_CHAIN_COLLAPSE", "1") != "0"
+
+
+@dataclass
+class ChainPlan:
+    """One collapsed chain: K stages of p nodes each.
+
+    ``in_pattern[j]``   — per input channel of unit node j, a tuple of source
+                          descriptors: ``('rel', r, ch)`` with ``-p <= r < p``
+                          (r >= 0: node at offset r in the SAME stage; r < 0:
+                          node at offset p+r in the PREVIOUS stage) or
+                          ``('abs', kind, src_nid, ch)`` (the same external
+                          source for every stage).
+    ``pe_pattern[j]``    — param-edge descriptors per param index, same forms
+                          (abs form: ``('abs', 'node', src_nid, ch)``).
+    ``carry_keys``       — sorted ``(prev_offset_j, ch)`` pairs the scan body
+                          reads from the previous stage (the scan carry).
+    ``carry_init``       — for stage 0, the external source feeding each
+                          carry key: ``(kind, src_nid, ch)``.
+    """
+
+    stages: List[List[int]]
+    period: int
+    in_pattern: List[Tuple]
+    pe_pattern: List[Tuple]
+    carry_keys: List[Tuple[int, int]]
+    carry_init: Dict[Tuple[int, int], Tuple[str, Optional[int], int]]
 
 
 @dataclass
@@ -86,24 +132,47 @@ class CompiledGraph:
     def fb_key(self, nid: int, ch: int) -> str:
         return f"{self.canon[nid]}:{ch}"
 
+    def chain_key(self, cp: "ChainPlan") -> str:
+        return f"c{self.canon[cp.stages[0][0]]}"
+
     # ------------------------------------------------------------------
     def _node_loc(self, nid: int):
-        """('single', state_key) or ('batch', group_key, index) or None."""
-        for kind, item in self.plan:
-            if kind == "single" and item == nid:
-                return ("single", self.state_key(nid))
-            if kind == "batch" and nid in item:
-                return ("batch", self.group_key(item), item.index(nid))
-        return None
+        """('single', state_key) | ('batch', group_key, index) |
+        ('chain', chain_key, stage_k, offset_j) | None."""
+        cache = getattr(self, "_loc_cache", None)
+        if cache is None:
+            cache = {}
+            for kind, item in self.plan:
+                if kind == "single":
+                    cache[item] = ("single", self.state_key(item))
+                elif kind == "batch":
+                    gk = self.group_key(item)
+                    for i, n in enumerate(item):
+                        cache[n] = ("batch", gk, i)
+                else:  # chain
+                    ck = self.chain_key(item)
+                    for k, stage in enumerate(item.stages):
+                        for j, n in enumerate(stage):
+                            cache[n] = ("chain", ck, k, j)
+            self._loc_cache = cache
+        return cache.get(nid)
 
     def _extract_node_state(self, state: dict, nid: int):
-        """Pull one node's state out of this compile's (possibly batched)
-        state layout; None if absent."""
+        """Pull one node's state out of this compile's (possibly batched or
+        chain-stacked) state layout; None if absent."""
         loc = self._node_loc(nid)
         if loc is None:
             return None
         if loc[0] == "single":
             return state["nodes"].get(loc[1])
+        if loc[0] == "chain":
+            chain = state["nodes"].get(loc[1])
+            if chain is None:
+                return None
+            stacked = chain.get(f"j{loc[3]}")
+            if stacked is None:
+                return None
+            return jax.tree_util.tree_map(lambda x: x[loc[2]], stacked)
         stacked = state["nodes"].get(loc[1])
         if stacked is None:
             return None
@@ -182,55 +251,71 @@ class CompiledGraph:
                     return old
             return self.entries[nid].ugen.init(ctx)
 
-        def batch_state(item):
-            """Stacked state for a batch group. When every carried member
-            lives in ONE previous group, the carry is a single gather per
-            leaf (+ one scatter for freshly-initialized members) — the
-            per-node extract/restack path issues thousands of eager device
-            ops for big groups (live-edit latency)."""
-            gkey = self.group_key(item)
+        def _prev_stack_source(loc):
+            """(stacked_pytree, row_index) the previous compile stored this
+            node's state in, or None (single/absent)."""
+            if loc is None or loc[0] == "single":
+                return None
+            if loc[0] == "batch":
+                stack = prev["nodes"].get(loc[1])
+                return None if stack is None else (id(stack), stack, loc[2])
+            chain = prev["nodes"].get(loc[1])  # 'chain'
+            if chain is None:
+                return None
+            stack = chain.get(f"j{loc[3]}")
+            return None if stack is None else (id(stack), stack, loc[2])
+
+        def stacked_state(nids):
+            """Stacked state for a batch group or one chain offset. When
+            every carried member lives in ONE previous stacked group, the
+            carry is a single gather per leaf (+ one scatter for
+            freshly-initialized members) — the per-node extract/restack path
+            issues thousands of eager device ops for big groups (live-edit
+            latency)."""
             if prev is not None and prev_compiled is not None:
-                locs = [prev_compiled._node_loc(n) for n in item]
-                from_batch = [
-                    l is not None and l[0] == "batch" for l in locs
+                srcs = [
+                    _prev_stack_source(prev_compiled._node_loc(n))
+                    for n in nids
                 ]
-                prev_gks = {l[1] for l, ok in zip(locs, from_batch) if ok}
-                if len(prev_gks) == 1 and any(from_batch):
-                    prev_stack = prev["nodes"].get(prev_gks.pop())
-                    if prev_stack is not None:
-                        idx = jnp.asarray(
-                            [l[2] if ok else 0
-                             for l, ok in zip(locs, from_batch)], jnp.int32
+                stack_ids = {s[0] for s in srcs if s is not None}
+                if len(stack_ids) == 1 and any(s is not None for s in srcs):
+                    prev_stack = next(s[1] for s in srcs if s is not None)
+                    idx = jnp.asarray(
+                        [s[2] if s is not None else 0 for s in srcs],
+                        jnp.int32,
+                    )
+                    carried = jax.tree_util.tree_map(
+                        lambda x: x[idx], prev_stack
+                    )
+                    # members not in that stack: carry their individual
+                    # previous state ('single' plan slots — node_state
+                    # extracts it) or fresh-init, then scatter the rows
+                    others = [k for k, s in enumerate(srcs) if s is None]
+                    if others:
+                        fill = jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(xs),
+                            *[node_state(nids[k]) for k in others],
                         )
+                        oi = jnp.asarray(others, jnp.int32)
                         carried = jax.tree_util.tree_map(
-                            lambda x: x[idx], prev_stack
+                            lambda c, f: c.at[oi].set(f), carried, fill
                         )
-                        # members not in that batch: carry their individual
-                        # previous state ('single' plan slots — node_state
-                        # extracts it) or fresh-init, then scatter the rows
-                        others = [
-                            k for k, ok in enumerate(from_batch) if not ok
-                        ]
-                        if others:
-                            fill = jax.tree_util.tree_map(
-                                lambda *xs: jnp.stack(xs),
-                                *[node_state(item[k]) for k in others],
-                            )
-                            oi = jnp.asarray(others, jnp.int32)
-                            carried = jax.tree_util.tree_map(
-                                lambda c, f: c.at[oi].set(f), carried, fill
-                            )
-                        return carried
+                    return carried
             return jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[node_state(n) for n in item]
+                lambda *xs: jnp.stack(xs), *[node_state(n) for n in nids]
             )
 
         nodes = {}
         for kind, item in self.plan:
             if kind == "single":
                 nodes[self.state_key(item)] = node_state(item)
-            else:
-                nodes[self.group_key(item)] = batch_state(item)
+            elif kind == "batch":
+                nodes[self.group_key(item)] = stacked_state(item)
+            else:  # chain: per unit offset, states stacked over the stage axis
+                nodes[self.chain_key(item)] = {
+                    f"j{j}": stacked_state([s[j] for s in item.stages])
+                    for j in range(item.period)
+                }
         pe = pe_init_state(self.layout, dtype=ctx.dtype)
         if prev is not None and prev_compiled is not None:
             pe = dict(pe)
@@ -455,23 +540,34 @@ def compile_graph(
             for pidx, spec in enumerate(ugen.params):
                 layout.add(item, pidx, spec.ptype,
                            _instance_default(ugen, pidx))
-        else:
+        elif kind == "batch":
             rep = proc_entries[item[0]].ugen
             for pidx, spec in enumerate(rep.params):
                 for nid in item:
                     ugen = proc_entries[nid].ugen
                     layout.add(nid, pidx, spec.ptype,
                                _instance_default(ugen, pidx))
+        else:  # chain: contiguous slots per (offset, param) over the stages
+            for j in range(item.period):
+                rep = proc_entries[item.stages[0][j]].ugen
+                for pidx, spec in enumerate(rep.params):
+                    for stage in item.stages:
+                        ugen = proc_entries[stage[j]].ugen
+                        layout.add(stage[j], pidx, spec.ptype,
+                                   _instance_default(ugen, pidx))
     cg.layout = layout
     cg.engine = PEngine(layout, ctx.block_size, dtype=ctx.dtype)
 
-    # done-flag output order: singles first per plan, then batch vectors
+    # done-flag output order: per plan entry; chains stage-major
     done_order: List[int] = []
     for kind, item in cg.plan:
         if kind == "single":
             done_order.append(item)
-        else:
+        elif kind == "batch":
             done_order.extend(item)
+        else:
+            for stage in item.stages:
+                done_order.extend(stage)
     cg.done_order = done_order
 
     # ------------------------------------------------- program cache lookup
@@ -697,6 +793,9 @@ def _structural_signature(cg: CompiledGraph, auto_batch: bool):
         cg.graph.outputs,
         cg.event_capacity,
         auto_batch,
+        # chain-collapse config is part of the plan, so of the programs
+        (_CHAIN_COLLAPSE_ON, MIN_CHAIN_STAGES, MAX_CHAIN_PERIOD,
+         CHAIN_UNROLL),
         tuple(node_rows),
         pe_rows,
         out_rows,
@@ -704,16 +803,11 @@ def _structural_signature(cg: CompiledGraph, auto_batch: bool):
     )
 
 
-def _plan_batches(cg: CompiledGraph):
-    """The auto-batching pass: group same-kind nodes at equal dataflow depth
-    into one vmapped execution.
-
-    This is what makes the reference's 'hundreds of small nodes' graph shape
-    (e.g. its 256-sines benchmark) run at VPU width: 256 SinWt nodes become a
-    single [256]-wide call instead of 256 op-by-op dispatches. Depth-layered
-    execution is a valid topological order because same-block dependencies
-    always have strictly smaller depth."""
+def _node_depths(cg: CompiledGraph) -> Dict[int, int]:
     depth: Dict[int, int] = {}
+    pe_deps: Dict[int, List[int]] = {}
+    for (dst, _p), (src, _ch) in cg.resolved_param_edges.items():
+        pe_deps.setdefault(dst, []).append(src)
     for nid in cg.order:
         deps = [
             s
@@ -721,12 +815,281 @@ def _plan_batches(cg: CompiledGraph):
             for (k, s, _c) in per
             if k == "node"
         ]
-        deps += [
-            src
-            for (dst, _p), (src, _ch) in cg.resolved_param_edges.items()
-            if dst == nid
-        ]
+        deps += pe_deps.get(nid, [])
         depth[nid] = 1 + max((depth[d] for d in deps), default=-1)
+    return depth
+
+
+def _find_chains(cg: CompiledGraph, depth: Dict[int, int]) -> List[ChainPlan]:
+    """Detect maximal runs of isomorphic units along the topological order.
+
+    Units are matched by structure: same UGen batch_key (the existing
+    'identical traced process' contract), same done action, and identical
+    wiring where every source is either intra-unit (offset r >= 0),
+    previous-unit (r < 0 — the scan carry), or the SAME external node /
+    graph input / feedback buffer for every unit. A run only collapses when
+    it has at least one previous-unit source (a real serial chain; parallel
+    repetition is the auto-batch pass's job) and K >= MIN_CHAIN_STAGES."""
+    order = cg.order
+    n = len(order)
+    if not _CHAIN_COLLAPSE_ON or n < MIN_CHAIN_STAGES:
+        return []
+
+    labels: List[Any] = []
+    for nid in order:
+        e = cg.entries[nid]
+        u = e.ugen
+        bk = None if u.event_capacity > 0 else u.batch_key()
+        if bk is None:
+            labels.append(None)
+        else:
+            labels.append(
+                (
+                    type(u).__qualname__,
+                    bk,
+                    e.done_action.value,
+                    tuple(cg.enclosing[nid]),
+                    u.inputs,
+                    u.outputs,
+                    tuple((nid, pidx) in cg.resolved_param_edges
+                          for pidx in range(len(u.params))),
+                )
+            )
+
+    def classify(pos: int, a: int, k: int, p: int, first: bool = False):
+        """Source descriptors of the node at topo position ``pos`` viewed as
+        offset node of unit ``k`` in a window starting at ``a`` with period
+        ``p``; None when a source points more than one unit back inside the
+        window (not expressible as a scan carry). ``first`` classifies the
+        window's stage 0: anything before ``a`` is external."""
+        nid = order[pos]
+        lo = a if first else a + (k - 1) * p
+        rows = []
+        for ch_srcs in cg.resolved_in[nid]:
+            descs = []
+            for (kind, s, c) in ch_srcs:
+                if kind == "node":
+                    sp = cg.canon[s]
+                    if sp >= lo:
+                        descs.append(("rel", sp - (a + k * p), c))
+                    elif sp < a:
+                        descs.append(("abs", "node", s, c))
+                    else:
+                        return None
+                else:
+                    descs.append(("abs", kind, s, c))
+            rows.append(tuple(descs))
+        pes = []
+        for pidx in range(len(cg.entries[nid].ugen.params)):
+            key = (nid, pidx)
+            if key in cg.resolved_param_edges:
+                s, c = cg.resolved_param_edges[key]
+                sp = cg.canon[s]
+                if sp >= lo:
+                    pes.append((pidx, ("rel", sp - (a + k * p), c)))
+                elif sp < a:
+                    pes.append((pidx, ("abs", "node", s, c)))
+                else:
+                    return None
+        return (tuple(rows), tuple(pes))
+
+    def unit_descs(a: int, k: int, p: int):
+        descs = []
+        for j in range(p):
+            d = classify(a + k * p + j, a, k, p)
+            if d is None:
+                return None
+            descs.append(d)
+        return descs
+
+    def first_unit_check(a: int, p: int, pattern):
+        """Stage 0 may read arbitrary already-computed external sources
+        where the pattern has previous-unit (r < 0) refs — those become the
+        scan carry's initial values. Everything else must match the pattern
+        exactly. Returns carry_init or None."""
+        carry_init: Dict[Tuple[int, int], Tuple] = {}
+
+        def match_desc(pat, act):
+            if pat[0] == "rel" and pat[1] < 0:
+                if act[0] == "rel":
+                    return False  # stage 0 has nothing before it in-window
+                key = (p + pat[1], pat[2])
+                src = (act[1], act[2], act[3])
+                if key in carry_init and carry_init[key] != src:
+                    return False
+                carry_init[key] = src
+                return True
+            return pat == act
+
+        for j in range(p):
+            act = classify(a + j, a, 0, p, first=True)
+            if act is None:
+                return None
+            pat_rows, pat_pes = pattern[j]
+            act_rows, act_pes = act
+            if len(pat_rows) != len(act_rows):
+                return None
+            for pr, ar in zip(pat_rows, act_rows):
+                if len(pr) != len(ar):
+                    return None
+                for pd, ad in zip(pr, ar):
+                    if not match_desc(pd, ad):
+                        return None
+            if len(pat_pes) != len(act_pes):
+                return None
+            for (ppi, pd), (api, ad) in zip(pat_pes, act_pes):
+                if ppi != api or not match_desc(pd, ad):
+                    return None
+        return carry_init
+
+    chains: List[ChainPlan] = []
+    used = set()
+
+    for p in range(1, MAX_CHAIN_PERIOD + 1):
+        if n < MIN_CHAIN_STAGES * p:
+            continue
+        i = 0
+        while i + p < n:
+            if (
+                labels[i] is None
+                or i in used
+                or labels[i] != labels[i + p]
+            ):
+                i += 1
+                continue
+            # maximal label-periodic run starting at i
+            e = i
+            while (
+                e + p < n
+                and labels[e] is not None
+                and labels[e] == labels[e + p]
+                and (e + p) not in used
+            ):
+                e += 1
+            K = (e - i) // p + 1
+            a = i
+            accepted = None
+            flat_depth = False
+            while K >= MIN_CHAIN_STAGES:
+                # pattern from unit 1; verify units 1..K-1 match it
+                pattern = unit_descs(a, 1, p)
+                if pattern is None:
+                    break
+                k = 2
+                while k < K:
+                    d = unit_descs(a, k, p)
+                    if d != pattern:
+                        break
+                    k += 1
+                K = k
+                if K < MIN_CHAIN_STAGES:
+                    break
+                # A real serial chain gets DEEPER every stage (that is what
+                # makes inlining it pathological); parallel repetition that
+                # merely alternates in topo order (e.g. 256 independent
+                # sine*const voices) has flat per-unit depth — leave it to
+                # the auto-batching vmap. Strictly increasing max-depth also
+                # implies at least one previous-unit ref exists.
+                unit_depth = [
+                    max(depth[order[a + k2 * p + j]] for j in range(p))
+                    for k2 in range(K)
+                ]
+                if any(
+                    unit_depth[k2 + 1] <= unit_depth[k2]
+                    for k2 in range(K - 1)
+                ):
+                    flat_depth = True
+                    break  # not depth-serial: leave to auto-batching
+                carry_init = first_unit_check(a, p, pattern)
+                if carry_init is None:
+                    # drop the first unit (e.g. a differently-wired chain
+                    # head) and retry with the next as stage 0
+                    a += p
+                    K -= 1
+                    continue
+                accepted = (a, K, pattern, carry_init)
+                break
+            if accepted is None:
+                # flat depth is alignment-invariant: skip the whole run
+                i = e if flat_depth else i + 1
+                continue
+            a, K, pattern, carry_init = accepted
+            stages = [
+                [order[a + k * p + j] for j in range(p)] for k in range(K)
+            ]
+            member_pos = set(range(a, a + K * p))
+            # plan-order validation (see _plan_batches): every external
+            # node source must sort strictly before the chain entry and
+            # every external reader strictly after it
+            chain_sort = (depth[order[a]], a)
+            ext_srcs = [
+                d[2]
+                for rows, pes in pattern
+                for seq in (list(rows) + [tuple(pd for _i, pd in pes)])
+                for d in seq
+                if d[0] == "abs" and d[1] == "node"
+            ] + [
+                s for (kind_i, s, _c) in carry_init.values()
+                if kind_i == "node"
+            ]
+            ok = all(
+                (depth[s], cg.canon[s]) < chain_sort for s in ext_srcs
+            )
+            for pos in range(n):
+                if pos in member_pos or not ok:
+                    continue
+                nid = order[pos]
+                reads = [
+                    s
+                    for per in cg.resolved_in[nid]
+                    for (kk, s, _c) in per
+                    if kk == "node" and cg.canon[s] in member_pos
+                ]
+                reads += [
+                    src
+                    for (dst, _pi), (src, _ch) in
+                    cg.resolved_param_edges.items()
+                    if dst == nid and cg.canon[src] in member_pos
+                ]
+                if reads and (depth[nid], cg.canon[nid]) <= chain_sort:
+                    ok = False
+            if not ok:
+                i += 1
+                continue
+            carry_keys = sorted(carry_init)
+            chains.append(
+                ChainPlan(
+                    stages=stages,
+                    period=p,
+                    in_pattern=[rows for rows, _pes in pattern],
+                    pe_pattern=[pes for _rows, pes in pattern],
+                    carry_keys=carry_keys,
+                    carry_init=carry_init,
+                )
+            )
+            used |= member_pos
+            i = a + K * p
+    return chains
+
+
+def _plan_batches(cg: CompiledGraph):
+    """The auto-batching + chain-collapse pass.
+
+    Auto-batching groups same-kind nodes at equal dataflow depth into one
+    vmapped execution — 256 parallel SinWt nodes become a single [256]-wide
+    call (the reference's 256-sines benchmark shape). Chain collapse (see
+    _find_chains) turns K-deep runs of isomorphic units into one lax.scan
+    over the stage axis. Depth-layered execution is a valid topological
+    order because same-block dependencies always have strictly smaller
+    depth; chains are ordered by their first member (every external source
+    of a chain feeds its stage 0, so it sorts strictly earlier, and
+    _find_chains rejects chains whose external readers would not sort
+    strictly later)."""
+    depth = _node_depths(cg)
+    chains = _find_chains(cg, depth)
+    in_chain = {
+        nid for cp in chains for stage in cp.stages for nid in stage
+    }
 
     # order members and groups by (depth, canonical position): canonical
     # ordering is structure-deterministic, so two graphs with the same
@@ -734,21 +1097,24 @@ def _plan_batches(cg: CompiledGraph):
     # program cache to reuse compiled programs across commits
     groups: Dict[Any, List[int]] = {}
     for nid in sorted(cg.order, key=lambda n: (depth[n], cg.canon[n])):
+        if nid in in_chain:
+            continue
         ugen = cg.entries[nid].ugen
         key = None if ugen.event_capacity > 0 else ugen.batch_key()
         gk = (depth[nid], key) if key is not None else ("single", nid)
         groups.setdefault(gk, []).append(nid)
 
-    plan = []
-    for gk in sorted(
-        groups, key=lambda k: (depth[groups[k][0]], cg.canon[groups[k][0]])
-    ):
-        nids = groups[gk]
+    entries: List[Tuple[Tuple[int, int], Tuple[str, Any]]] = []
+    for gk, nids in groups.items():
+        sort_key = (depth[nids[0]], cg.canon[nids[0]])
         if len(nids) == 1:
-            plan.append(("single", nids[0]))
+            entries.append((sort_key, ("single", nids[0])))
         else:
-            plan.append(("batch", nids))
-    return plan
+            entries.append((sort_key, ("batch", nids)))
+    for cp in chains:
+        first = cp.stages[0][0]
+        entries.append(((depth[first], cg.canon[first]), ("chain", cp)))
+    return [e for _k, e in sorted(entries, key=lambda x: x[0])]
 
 
 def _instance_default(ugen, pidx: int):
@@ -878,6 +1244,10 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
         # batched groups: nid -> (group_key, index); group outputs [N, ch, B]
         node_loc: Dict[int, Tuple[str, int]] = {}
         group_out: Dict[str, jnp.ndarray] = {}
+        # chain members: nid -> (chain_key, stage_k, offset_j);
+        # chain outputs [chain_key][offset_j] = [K, ch, B] (scan-stacked)
+        chain_loc: Dict[int, Tuple[str, int, int]] = {}
+        chain_out: Dict[str, Dict[int, jnp.ndarray]] = {}
         new_nodes: Dict[str, Any] = {}
 
         def read_source(kind, s, c):
@@ -885,6 +1255,9 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                 if s in node_loc:
                     gk, k = node_loc[s]
                     return group_out[gk][k, c]
+                if s in chain_loc:
+                    ck, k, j = chain_loc[s]
+                    return chain_out[ck][j][k, c]
                 return outs[s][c]
             if kind == "feedback":
                 return state["fb"][cg.fb_key(s, c)]
@@ -1048,7 +1421,7 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                 done_parts.append(jnp.any(done)[None])
                 if nid in top_free_parent:
                     free_frames.append(first_done_frame(done))
-            else:  # batched execution of same-kind nodes (auto-batching pass)
+            elif kind == "batch":  # vmapped same-kind nodes (auto-batching)
                 nids = item
                 rep = cg.entries[nids[0]].ugen
                 inp_stack = batch_inputs(nids, rep)
@@ -1067,6 +1440,107 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                     if n in top_free_parent:
                         free_frames.append(first_done_frame(done[k]))
                 done_parts.append(jnp.any(done, axis=1))
+            else:  # chain: one lax.scan over the stage axis (chain collapse)
+                cp = item
+                K, p = len(cp.stages), cp.period
+                ckey = cg.chain_key(cp)
+                reps = [cg.entries[cp.stages[0][j]].ugen for j in range(p)]
+
+                # stacked per-stage params: [K, B] per (offset, param). The
+                # layout orders chain slots stage-contiguously, so each
+                # gather is a static slice.
+                par = {}
+                for j, rep in enumerate(reps):
+                    pe_pat = dict(cp.pe_pattern[j])
+                    pj = {}
+                    for pidx, spec in enumerate(rep.params):
+                        if pidx in pe_pat:
+                            continue  # audio-rate edge, resolved in body
+                        slots = [
+                            cg.layout.lookup(stage[j], pidx)[1]
+                            for stage in cp.stages
+                        ]
+                        typ = cg.layout.lookup(cp.stages[0][j], pidx)[0]
+                        rows = {"float": pf_rows, "trigger": pt_rows,
+                                "int": pi_rows}[typ]
+                        pj[spec.name] = rows(slots)
+                        if typ == "int" and getattr(spec, "retrigger", False):
+                            pj[spec.name + "_set"] = pset_rows(slots)
+                    par[f"j{j}"] = pj
+
+                # external (per-chain-constant) sources are traced here and
+                # close over the scan body as loop constants
+                carry0 = {
+                    f"{dj}_{c}": read_source(*cp.carry_init[(dj, c)])
+                    for (dj, c) in cp.carry_keys
+                }
+                xs = {"st": state["nodes"][ckey], "par": par}
+
+                def chain_body(carry, x):
+                    outs_local: Dict[int, jnp.ndarray] = {}
+                    new_states: Dict[str, Any] = {}
+                    dones = []
+
+                    def resolve(d):
+                        if d[0] == "rel":
+                            _t, r, c = d
+                            if r >= 0:
+                                return outs_local[r][c]
+                            return carry[f"{p + r}_{c}"]
+                        _t, kind2, s, c = d
+                        return read_source(kind2, s, c)
+
+                    for j, rep in enumerate(reps):
+                        rows = []
+                        for ch_descs in cp.in_pattern[j]:
+                            if not ch_descs:
+                                rows.append(jnp.zeros((B,), dtype=dtype))
+                                continue
+                            acc = resolve(ch_descs[0])
+                            for d in ch_descs[1:]:
+                                acc = acc + resolve(d)
+                            rows.append(acc)
+                        inp = (
+                            jnp.stack(rows)
+                            if rows
+                            else jnp.zeros((0, B), dtype=dtype)
+                        )
+                        pr = dict(x["par"][f"j{j}"])
+                        for pidx, d in cp.pe_pattern[j]:
+                            pr[rep.params[pidx].name] = resolve(d)
+                        st_j, out, done = normalize_process_result(
+                            rep.process(ctx, x["st"][f"j{j}"], inp, pr), ctx
+                        )
+                        outs_local[j] = out
+                        new_states[f"j{j}"] = st_j
+                        dones.append(done)
+                    new_carry = {
+                        f"{dj}_{c}": outs_local[dj][c]
+                        for (dj, c) in cp.carry_keys
+                    }
+                    # outputs stacked for external readers (XLA dead-code
+                    # eliminates unread offsets), dones as [p, B]
+                    ys = (new_states, dict(enumerate(
+                        outs_local[j] for j in range(p)
+                    )), jnp.stack(dones))
+                    return new_carry, ys
+
+                _last, (st_stack, outs_stack, done_stack) = jax.lax.scan(
+                    chain_body, carry0, xs,
+                    unroll=min(CHAIN_UNROLL, K),
+                )
+                new_nodes[ckey] = st_stack
+                chain_out[ckey] = outs_stack
+                for k, stage in enumerate(cp.stages):
+                    for j, n in enumerate(stage):
+                        chain_loc[n] = (ckey, k, j)
+                        if n in top_free_parent:
+                            free_frames.append(
+                                first_done_frame(done_stack[k, j])
+                            )
+                done_parts.append(
+                    jnp.any(done_stack, axis=2).reshape(-1)
+                )
 
         new_fb = {
             cg.fb_key(s, c): read_source("node", s, c) for (s, c) in cg.fb_sources
