@@ -138,8 +138,11 @@ class Galactic(UGen):
             return (vib_m, oldfpd, fpd), (off, tiny, fpd)
 
         carry0 = (state["vib_m"], state["oldfpd"], state["fpd"])
+        # fully unrolled: B iterations of scalar ops become straight-line
+        # fused code — a rolled while-loop pays ~µs-scale per-iteration
+        # overhead on TPU, which dominated the blockwise program's cost
         (vib_m, oldfpd, fpd), (off, tiny, fpd_seq) = jax.lax.scan(
-            step, carry0, drift
+            step, carry0, drift, unroll=True
         )
         return off, tiny, fpd_seq, vib_m, oldfpd, fpd
 

@@ -306,8 +306,8 @@ class VoiceParameter:
     ``vp.trig(voice)``, each schedulable with the usual Time forms and
     groupable into atomic batches via ``token=`` (SchedulingToken).
 
-    Float sets and triggers are sample-accurate in both the vmap and the
-    Pallas kernel banks (int sets apply at block rate — see
+    Float sets, int sets, triggers and smoothing-ramp starts are all
+    sample-accurate in both the vmap and the Pallas kernel banks (see
     parallel/voicebank.py)."""
 
     def __init__(self, graph, node_id: int, bank, name: str):
@@ -353,7 +353,7 @@ class VoiceParameter:
                t: Optional[Time] = None, token=None) -> None:
         """Configure per-voice linear smoothing: subsequent ``set``s for this
         (param, voice) ramp linearly over ``time_seconds`` (0 disables).
-        Bank ramps start at block boundaries."""
+        Ramps anchor at the set event's exact frame."""
         if self.ptype != "float":
             raise TypeError("smoothing only applies to float voice parameters")
         dur = int(round(time_seconds * self.graph.sample_rate))

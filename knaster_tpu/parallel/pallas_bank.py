@@ -74,15 +74,20 @@ def _mat(i_f, g):
     """Materialize one float param at sample ``i`` from its ramp group.
 
     Mirrors VoiceBank.process's ``materialize`` + pre/post-event select:
-    ``where(i >= rem, target, v0 + step*i)`` on the new trajectory, and in
-    eventful blocks ``where(i >= frame, new, old)`` against the pre-event
-    ramp state. ``g`` is 4 refs (fast) or 9 (eventful):
+    the new trajectory anchors at the event frame —
+    ``where(i-frame >= rem, target, v0 + step*(i-frame))`` — and eventful
+    blocks select ``where(i >= frame, new, old)`` against the pre-event
+    ramp state (engine-parity ramp anchoring). ``g`` is 4 refs (fast,
+    frame≡0) or 9 (eventful):
     (v0, step, rem, tgt[, v0_old, step_old, rem_old, tgt_old, frame])."""
-    v = jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
     if len(g) == N_EVENTFUL:
+        # new trajectory anchors at the event frame: progress = i - frame
+        # (irrelevant before the frame — the old-trajectory select wins)
+        ln = i_f - g[8][:]
+        v = jnp.where(ln >= g[2][:], g[3][:], g[0][:] + g[1][:] * ln)
         o = jnp.where(i_f >= g[6][:], g[7][:], g[4][:] + g[5][:] * i_f)
-        v = jnp.where(i_f >= g[8][:], v, o)
-    return v
+        return jnp.where(i_f >= g[8][:], v, o)
+    return jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
 
 
 def _trig_bit(i, lo_ref, hi_ref):
@@ -221,7 +226,7 @@ def _bank_setup(bank, ctx, state, events):
     ``process`` needs. ``ng`` is the per-param ramp-group size."""
     dtype = ctx.dtype
     R = bank.n_voices // LANES
-    fstate, ivals, active, _, fframe = bank._apply_events(
+    fstate, ivals, active, _, fframe, _iinfo = bank._apply_events(
         ctx, state, events, trig_tensor=False
     )
     ramp_ops = _ramp_operands(bank, state, fstate, fframe, dtype)
@@ -432,7 +437,7 @@ class PallasSineVoiceBank(VoiceBank):
         partial_mix, stage, t, rscale, phase = outs
         out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
-            fstate, B, dtype
+            fstate, B, dtype, fframe
         )
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
@@ -578,7 +583,8 @@ class PallasFMVoiceBank(VoiceBank):
         )
         partial_mix, phm, phc, stage, t = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
+            fstate, B, dtype, fframe)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,
@@ -771,7 +777,8 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         )
         partial_mix, t, ic1, ic2, stage, et, rscale = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
+            fstate, B, dtype, fframe)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,
@@ -980,7 +987,8 @@ class PallasWavetableVoiceBank(VoiceBank):
         )
         partial_mix, phase, stage, t, rscale = outs
         out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
+            fstate, B, dtype, fframe)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,

@@ -8,11 +8,15 @@ so a 10k-voice bank is one fused program whose scans run 10k lanes wide.
 The bank's summed output is the mix bus.
 
 Per-voice control rides a private **bank event channel** (the node-level
-events extension in compile.py): float sets and triggers are sample-accurate
-per voice — samples before an event's frame follow the pre-event trajectory,
-samples at/after it the new one (WrPreciseTiming semantics without block
-splitting). Smoothing ramps started mid-block anchor at the block start
-(≤ one block of ramp-phase skew); int sets apply at block rate.
+events extension in compile.py): float sets, triggers, int sets and
+smoothing-ramp starts are all sample-accurate per voice — samples before an
+event's frame follow the pre-event trajectory, samples at/after it the new
+one, and ramps anchor at their event frame starting from the old
+trajectory's value at that frame (WrPreciseTiming + WrSmoothParams
+semantics at bank scale, without block splitting). Retrigger int params
+(e.g. Envelope.jump_to_segment) additionally receive a per-sample
+``<name>_set`` mask so repeated sets of the same value re-apply, exactly as
+the graph engine's param_apply-per-event does.
 
 Voices can be masked inactive; inactive voices render but are muted — the
 "free" that never needs a recompile (SURVEY §7.4 voice-pool masking).
@@ -209,8 +213,11 @@ class VoiceBank(UGen):
 
     def _apply_events(self, ctx: AudioCtx, state, events, trig_tensor=True):
         """Apply the bank event channel: returns (fstate, ivals, active,
-        trig [n_trig, V, B]) where fstate = (fvals, ftarget, fstep, frem,
-        fsdur) carrying per-(param, voice) linear smoothing ramps.
+        trig [n_trig, V, B], fframe, iinfo) where fstate = (fvals, ftarget,
+        fstep, frem, fsdur) carrying per-(param, voice) linear smoothing
+        ramps, fframe is the per-(param, voice) float-event frame (ramps and
+        sets anchor there), and iinfo = (iframe [ni, V], iset [ni, V, B] or
+        None) carries the int-set frames and the retrigger set mask.
         ``trig_tensor=False`` skips the [n_trig, V, B] boolean plane (the
         Pallas banks read packed bitmasks via ``_packed_trigs`` instead)."""
         V = self.n_voices
@@ -226,7 +233,8 @@ class VoiceBank(UGen):
                       state["frem"], state["fsdur"])
             trig = (jnp.zeros((max(n_trig_, 1), V, B), bool)
                     if trig_tensor else None)
-            return fstate, state["ivals"], state["active"], trig, None
+            return (fstate, state["ivals"], state["active"], trig, None,
+                    (None, None))
 
         fvals = state["fvals"]  # [nf, V] value at block start
         ftarget = state["ftarget"]
@@ -268,7 +276,17 @@ class VoiceBank(UGen):
             v_sel = jnp.where(sel, voice, V)
             p_sel = jnp.clip(param, 0, nf - 1)
             dur = pad(fsdur)[p_sel, v_sel]
-            cur = pad(fvals)[p_sel, v_sel]
+            # ramps anchor at the event frame and start from the OLD
+            # trajectory's value AT that frame (the engine's c_f = row[f],
+            # param_engine._materialize_floats) — not the block-start value
+            old_v0 = pad(fvals)[p_sel, v_sel]
+            old_step = pad(fstep)[p_sel, v_sel]
+            old_rem = pad(frem)[p_sel, v_sel]
+            old_tgt = pad(ftarget)[p_sel, v_sel]
+            cur = jnp.where(
+                frame >= old_rem, old_tgt,
+                old_v0 + old_step * frame.astype(dtype),
+            )
             ramp = dur > 0
             new_val = jnp.where(ramp, cur, value)
             new_step = jnp.where(
@@ -280,10 +298,31 @@ class VoiceBank(UGen):
             fstep = pad(fstep).at[p_sel, v_sel].set(new_step)[:, :V]
             frem = pad(frem).at[p_sel, v_sel].set(new_rem)[:, :V]
             # sample-accurate sets: remember the event frame per slot so the
-            # materialization keeps the OLD trajectory before it
+            # materialization keeps the OLD trajectory before it and anchors
+            # the new one (ramp progress counts from this frame)
             fframe = pad(fframe).at[p_sel, v_sel].set(frame)[:, :V]
-        if ivals.shape[0]:
+        ni = ivals.shape[0]
+        iframe = jnp.zeros((max(ni, 1), V), jnp.int32)
+        iset = None
+        if ni:
+            old_ivals = ivals
             ivals = apply_set(ivals, 2, value.astype(jnp.int32))
+            sel_i = valid & (kind == 2)
+            v_i = jnp.where(sel_i, voice, V)
+            p_i = jnp.clip(param, 0, ni - 1)
+            # int sets are sample-accurate too: keep the old value before
+            # the event frame (engine _materialize_ints parity)
+            iframe = pad(iframe).at[p_i, v_i].set(frame)[:, :V]
+            if trig_tensor and any(
+                getattr(p, "retrigger", False)
+                for p in self.voice.params
+                if p.ptype in ("integer", "bool")
+            ):
+                # per-sample set mask for retrigger params (the engine's
+                # pset plane): repeated same-value sets must re-apply
+                iset = jnp.zeros((ni, V + 1, B), dtype=bool)
+                iset = iset.at[p_i, v_i, frame].set(sel_i)[:, :V, :]
+            del old_ivals  # kept via iframe select in process()
         sel_a = valid & (kind == 3)
         v_a = jnp.where(sel_a, voice, V)
         active = jnp.concatenate([active, jnp.zeros((1,), bool)]).at[v_a].set(
@@ -300,57 +339,89 @@ class VoiceBank(UGen):
             trig = trig[:, :V, :]
         else:
             trig = None
-        return (fvals, ftarget, fstep, frem, fsdur), ivals, active, trig, fframe
+        return ((fvals, ftarget, fstep, frem, fsdur), ivals, active, trig,
+                fframe, (iframe, iset))
 
     @staticmethod
-    def _advance_ramps(fstate, B, dtype):
-        """State after one block of per-sample ramping."""
+    def _advance_ramps(fstate, B, dtype, fframe=None):
+        """State after one block of per-sample ramping. ``fframe`` (when the
+        block had events) is each slot's ramp anchor frame: a ramp started
+        at frame f has only ramped B - f samples by the block boundary."""
         fvals, ftarget, fstep, frem, fsdur = fstate
-        done = frem <= B
-        new_vals = jnp.where(
-            done, ftarget, fvals + fstep * jnp.asarray(B, dtype)
+        if fframe is None:
+            eff = B
+        else:
+            eff = (B - fframe).astype(fvals.dtype)
+        done = frem <= eff
+        new_vals = jnp.where(done, ftarget, fvals + fstep * eff)
+        rem_next = jnp.maximum(
+            frem - (B if fframe is None else (B - fframe)), 0
         )
-        return (new_vals, ftarget, fstep, jnp.maximum(frem - B, 0), fsdur)
+        return (new_vals, ftarget, fstep, rem_next, fsdur)
 
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
-        fstate, ivals, active, trig, fframe = self._apply_events(ctx, state, events)
+        fstate, ivals, active, trig, fframe, (iframe, iset) = \
+            self._apply_events(ctx, state, events)
         fvals, ftarget, fstep, frem, fsdur = fstate
 
         # build per-voice param dict: [V, B] leaves for vmap axis 0.
         # Floats ramp per sample toward their target (per-voice smoothing),
         # snapping exactly to the target when the ramp completes. Float sets
         # are sample-accurate: samples before the event frame follow the OLD
-        # trajectory (pre-event ramp state), samples at/after it the new one
-        # (knaster WrPreciseTiming semantics at bank scale; with no event the
-        # two trajectories are identical, so the select is free).
+        # trajectory (pre-event ramp state), samples at/after it the new one,
+        # and a ramp's progress counts from its event frame (knaster
+        # WrPreciseTiming + WrSmoothParams semantics at bank scale; with no
+        # event the two trajectories are identical, so the select is free).
         t_idx = jnp.arange(B, dtype=jnp.int32)
 
-        def materialize(vals, target, step, rem, i):
-            prog = jnp.minimum(t_idx[None, :], rem[i][:, None])
-            ramp_done = prog >= rem[i][:, None]
+        def materialize(vals, target, step, rem, i, anchor=None):
+            ln = (
+                t_idx[None, :]
+                if anchor is None
+                else t_idx[None, :] - anchor[i][:, None]
+            )
+            ramp_done = ln >= rem[i][:, None]
             return jnp.where(
                 ramp_done,
                 target[i][:, None],
-                vals[i][:, None] + step[i][:, None] * prog.astype(dtype),
+                vals[i][:, None] + step[i][:, None] * ln.astype(dtype),
             )
 
         voice_params = {}
         for i, name in enumerate(self._float_names):
-            new = materialize(fvals, ftarget, fstep, frem, i)
             if fframe is None:  # no events this block: trajectories coincide
-                voice_params[name] = new
+                voice_params[name] = materialize(fvals, ftarget, fstep, frem, i)
                 continue
+            new = materialize(fvals, ftarget, fstep, frem, i, anchor=fframe)
             old = materialize(
                 state["fvals"], state["ftarget"], state["fstep"], state["frem"], i
             )
             voice_params[name] = jnp.where(
                 t_idx[None, :] >= fframe[i][:, None], new, old
             )
+        int_specs = [
+            p for p in self.voice.params if p.ptype in ("integer", "bool")
+        ]
         for i, name in enumerate(self._int_names):
-            voice_params[name] = jnp.broadcast_to(ivals[i][:, None], (V, B))
+            new_row = jnp.broadcast_to(ivals[i][:, None], (V, B))
+            if iframe is None:
+                voice_params[name] = new_row
+            else:
+                # int sets apply at their exact frame (engine parity)
+                old_row = jnp.broadcast_to(
+                    state["ivals"][i][:, None], (V, B)
+                )
+                voice_params[name] = jnp.where(
+                    t_idx[None, :] >= iframe[i][:, None], new_row, old_row
+                )
+            if getattr(int_specs[i], "retrigger", False):
+                voice_params[name + "_set"] = (
+                    iset[i] if iset is not None
+                    else jnp.zeros((V, B), dtype=bool)
+                )
         for i, name in enumerate(self._trig_names):
             voice_params[name] = trig[i]
 
@@ -371,7 +442,9 @@ class VoiceBank(UGen):
         else:
             out = outs.reshape(V * self.voice.outputs, B)
         done = jnp.zeros((B,), dtype=bool)  # banks never free themselves
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(fstate, B, dtype)
+        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
+            fstate, B, dtype, fframe
+        )
         new_state = {
             "voices": new_vstate,
             "fvals": fvals,

@@ -75,32 +75,55 @@ class PinkNoise(_NoiseBase):
         }
 
     def process(self, ctx: AudioCtx, state, inputs, params):
+        # Vectorized Voss-McCartney (no per-sample scan): the per-sample
+        # recurrence is pink_t = pink_{t-1} - whites_before[i_t] + x0_t
+        # - x1_{t-1} + x1_t, where i_t = trailing_zeros(counter_t) and
+        # whites_before[i_t] is the x0 at the PREVIOUS occurrence of octave
+        # i_t (or the carried octave value). Per octave, the previous
+        # occurrence is an exclusive running-max of masked sample indices —
+        # log-depth on the VPU instead of a B-iteration loop.
         B = ctx.block_size
+        dtype = ctx.dtype
         u = self._block_uniforms(ctx, state, (B, 2)) * 2.0 - 1.0
+        x0, x1 = u[:, 0], u[:, 1]
         mask = jnp.uint32(2 ** (PINK_NOISE_OCTAVES - 1))
 
-        def step(carry, x):
-            whites, always_on, counter, pink = carry
-            lsb = counter & (jnp.uint32(0) - counter)
-            index = jax.lax.population_count(lsb - 1).astype(jnp.int32)
-            pink = pink - whites[index] + x[0]
-            whites = whites.at[index].set(x[0])
-            pink = pink - always_on + x[1]
-            always_on = x[1]
-            counter = (counter & (mask - 1)) + 1
-            out = pink / (PINK_NOISE_OCTAVES + 1.0)
-            return (whites, always_on, counter, pink), out
+        t = jnp.arange(B, dtype=jnp.uint32)
+        counter = ((state["counter"] - 1 + t) & (mask - 1)) + 1
+        lsb = counter & (jnp.uint32(0) - counter)
+        idx = jax.lax.population_count(lsb - 1).astype(jnp.int32)  # [B]
 
-        carry0 = (state["whites"], state["always_on"], state["counter"], state["pink"])
-        (whites, always_on, counter, pink), out = jax.lax.scan(step, carry0, u)
+        ti = jnp.arange(B, dtype=jnp.int32)
+        removed = jnp.zeros((B,), dtype)
+        new_whites = state["whites"]
+        for o in range(PINK_NOISE_OCTAVES):
+            m = idx == o
+            occ = jnp.where(m, ti, -1)
+            # index of the previous occurrence of octave o, exclusive
+            prev = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32),
+                 jax.lax.cummax(occ)[:-1]]
+            )
+            val = jnp.where(
+                prev >= 0, x0[jnp.maximum(prev, 0)], state["whites"][o]
+            )
+            removed = jnp.where(m, val, removed)
+            last = jax.lax.cummax(occ)[-1]
+            new_whites = new_whites.at[o].set(
+                jnp.where(last >= 0, x0[jnp.maximum(last, 0)],
+                          state["whites"][o])
+            )
+        x1_prev = jnp.concatenate([state["always_on"][None], x1[:-1]])
+        pink = state["pink"] + jnp.cumsum(x0 - removed + x1 - x1_prev)
+        out = pink / (PINK_NOISE_OCTAVES + 1.0)
         new_state = {
             "block": state["block"] + 1,
-            "whites": whites,
-            "always_on": always_on,
-            "counter": counter,
-            "pink": pink,
+            "whites": new_whites,
+            "always_on": x1[-1],
+            "counter": ((state["counter"] - 1 + B) & (mask - 1)) + 1,
+            "pink": pink[-1],
         }
-        return new_state, out[None, :]
+        return new_state, out[None, :].astype(dtype)
 
 
 class BrownNoise(_NoiseBase):

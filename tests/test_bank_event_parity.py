@@ -1,0 +1,204 @@
+"""Bank-vs-engine event-semantics parity (VERDICT round-2 weak #4/#5).
+
+The reference applies EVERY param change at its exact frame through
+``param_apply`` (wrappers_core/precise_timing.rs:65-114), regardless of
+parameter type. The graph param engine reproduces that for nodes; these
+tests pin the VoiceBank event channel to the same semantics: a per-voice
+event stream through a 1-voice bank must render identically (≤1e-6) to the
+same events through a single-voice graph node.
+"""
+
+import numpy as np
+import pytest
+
+from knaster_tpu import (
+    AudioCtx,
+    AudioProcessor,
+    AudioProcessorOptions,
+    Envelope,
+    Seconds,
+    Smoothing,
+    UGen,
+    VoiceBank,
+    pfloat,
+    pinteger,
+)
+
+SR = 48000
+OPTS = AudioProcessorOptions(block_size=64)
+
+
+def _samples(n):
+    return Seconds.from_samples(n, SR)
+
+
+class IntLevelVoice(UGen):
+    """Emits its integer param as a float signal (per-sample int visibility)."""
+
+    inputs = 0
+    outputs = 1
+    params = (pinteger("sel", 1),)
+
+    def batch_key(self):
+        return (type(self),)
+
+    def process(self, ctx, state, inputs, params):
+        return state, params["sel"][None, :].astype(ctx.dtype)
+
+
+class LevelVoice(UGen):
+    inputs = 0
+    outputs = 1
+    params = (pfloat("level", 1.0),)
+
+    def batch_key(self):
+        return (type(self),)
+
+    def process(self, ctx, state, inputs, params):
+        return state, params["level"][None, :].astype(ctx.dtype)
+
+
+def _engine_render(voice_ugen, schedule, frames=256):
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+    node = g.edit(lambda gg: gg.push(voice_ugen))
+    node.to_graph_out()
+    g.commit()
+    schedule(lambda name: node.param(name))
+    return proc.render(frames=frames)[0]
+
+
+def _bank_render(voice_ugen, schedule, frames=256):
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+    bank = g.edit(lambda gg: gg.push(VoiceBank(voice_ugen, 1)))
+    bank.to_graph_out()
+    g.commit()
+    schedule(lambda name: _VP(bank, name))
+    return proc.render(frames=frames)[0]
+
+
+class _VP:
+    """Adapter: voice-0 parameter with the node-Parameter scheduling shape."""
+
+    def __init__(self, bank_handle, name):
+        self.vp = bank_handle.voice_param(name)
+
+    def set_at(self, value, at):
+        self.vp.set_at(0, value, at)
+
+    def smooth(self, time_seconds, at=None):
+        if at is None:
+            self.vp.smooth(0, time_seconds)
+        else:
+            from knaster_tpu.graph.scheduling import Time
+
+            self.vp.smooth(0, time_seconds, Time.at(at))
+
+
+def test_mid_block_int_set_parity():
+    """Int sets land at their exact frame in banks, like engine ints
+    (param_engine._materialize_ints)."""
+
+    def schedule(param):
+        param("sel").set_at(3, _samples(37))
+        param("sel").set_at(7, _samples(201))
+
+    a = _engine_render(IntLevelVoice(), schedule)
+    b = _bank_render(IntLevelVoice(), schedule)
+    # sanity: the switch is genuinely mid-block
+    assert a[36] == 1 and a[37] == 3 and a[200] == 3 and a[201] == 7
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_mid_block_smooth_start_parity():
+    """A ramp started mid-block anchors at its event frame and starts from
+    the old trajectory's value there (WrSmoothParams + precise timing)."""
+
+    def schedule(param):
+        p = param("level")
+        p.smooth(0.001)  # 48-frame linear, audio rate
+        p.set_at(49.0, _samples(37))
+        # re-set mid-ramp AND mid-block, in the next block (the bank event
+        # channel applies at most one set per (param, voice) per block —
+        # host dedup, documented in node_events_from_lists)
+        p.set_at(-20.0, _samples(77))
+
+    a = _engine_render(LevelVoice(), schedule)
+    b = _bank_render(LevelVoice(), schedule)
+    t = np.arange(256.0)
+    # ramp 1 anchors at 37: value 1 + (49-1)/48 * (t-37) until re-set at 77
+    seg = 1.0 + (49.0 - 1.0) / 48.0 * (t - 37)
+    assert abs(a[37] - seg[37]) < 1e-5 and abs(a[76] - seg[76]) < 1e-5
+    # ramp 2 starts from ramp 1's value at frame 77
+    v77 = seg[77]
+    seg2 = v77 + (-20.0 - v77) / 48.0 * (t - 77)
+    assert abs(a[100] - seg2[100]) < 1e-4
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_repeated_jump_to_segment_parity():
+    """Two sets of the SAME jump_to_segment value must both re-jump, in the
+    engine (pset mask) and in banks (the per-voice _set mask) alike —
+    envelopes.rs:488-508 applies every param_apply."""
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+    node = g.edit(lambda gg: gg.push(Envelope(0.0, [(0.02, 1.0), (0.02, 0.5), (0.02, 0.0)])))
+    node.to_graph_out()
+    g.commit()
+    node.param("jump_to_segment").set_at(1, _samples(100))
+    node.param("jump_to_segment").set_at(1, _samples(400))
+    a = proc.render(frames=700)[0]
+
+    g2, proc2 = AudioProcessor.new(0, 1, OPTS)
+    bank = g2.edit(
+        lambda gg: gg.push(
+            VoiceBank(Envelope(0.0, [(0.02, 1.0), (0.02, 0.5), (0.02, 0.0)]), 1)
+        )
+    )
+    bank.to_graph_out()
+    g2.commit()
+    bank.voice_param("jump_to_segment").set_at(0, 1, _samples(100))
+    bank.voice_param("jump_to_segment").set_at(0, 1, _samples(400))
+    b = proc2.render(frames=700)[0]
+
+    # the second (same-value) jump restarts segment 1 at frame 400: the
+    # envelope value must jump back toward segment 1's start
+    assert abs(a[400] - a[399]) > 1e-4 or abs(a[405] - a[399]) > 1e-4
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_pallas_bank_anchored_ramp():
+    """The Pallas kernels materialize the frame-anchored ramp in-kernel
+    (the _mat select): parity with the vmap bank for a mid-block smooth
+    start."""
+    jnp = pytest.importorskip("jax.numpy")
+    from knaster_tpu import PallasSineVoiceBank, SineVoice
+
+    V = 1024
+    ctx = AudioCtx(SR, 64, np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": rng.uniform(100, 900, V).astype(np.float32),
+        "amp": np.full(V, 0.001, np.float32),
+        "pan": rng.uniform(-1, 1, V).astype(np.float32),
+    }
+    pb = PallasSineVoiceBank(V, voice_defaults=defaults)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=defaults)
+    if pb.n_voices != V:
+        pytest.skip("pallas bank shape constraint")
+    fi = vb.float_index("freq")
+    events = [
+        (0, 3, fi, 4, 96.0),   # smooth 96 frames on voice 3
+        (17, 3, fi, 0, 440.0),  # ramp starts at frame 17
+        (41, 7, vb.float_index("amp"), 0, 0.002),  # plain set voice 7
+    ]
+    spb = pb.init(ctx)
+    svb = vb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    for blk in range(4):
+        ev_p = pb.node_events_from_lists(events) if blk == 0 else None
+        ev_v = vb.node_events_from_lists(events) if blk == 0 else None
+        spb, op = pb.process(ctx, spb, no_in, {}, events=ev_p)[:2]
+        svb, ov = vb.process(ctx, svb, no_in, {}, events=ev_v)[:2]
+        np.testing.assert_allclose(
+            np.asarray(op), np.asarray(ov), atol=2e-5,
+            err_msg=f"block {blk}",
+        )

@@ -399,8 +399,10 @@ def test_voicebank_sample_accurate_float_set():
     np.testing.assert_allclose(out[:100], 11.0, atol=1e-6)
     np.testing.assert_allclose(out[100:], 15.0, atol=1e-6)
 
-    # mid-block set while a ramp is running: the old ramp continues up to the
-    # event frame, the new ramp (anchored at block start) takes over at it
+    # mid-block set while a ramp is running: the old ramp continues up to
+    # the event frame; the new ramp ANCHORS at that frame and starts from
+    # the old trajectory's value there (engine parity: the param engine's
+    # c_f = row[f], param_engine._materialize_floats)
     ctx = AudioCtx(SR, 64, np.float32)
     vb = VoiceBank(LevelVoice(), 1)
     li = vb.float_index("level")
@@ -414,8 +416,13 @@ def test_voicebank_sample_accurate_float_set():
     ev1 = vb.node_events_from_lists([(32, 0, li, 0, 500.0)])
     st, o1 = vb.process(ctx, st, no_in, {}, events=ev1)[:2]
     t = np.arange(64.0)
-    expect = np.where(t < 32, 64.0 + t, 64.0 + (500.0 - 64.0) / 128.0 * t)
+    expect = np.where(
+        t < 32, 64.0 + t, 96.0 + (500.0 - 96.0) / 128.0 * (t - 32)
+    )
     np.testing.assert_allclose(np.asarray(o1)[0], expect, atol=1e-3)
+    # the ramp's remaining length also counts from the event frame: 32 of
+    # 128 frames elapsed by the block boundary
+    assert int(np.asarray(st["frem"])[li, 0]) == 128 - 32
 
 
 def test_additive_voice_single_harmonic_matches_sine_voice():
