@@ -52,6 +52,14 @@ CHAIN_UNROLL = int(os.environ.get("KNASTER_CHAIN_UNROLL", "8"))
 _CHAIN_COLLAPSE_ON = os.environ.get("KNASTER_CHAIN_COLLAPSE", "1") != "0"
 
 
+class _PendingCarry:
+    """Placeholder in a cache entry's carry_fns while a pre-warm worker
+    compiles that carry (see CompiledGraph.prewarm_carry)."""
+
+    def __init__(self):
+        self.event = threading.Event()
+
+
 @dataclass
 class ChainPlan:
     """One collapsed chain: K stages of p nodes each.
@@ -196,6 +204,13 @@ class CompiledGraph:
         if self.cache_entry is not None and key is not None:
             fns = self.cache_entry.setdefault("carry_fns", {})
             fn = fns.get(key)
+            if isinstance(fn, _PendingCarry):
+                # a pre-warm worker (prewarm_carry) is compiling this very
+                # carry: waiting out its remainder beats recompiling
+                fn.event.wait(timeout=300)
+                fn = fns.get(key)
+                if isinstance(fn, _PendingCarry):
+                    fn = None
             if fn is None:
                 pc = prev_compiled
 
@@ -210,6 +225,40 @@ class CompiledGraph:
                     fns.pop(next(iter(fns)))
             return fn(prev)
         return self._build_state(prev, prev_compiled)
+
+    def prewarm_carry(self, from_compiled: "CompiledGraph") -> bool:
+        """AOT-compile the state-carry program INTO this topology FROM
+        ``from_compiled``'s, without touching any live buffers (shape-only
+        lowering) — so a worker thread can hide the first-cycle carry
+        compile of a recurring edit (push/free/push) behind the audible
+        part of the previous edit. Returns True if a compile happened."""
+        if self.cache_entry is None:
+            return False
+        key = self._carry_key(from_compiled)
+        if key is None:
+            return False
+        fns = self.cache_entry.setdefault("carry_fns", {})
+        if key in fns:
+            return False
+        pending = _PendingCarry()
+        fns[key] = pending
+        try:
+            fc = from_compiled
+
+            def carry(p):
+                return self._build_state(p, fc)
+
+            shapes = jax.eval_shape(lambda: fc._build_state(None, None))
+            fn = jax.jit(carry)
+            fns[key] = fn.lower(shapes).compile()
+            while len(fns) > 8:
+                fns.pop(next(iter(fns)))
+            return True
+        except Exception:
+            fns.pop(key, None)
+            return False
+        finally:
+            pending.event.set()
 
     def _carry_key(self, prev_compiled: "CompiledGraph"):
         """Cache key for the jitted carry program: everything the traced

@@ -42,6 +42,11 @@ class AudioProcessorOptions:
     log_channel_capacity: int = 100
     # compiler: vmap same-kind nodes at equal depth into one call
     auto_batch: bool = True
+    # pre-compile the reverse state-carry (undo direction) on a worker
+    # thread after every program swap, so recurring push/free cycles hit a
+    # warm carry on their FIRST cycle (the reference's TaskData swap is µs
+    # always, graph.rs:1707-1726; our equivalent one-time cost is this jit)
+    prewarm_undo_carry: bool = True
     # bounce path: blocks per on-device scan call (fixed so the scan is
     # compiled once; remainders run block-by-block)
     render_chunk_blocks: int = 128
@@ -95,6 +100,21 @@ class AudioProcessor:
         self.compiled = compile_graph(
             self.graph, self.options.event_capacity, self.options.auto_batch
         )
+        if (
+            self.options.prewarm_undo_carry
+            and prev_compiled is not None
+            and prev_compiled.cache_entry is not None
+            and self.compiled.signature is not None
+        ):
+            # kick BEFORE the forward carry below so the two compiles
+            # overlap: by the time this edit is audible, the undo carry
+            # (prev <- new) is warm and the next free/undo swaps in ms
+            import threading
+
+            old_cg, new_cg = prev_compiled, self.compiled
+            threading.Thread(
+                target=old_cg.prewarm_carry, args=(new_cg,), daemon=True
+            ).start()
         self.state = self.compiled.init_state(prev_state, prev_compiled)
 
     # -- async recompile (used by the streaming backend) -------------------
