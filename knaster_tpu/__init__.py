@@ -74,6 +74,7 @@ from .ugens.pan import Pan2
 from .ugens.polyblep import PolyBlep, Waveform
 from .ugens.util import Constant, DoneOnTrig, LogProbe
 from .ugens.wavetable import NonAaWavetable, Wavetable, harmonics_from_table
+from .parallel.pool import VoicePool
 from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
 from .backends import AudioBackend, OfflineBackend, StreamBackend
@@ -107,6 +108,7 @@ __all__ = [
     "SubtractiveVoice",
     "SamplerVoice",
     "VoiceBank",
+    "VoicePool",
     "AllpassFeedbackDelay",
     "AudioCtx",
     "Buffer",

@@ -110,10 +110,81 @@ class Galactic(UGen):
         return self._process_scan(ctx, state, inputs, params)
 
     # ------------------------------------------------------------------
+    _XS_COLS: dict = {}
+
+    @classmethod
+    def _xorshift_columns(cls, n: int) -> np.ndarray:
+        """``cols[t, j] = xorshift^t(1 << j)``: the 13/17/5 xorshift is
+        linear over GF(2), so the whole per-sample sequence is a bit-matrix
+        product with trace-time-constant matrices — integer-exact, no
+        sequential chain."""
+        cols = cls._XS_COLS.get(n)
+        if cols is None:
+            cols = np.empty((n + 1, 32), np.uint64)
+            v = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+            m32 = np.uint64(0xFFFFFFFF)
+            for t in range(n + 1):
+                cols[t] = v
+                v = (v ^ (v << np.uint64(13))) & m32
+                v = v ^ (v >> np.uint64(17))
+                v = (v ^ (v << np.uint64(5))) & m32
+            cols = cols.astype(np.uint32)
+            cls._XS_COLS[n] = cols
+        return cols
+
+    def _vib_fpd_vectorized(self, ctx, state, drift):
+        """Vectorized replacement for the per-sample vibrato/xorshift chain
+        (the last sequential piece of the blockwise path — ~40% of its cost
+        even fully unrolled). The xorshift sequence is a GF(2) bit-matrix
+        product (integer-exact); the vibrato phase has AT MOST one 2π reset
+        per block (max phase rate ≈ 6.9e-4 rad/sample ⇒ ≥ 9000 samples
+        between resets), so the recurrence is a cumsum plus one select."""
+        dtype = ctx.dtype
+        B = drift.shape[0]
+        cols = jnp.asarray(self._xorshift_columns(B))  # [B+1, 32] u32
+        x0 = state["fpd"]  # [2] u32
+        seq = jnp.zeros((2, B + 1), jnp.uint32)
+        for j in range(32):
+            bit = ((x0 >> np.uint32(j)) & np.uint32(1)).astype(bool)
+            seq = seq ^ jnp.where(bit[:, None], cols[None, :, j], np.uint32(0))
+        pre = seq[:, :B]       # carry fpd at step t (drives tiny + reset)
+        fpd_seq = seq[:, 1:]   # advanced fpd at step t (drives the dither)
+        fpd_out = seq[:, B]
+
+        tiny = (pre.T.astype(dtype)) * jnp.asarray(1.18e-17, dtype)
+
+        # vibrato phase: vm_t = vm0 + oldfpd0 * Σ d  until the (unique)
+        # sample where it crosses 2π; there it resets to 0 and continues at
+        # the re-seeded rate (galactic.rs:229-235)
+        csum = jnp.cumsum(drift)  # inclusive [B]
+        vm_naive = state["vib_m"] + state["oldfpd"] * csum
+        two_pi = jnp.asarray(2.0 * np.pi, dtype)
+        crossed = vm_naive > two_pi
+        has = jnp.any(crossed)
+        k = jnp.argmax(crossed).astype(jnp.int32)
+        oldfpd_new = (
+            jnp.asarray(0.4294967295, dtype)
+            + pre[0, k].astype(dtype) * jnp.asarray(0.0000000000618, dtype)
+        )
+        t_i = jnp.arange(B, dtype=jnp.int32)
+        after = has & (t_i > k)
+        vm = jnp.where(after, oldfpd_new * (csum - csum[k]), vm_naive)
+        vm = jnp.where(has & (t_i == k), jnp.zeros((), dtype), vm)
+        off = jnp.stack(
+            [
+                (jnp.sin(vm) + 1.0) * 127.0,
+                (jnp.sin(vm + np.pi / 2.0) + 1.0) * 127.0,
+            ],
+            axis=1,
+        ).astype(dtype)  # [B, 2]
+        vib_m_out = vm[B - 1]
+        oldfpd_out = jnp.where(has, oldfpd_new, state["oldfpd"])
+        return off, tiny, fpd_seq.T, vib_m_out, oldfpd_out, fpd_out
+
     def _vib_fpd_scan(self, ctx, state, drift):
-        """The only truly sequential piece: the vibrato phase / xorshift
-        dither chain (scalars). Returns per-sample (offsets [B,2],
-        tiny [B,2], fpd_dither [B,2] advanced values) + new carry."""
+        """Per-sample reference for the vibrato phase / xorshift dither
+        chain (scalars). Returns per-sample (offsets [B,2], tiny [B,2],
+        fpd_dither [B,2] advanced values) + new carry."""
         dtype = ctx.dtype
 
         def step(carry, d):
@@ -170,10 +241,12 @@ class Galactic(UGen):
             (base_lens.astype(dtype) * size).astype(jnp.int32), B + 1, self._Lmax
         )  # [12]
 
-        # 1. sequential scalar chain
-        off, tiny, fpd_seq, vib_m, oldfpd, fpd = self._vib_fpd_scan(
-            ctx, state, drift
+        # 1. the vibrato/dither chain, vectorized (see _vib_fpd_vectorized;
+        # the ≤1-reset-per-block argument needs B well under ~9000 samples)
+        vib_chain = (
+            self._vib_fpd_vectorized if B <= 4096 else self._vib_fpd_scan
         )
+        off, tiny, fpd_seq, vib_m, oldfpd, fpd = vib_chain(ctx, state, drift)
 
         # 2. silence replacement dither
         inp = inputs  # [2, B]

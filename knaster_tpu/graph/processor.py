@@ -344,6 +344,8 @@ class AudioProcessor:
                     item = (frame, p[1], 0, 3, 1.0 if p[2] else 0.0)
                 elif p[0] == "voice_smooth":
                     item = (frame, p[1], p[2], 4, float(p[3]))
+                elif p[0] == "voice_idle_clear":
+                    item = (frame, p[1], 0, 5, 0.0)
                 else:
                     continue
                 place(ev, bi, frame, 3, item, vcap,

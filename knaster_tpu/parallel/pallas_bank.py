@@ -226,7 +226,7 @@ def _bank_setup(bank, ctx, state, events):
     ``process`` needs. ``ng`` is the per-param ramp-group size."""
     dtype = ctx.dtype
     R = bank.n_voices // LANES
-    fstate, ivals, active, _, fframe, _iinfo = bank._apply_events(
+    fstate, ivals, active, _, fframe, _iinfo, idle = bank._apply_events(
         ctx, state, events, trig_tensor=False
     )
     ramp_ops = _ramp_operands(bank, state, fstate, fframe, dtype)
@@ -236,7 +236,7 @@ def _bank_setup(bank, ctx, state, events):
     rel = jnp.full((R, LANES), 1.0 / max(bank._release * ctx.sample_rate, 1.0),
                    dtype)
     act = active.astype(dtype).reshape(R, LANES)
-    return fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act
+    return fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, idle
 
 
 def _grid2(bank, x):
@@ -387,8 +387,8 @@ class PallasSineVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
-            _bank_setup(self, ctx, state, events)
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+            idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
         if ng == N_FAST:
             # event-free block: swap pan's ramp group for the rotation pack
@@ -443,6 +443,7 @@ class PallasSineVoiceBank(VoiceBank):
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,
             "ivals": ivals, "active": active,
+            "idle": idle | (stage.reshape(-1) == 0),
             "phase": phase, "stage": stage, "t": t, "rscale": rscale,
         }
         return new_state, out
@@ -546,8 +547,8 @@ class PallasFMVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
-            _bank_setup(self, ctx, state, events)
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+            idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
 
         r_lo, r_hi = (
@@ -589,6 +590,7 @@ class PallasFMVoiceBank(VoiceBank):
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,
             "ivals": ivals, "active": active,
+            "idle": idle | (stage.reshape(-1) == 0),
             "phm": phm, "phc": phc, "stage": stage, "t": t,
         }
         return new_state, out
@@ -733,8 +735,8 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
-            _bank_setup(self, ctx, state, events)
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+            idle = _bank_setup(self, ctx, state, events)
         inv_sr = np.float32(1.0 / ctx.sample_rate)
 
         r_lo, r_hi = (
@@ -783,6 +785,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,
             "ivals": ivals, "active": active,
+            "idle": idle | (stage.reshape(-1) == 0),
             "t": t, "ic1": ic1, "ic2": ic2, "stage": stage, "et": et,
             "rscale": rscale,
         }
@@ -927,8 +930,8 @@ class PallasWavetableVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act = \
-            _bank_setup(self, ctx, state, events)
+        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+            idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
         if ng == N_FAST:
             # event-free block: swap pan's ramp group for the rotation pack
@@ -993,6 +996,7 @@ class PallasWavetableVoiceBank(VoiceBank):
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
             "frem": frem, "fsdur": fsdur,
             "ivals": ivals, "active": active,
+            "idle": idle | (stage.reshape(-1) == 0),
             "phase": phase, "stage": stage, "t": t, "rscale": rscale,
         }
         return new_state, out

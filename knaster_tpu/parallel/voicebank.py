@@ -134,6 +134,11 @@ class VoiceBank(UGen):
             "fsdur": jnp.zeros((nf, V), dtype=jnp.int32),
             "ivals": jnp.asarray(ivals),
             "active": jnp.ones((V,), dtype=bool),
+            # per-voice done latch: set when a voice's UGen reports done,
+            # cleared by a note-on (event kind 5). VoicePool reads this to
+            # auto-release voices — the bank equivalent of the reference's
+            # free-on-done idiom (many_sines.rs + wrappers_graph/done.rs)
+            "idle": jnp.zeros((V,), dtype=bool),
         }
 
     # --------------------------------------------------------------- events
@@ -143,7 +148,8 @@ class VoiceBank(UGen):
             "frame": jnp.zeros((E,), jnp.int32),
             "voice": jnp.full((E,), -1, jnp.int32),
             "param": jnp.zeros((E,), jnp.int32),
-            # kind: 0 float set, 1 trigger, 2 int set, 3 set-active
+            # kind: 0 float set, 1 trigger, 2 int set, 3 set-active,
+            #       4 smoothing config, 5 clear idle latch (note-on)
             "kind": jnp.zeros((E,), jnp.int32),
             "value": jnp.zeros((E,), dtype),
         }
@@ -234,7 +240,7 @@ class VoiceBank(UGen):
             trig = (jnp.zeros((max(n_trig_, 1), V, B), bool)
                     if trig_tensor else None)
             return (fstate, state["ivals"], state["active"], trig, None,
-                    (None, None))
+                    (None, None), state["idle"])
 
         fvals = state["fvals"]  # [nf, V] value at block start
         ftarget = state["ftarget"]
@@ -328,6 +334,12 @@ class VoiceBank(UGen):
         active = jnp.concatenate([active, jnp.zeros((1,), bool)]).at[v_a].set(
             value > 0.5
         )[:V]
+        # note-on (kind 5): clear the voice's idle latch
+        sel_n = valid & (kind == 5)
+        v_n = jnp.where(sel_n, voice, V)
+        idle = jnp.concatenate(
+            [state["idle"], jnp.zeros((1,), bool)]
+        ).at[v_n].set(False)[:V]
 
         if trig_tensor:
             trig = jnp.zeros((max(n_trig, 1), V + 1, B), dtype=bool)
@@ -340,7 +352,7 @@ class VoiceBank(UGen):
         else:
             trig = None
         return ((fvals, ftarget, fstep, frem, fsdur), ivals, active, trig,
-                fframe, (iframe, iset))
+                fframe, (iframe, iset), idle)
 
     @staticmethod
     def _advance_ramps(fstate, B, dtype, fframe=None):
@@ -363,7 +375,7 @@ class VoiceBank(UGen):
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
-        fstate, ivals, active, trig, fframe, (iframe, iset) = \
+        fstate, ivals, active, trig, fframe, (iframe, iset), idle = \
             self._apply_events(ctx, state, events)
         fvals, ftarget, fstep, frem, fsdur = fstate
 
@@ -435,6 +447,8 @@ class VoiceBank(UGen):
         new_vstate, outs, dones = jax.vmap(one_voice)(
             state["voices"], zero_in, voice_params
         )
+        # latch per-voice done edges for VoicePool auto-release
+        idle = idle | jnp.any(dones, axis=1)
         # outs: [V, out_ch, B]
         outs = jnp.where(active[:, None, None], outs, jnp.zeros_like(outs))
         if self.mix == "sum":
@@ -454,5 +468,6 @@ class VoiceBank(UGen):
             "fsdur": fsdur,
             "ivals": ivals,
             "active": active,
+            "idle": idle,
         }
         return new_state, out, done

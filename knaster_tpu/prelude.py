@@ -41,6 +41,7 @@ from .parallel.pallas_bank import (  # noqa: F401
     PallasSubtractiveVoiceBank,
     PallasWavetableVoiceBank,
 )
+from .parallel.pool import VoicePool
 from .parallel.voicebank import VoiceBank  # noqa: F401
 from .ugens.buffer import Buffer, BufferReader  # noqa: F401
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn  # noqa: F401

@@ -70,3 +70,72 @@ def test_galactic_stereo_decorrelation():
     tail = y[:, SR // 4 :]
     c = np.corrcoef(tail[0], tail[1])[0, 1]
     assert abs(c) < 0.95  # channels differ (different delay phases)
+
+
+def test_blockwise_vectorized_vib_matches_scan():
+    """The blockwise path's vectorized vibrato/xorshift chain (GF(2)
+    bit-matrix xorshift + single-reset closed form) is exact against the
+    per-sample scan, including across a 2π vibrato reset."""
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    g = Galactic(seed=5)
+    st0 = g.init(ctx)
+    drift = jnp.full((64,), 0.0007, np.float32)  # max-rate detune
+
+    @jax.jit
+    def both(vib_m, oldfpd, fpd):
+        st = dict(st0)
+        st["vib_m"], st["oldfpd"], st["fpd"] = vib_m, oldfpd, fpd
+        return (g._vib_fpd_scan(ctx, st, drift),
+                g._vib_fpd_vectorized(ctx, st, drift))
+
+    vm = jnp.asarray(6.28, np.float32)  # resets within the first block
+    ofp, fpd = st0["oldfpd"], st0["fpd"]
+    for blk in range(12):
+        a, b = both(vm, ofp, fpd)
+        for i, (x, y) in enumerate(zip(a, b)):
+            x, y = np.asarray(x), np.asarray(y)
+            if x.dtype == np.uint32:
+                assert (x == y).all(), (blk, i)
+            else:
+                np.testing.assert_allclose(
+                    x, y, atol=2e-5, err_msg=f"blk{blk} out{i}"
+                )
+        vm, ofp, fpd = a[3], a[4], a[5]
+
+
+def test_blockwise_matches_per_sample_scan():
+    """Whole-reverb parity: the vectorized blockwise program equals the
+    exact per-sample scan (galactic.rs semantics) on dense noise input."""
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    g1 = Galactic(seed=9, blockwise=True)
+    g2 = Galactic(seed=9, blockwise=False)
+    s1, s2 = g1.init(ctx), g2.init(ctx)
+    params = {
+        k: jnp.full((64,), v, np.float32)
+        for k, v in dict(replace=0.5, detune=0.9, brightness=0.5,
+                         bigness=1.0, wet=1.0).items()
+    }
+
+    @jax.jit
+    def step2(s1, s2, x):
+        n1, o1 = g1.process(ctx, s1, x, params)[:2]
+        n2, o2 = g2.process(ctx, s2, x, params)[:2]
+        return n1, n2, o1, o2
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        x = jnp.asarray(rng.normal(0, 0.3, (2, 64)).astype(np.float32))
+        s1, s2, o1, o2 = step2(s1, s2, x)
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), atol=1e-5
+        )

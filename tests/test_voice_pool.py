@@ -1,0 +1,99 @@
+"""VoicePool: alloc/note_on/auto-release over a VoiceBank (VERDICT #6).
+
+Matches the reference's polyphony idiom — push voice, free-on-done
+(many_sines.rs + wrappers_graph/done.rs WrDone) — at bank scale: 1,000
+note-ons through a 64-voice pool with ZERO recompiles and no stolen active
+voices under the default policy.
+"""
+
+import numpy as np
+
+from knaster_tpu import (
+    AudioProcessor,
+    AudioProcessorOptions,
+    SineVoice,
+    VoiceBank,
+    VoicePool,
+)
+
+OPTS = AudioProcessorOptions(block_size=64)
+
+
+def _make(n_voices=64, attack=0.001, release=0.004):
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+    bank = g.edit(
+        lambda gg: gg.push(
+            VoiceBank(SineVoice(attack=attack, release=release), n_voices,
+                      event_capacity=512)
+        )
+    )
+    bank.to_graph_out()
+    g.commit()
+    pool = VoicePool(proc, bank)
+    return g, proc, bank, pool
+
+
+def test_thousand_note_ons_zero_recompiles():
+    g, proc, bank, pool = _make()
+    proc.render(frames=64)  # compile once
+    rev0 = g.revision
+    compiled0 = proc.compiled
+
+    played = 0
+    peak = 0.0
+    rng = np.random.default_rng(0)
+    while played < 1000:
+        burst = min(16, 1000 - played)
+        voices = []
+        for _ in range(burst):
+            v = pool.note_on({"freq": float(rng.uniform(100, 900)),
+                              "amp": 0.002})
+            assert v is not None, f"pool dry at note {played}"
+            voices.append(v)
+        played += burst
+        peak = max(peak, float(np.abs(proc.render(frames=64 * 2)).max()))
+        # release the gates; envelopes finish within ~5 ms
+        for v in voices:
+            pool.note_off(v)
+        proc.render(frames=64 * 8)  # ~10 ms: envelopes run out
+
+    assert played == 1000
+    assert peak > 1e-4  # the notes actually sounded
+    assert g.revision == rev0, "a recompile happened"
+    assert proc.compiled is compiled0
+    # after a final render, everything auto-releases
+    proc.render(frames=64 * 8)
+    pool.refresh()
+    assert pool.free_count == pool.n_voices
+
+
+def test_exhaustion_policies():
+    g, proc, bank, pool = _make(n_voices=8)
+    proc.render(frames=64)
+    got = [pool.note_on({"amp": 0.001}) for _ in range(8)]
+    assert sorted(got) == list(range(8))
+    # default policy: never steal an active voice
+    assert pool.note_on({"amp": 0.001}) is None
+    assert pool.held_count == 8
+
+    pool2 = VoicePool(proc, bank, steal="oldest")
+    pool2._free = []  # simulate exhaustion
+    pool2._held.update((v, 0) for v in range(8))
+    v = pool2.note_on({"amp": 0.001})
+    assert v == 0  # the oldest held voice is reused
+
+
+def test_auto_release_is_fetch_gated():
+    """note_on does NOT touch the device while free voices remain (the
+    has_*-gate rule: each fetch is a tunnel round-trip)."""
+    g, proc, bank, pool = _make(n_voices=8)
+    proc.render(frames=64)
+    calls = []
+    orig = pool._idle_vector
+    pool._idle_vector = lambda: (calls.append(1), orig())[1]
+    for _ in range(8):
+        assert pool.note_on({"amp": 0.001}) is not None
+    assert calls == []  # free list never ran dry
+    # exhausted now: the next note_on fetches exactly once
+    pool.note_on({"amp": 0.001})
+    assert len(calls) == 1
