@@ -101,9 +101,9 @@ def _program_rate(proc, **kw):
 def _super_rate(proc, latency_s=0.010):
     """Samples/sec of the superblock fast program (the interactive path:
     event-free runs of k blocks in ONE device program, k chosen as the
-    largest power of two within the control-latency budget). Slope-measured
-    (see _scan_slope_rate). Returns (rate, k) or (None, 0) when the graph
-    is superblock-ineligible."""
+    largest power of two within the control-latency budget and the graph's
+    superblock cap). Slope-measured (see _scan_slope_rate). Returns
+    (rate, k) or (None, 0) when the graph is superblock-ineligible."""
     import jax.numpy as jnp
 
     from knaster_tpu.graph.compile import (
@@ -116,7 +116,7 @@ def _super_rate(proc, latency_s=0.010):
     if not superblock_eligible(cg):
         return None, 0
     B = cg.ctx.block_size
-    budget = int(latency_s * cg.ctx.sample_rate / B)
+    budget = int(min(latency_s * cg.ctx.sample_rate, cg.superblock_max) / B)
     k = 1
     while k * 2 <= budget:
         k *= 2
@@ -129,7 +129,10 @@ def _super_rate(proc, latency_s=0.010):
         s2, out, _done = raw(s, inputs)
         return s2, out
 
-    return _scan_slope_rate(step, proc.state, k * B), k
+    n_iter = max(2200 // k, 40)
+    return _scan_slope_rate(
+        step, proc.state, k * B, lo=max(200 // k, 8), hi=n_iter
+    ), k
 
 
 def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
@@ -212,6 +215,9 @@ def bench_fm_cascade(n_nodes=256, block_sizes=(64,)):
         rate = _bounce_rate(proc)
         prate = _program_rate(proc)
         srate_, k = _super_rate(proc)
+        # the bounce path renders event-free runs at up to
+        # render_chunk_blocks per dispatch — report that regime too
+        brate_, bk = _super_rate(proc, latency_s=0.0427)
         print(
             json.dumps(
                 {
@@ -225,6 +231,10 @@ def bench_fm_cascade(n_nodes=256, block_sizes=(64,)):
                         round(srate_ / 48000, 1) if srate_ else None
                     ),
                     "superblock_k": k,
+                    "superblock_bounce_x": (
+                        round(brate_ / 48000, 1) if brate_ else None
+                    ),
+                    "superblock_bounce_k": bk,
                     "compile_s": round(build_time, 2),
                 }
             )
@@ -294,6 +304,7 @@ def bench_galactic(block_size=64):
     g.edit(build)
     rate = _bounce_rate(proc, seconds=1.0)
     prate = _program_rate(proc, lo=100, hi=600)
+    srate_, k = _super_rate(proc)
     print(
         json.dumps(
             {
@@ -303,6 +314,10 @@ def bench_galactic(block_size=64):
                 "unit": "samples/s",
                 "realtime_x": round(rate / 48000, 1),
                 "program_realtime_x": round(prate / 48000, 1),
+                "superblock_realtime_x": (
+                    round(srate_ / 48000, 1) if srate_ else None
+                ),
+                "superblock_k": k,
             }
         )
     )

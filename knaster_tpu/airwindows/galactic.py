@@ -84,6 +84,12 @@ class Galactic(UGen):
         base_lens = ((GALACTIC_DELAY_TIMES / 44100.0) * sr).astype(np.int64)
         base_lens = np.maximum(base_lens, 1)
         self._base_lens = base_lens
+        # blockwise mode participates in superblocks up to the shortest
+        # delay line (compile.superblock_eligible): below that the >=block
+        # delay clamp would coarsen even at bigness=1; the vectorized
+        # vibrato chain additionally needs <= 4096 samples per block
+        if self.blockwise:
+            self.superblock_cap = int(min(base_lens.min(), 4096))
         Lmax = int(base_lens.max())
         self._Lmax = Lmax
         self._overallscale = sr / 44100.0

@@ -117,6 +117,9 @@ class CompiledGraph:
     # cached eligibility verdict (None = not yet checked)
     super_fns: Dict[int, Any] = field(default_factory=dict)
     superblock_ok: Optional[bool] = None
+    # largest superblock length (samples) the graph supports — min over
+    # blockwise nodes' superblock_cap; set by superblock_eligible
+    superblock_max: float = float("inf")
     # one-dispatch eventful-chunk programs (block-0 events + superblock rest)
     evchunk_fns: Dict[int, Any] = field(default_factory=dict)
     # canonical node labels (position in topo order): state/event pytree keys
@@ -636,6 +639,7 @@ def compile_graph(
         cg.super_fns = hit.setdefault("super_fns", {})
         cg.evchunk_fns = hit.setdefault("evchunk_fns", {})
         cg.superblock_ok = hit.get("superblock_ok")
+        cg.superblock_max = hit.get("superblock_max", float("inf"))
         cg.cache_entry = hit
         cg.cache_hit = True
         return cg
@@ -664,15 +668,35 @@ def superblock_eligible(cg: CompiledGraph) -> bool:
     k*B in one dispatch (the interactive/bounce fast path): no feedback
     edges (their one-block delay is a semantic boundary), every node is
     block-length invariant, and no node's state shapes depend on the block
-    size (the k*B program must consume the same state pytree)."""
+    size (the k*B program must consume the same state pytree).
+
+    Blockwise nodes that declare ``superblock_cap`` (a max block length in
+    samples, set during ``init`` — e.g. the Galactic reverb's shortest
+    delay line, long delays' buffer length) participate up to that cap:
+    ``cg.superblock_max`` is the min over caps and ``get_super_fn`` refuses
+    multiples beyond it. Within the cap their documented delay-length
+    clamp (>= one block) coarsens with the block; at default parameters
+    (every delay longer than the superblock) output is bit-identical."""
     if cg.superblock_ok is not None:
         return cg.superblock_ok
     ok = not cg.fb_sources
+    max_len = float("inf")
     if ok:
         for e in cg.entries.values():
             if not getattr(e.ugen, "block_invariant", True):
-                ok = False
-                break
+                cap = getattr(e.ugen, "superblock_cap", None)
+                if cap is None:
+                    # attribute may be assigned in init(); probe it
+                    try:
+                        jax.eval_shape(lambda u=e.ugen: u.init(cg.ctx))
+                    except Exception:
+                        ok = False
+                        break
+                    cap = getattr(e.ugen, "superblock_cap", None)
+                if cap is None or cap < 2 * cg.ctx.block_size:
+                    ok = False
+                    break
+                max_len = min(max_len, int(cap))
     if ok:
         ctx2 = AudioCtx(cg.ctx.sample_rate, cg.ctx.block_size * 2, cg.ctx.dtype)
         for e in cg.entries.values():
@@ -688,8 +712,10 @@ def superblock_eligible(cg: CompiledGraph) -> bool:
                 ok = False
                 break
     cg.superblock_ok = ok
+    cg.superblock_max = max_len if ok else 0
     if cg.cache_entry is not None:
         cg.cache_entry["superblock_ok"] = ok
+        cg.cache_entry["superblock_max"] = cg.superblock_max
     return ok
 
 
@@ -704,6 +730,8 @@ def get_super_fn(cg: CompiledGraph, m: int, existing_only: bool = False):
     pre-warms chunk-1, the run an asap control batch leaves behind) without
     tracing unbounded new lengths mid-render."""
     if m <= 1 or not superblock_eligible(cg):
+        return None
+    if m * cg.ctx.block_size > cg.superblock_max:
         return None
     fn = cg.super_fns.get(m)
     if fn is None:
@@ -733,7 +761,7 @@ def get_evchunk_fn(cg: CompiledGraph, n: int, existing_only: bool = False):
             return None
         B = cg.ctx.block_size
         n_in = cg.graph.inputs
-        if superblock_eligible(cg):
+        if superblock_eligible(cg) and (n - 1) * B <= cg.superblock_max:
             rest_raw = _build_render(cg, fast=True, block_multiple=n - 1)
 
             def rest(st, in_rest):

@@ -89,6 +89,10 @@ class AllpassDelay(UGen):
     def init(self, ctx: AudioCtx):
         n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
         self._length = n
+        if self.long:
+            # long mode supports superblocks up to the buffer length (its
+            # documented >= block clamp coarsens with the block size)
+            self.superblock_cap = n
         return {
             "buf": jnp.zeros((n,), ctx.dtype),
             "wp": jnp.zeros((), jnp.int32),
@@ -189,9 +193,14 @@ class AllpassFeedbackDelay(UGen):
     def init(self, ctx: AudioCtx):
         n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
         self._length = n
+        if self.long:
+            # long mode supports superblocks up to the buffer length (its
+            # documented >= block clamp coarsens with the block size)
+            self.superblock_cap = n
         return {
             "buf": jnp.zeros((n,), ctx.dtype),
             "wp": jnp.zeros((), jnp.int32),
+            # allpass interpolator state; reference inits prevs to 1.0
             "ap_in": jnp.ones((), ctx.dtype),
             "ap_out": jnp.ones((), ctx.dtype),
         }

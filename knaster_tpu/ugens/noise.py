@@ -1,10 +1,12 @@
 """Noise UGens (reference: knaster_core_dsp/src/ugens/noise.rs).
 
 TPU-native RNG: instead of the reference's stateful wyrand/xorshift streams,
-we use JAX's counter-based Threefry — stateless per (seed, block, sample),
-so noise vectorizes across voices and shards across chips without sequence
-coupling, and renders are deterministic for a given graph construction order
-(parity with the reference's global NEXT_SEED counter, noise.rs:11-22).
+we use JAX's counter-based Threefry — stateless per (seed, absolute frame),
+so noise vectorizes across voices, shards across chips without sequence
+coupling, renders are deterministic for a given graph construction order
+(parity with the reference's global NEXT_SEED counter, noise.rs:11-22), and
+the stream is block-size invariant: superblocked renders bit-match
+per-block renders.
 Output *values* therefore differ from the Rust reference (different RNG);
 the distributions and spectra match.
 """
@@ -15,6 +17,7 @@ import itertools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.ugen import AudioCtx, UGen
 from ..primitives.params import ParameterKind, pfloat
@@ -43,11 +46,24 @@ class _NoiseBase(UGen):
         self.seed = next_randomness_seed() if seed is None else int(seed)
 
     def init(self, ctx: AudioCtx):
-        return {"block": jnp.zeros((), jnp.uint32)}
+        return {"frame": jnp.zeros((), jnp.uint32)}
 
     def _block_uniforms(self, ctx, state, shape):
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), state["block"])
-        return jax.random.uniform(key, shape, dtype=ctx.dtype)
+        """Counter-mode uniforms: one threefry per SAMPLE, keyed by the
+        absolute frame index — the noise stream is a pure function of
+        (seed, frame), so any block partitioning renders bit-identically
+        (a per-BLOCK key would make superblocked renders diverge). The u32
+        frame counter wraps after ~24.8 h at 48 kHz."""
+        B = shape[0]
+        frames = state["frame"] + jnp.arange(B, dtype=jnp.uint32)
+        base = jax.random.PRNGKey(self.seed)
+        k = 1 if len(shape) == 1 else int(np.prod(shape[1:]))
+        u = jax.vmap(
+            lambda t: jax.random.uniform(
+                jax.random.fold_in(base, t), (k,), dtype=ctx.dtype
+            )
+        )(frames)
+        return u[:, 0] if len(shape) == 1 else u.reshape(shape)
 
 
 class WhiteNoise(_NoiseBase):
@@ -56,7 +72,7 @@ class WhiteNoise(_NoiseBase):
     def process(self, ctx: AudioCtx, state, inputs, params):
         u = self._block_uniforms(ctx, state, (ctx.block_size,))
         out = u * 2.0 - 1.0
-        return {"block": state["block"] + 1}, out[None, :]
+        return {"frame": state["frame"] + ctx.block_size}, out[None, :]
 
 
 class PinkNoise(_NoiseBase):
@@ -67,7 +83,7 @@ class PinkNoise(_NoiseBase):
 
     def init(self, ctx: AudioCtx):
         return {
-            "block": jnp.zeros((), jnp.uint32),
+            "frame": jnp.zeros((), jnp.uint32),
             "whites": jnp.zeros((PINK_NOISE_OCTAVES,), ctx.dtype),
             "always_on": jnp.zeros((), ctx.dtype),
             "counter": jnp.ones((), jnp.uint32),
@@ -117,7 +133,7 @@ class PinkNoise(_NoiseBase):
         pink = state["pink"] + jnp.cumsum(x0 - removed + x1 - x1_prev)
         out = pink / (PINK_NOISE_OCTAVES + 1.0)
         new_state = {
-            "block": state["block"] + 1,
+            "frame": state["frame"] + B,
             "whites": new_whites,
             "always_on": x1[-1],
             "counter": ((state["counter"] - 1 + B) & (mask - 1)) + 1,
@@ -131,7 +147,7 @@ class BrownNoise(_NoiseBase):
 
     def init(self, ctx: AudioCtx):
         return {
-            "block": jnp.zeros((), jnp.uint32),
+            "frame": jnp.zeros((), jnp.uint32),
             "last": jnp.zeros((), ctx.dtype),
         }
 
@@ -143,7 +159,7 @@ class BrownNoise(_NoiseBase):
             return last, last
 
         last, out = jax.lax.scan(step, state["last"], w)
-        return {"block": state["block"] + 1, "last": last}, out[None, :]
+        return {"frame": state["frame"] + ctx.block_size, "last": last}, out[None, :]
 
 
 class RandomLin(_NoiseBase):
@@ -162,7 +178,7 @@ class RandomLin(_NoiseBase):
         first = jax.random.uniform(k0, (), dtype=ctx.dtype)
         second = jax.random.uniform(k1, (), dtype=ctx.dtype)
         return {
-            "block": jnp.zeros((), jnp.uint32),
+            "frame": jnp.zeros((), jnp.uint32),
             "current": first,
             "width": second - first,
             "phase": jnp.zeros((), ctx.dtype),
@@ -189,7 +205,7 @@ class RandomLin(_NoiseBase):
             step, carry0, {"step": step_arr, "rand": rand}
         )
         new_state = {
-            "block": state["block"] + 1,
+            "frame": state["frame"] + B,
             "current": cur,
             "width": width,
             "phase": phase,

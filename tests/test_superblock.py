@@ -100,7 +100,11 @@ def test_feedback_graph_falls_back_and_matches():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_blockwise_nodes_are_ineligible():
+def test_blockwise_nodes_are_capped():
+    """Blockwise nodes participate in superblocks only up to their
+    declared superblock_cap (the shortest Galactic delay line here);
+    multiples beyond it are refused (test_superblock_cap.py covers the
+    in-cap parity)."""
     from knaster_tpu.airwindows import Galactic
 
     g, p = AudioProcessor.new(0, 2, AudioProcessorOptions(block_size=64))
@@ -114,7 +118,10 @@ def test_blockwise_nodes_are_ineligible():
 
     g.edit(build)
     p._ensure_compiled()
-    assert not superblock_eligible(p.compiled)
+    assert superblock_eligible(p.compiled)
+    assert p.compiled.superblock_max == int(680 * 48000 / 44100)
+    assert get_super_fn(p.compiled, 16) is None  # 1024 > cap
+    assert get_super_fn(p.compiled, 8) is not None
 
 
 def test_envelope_done_inside_superblock():
