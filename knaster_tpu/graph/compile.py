@@ -745,6 +745,41 @@ def get_super_fn(cg: CompiledGraph, m: int, existing_only: bool = False):
     return fn
 
 
+def get_super_scan_fn(cg: CompiledGraph, k: int):
+    """Jitted scan OF the k-superblock program: one dispatch covers any
+    multiple of k blocks at superblock throughput. This is how bounce
+    chunks larger than a graph's superblock_cap still render at the capped
+    superblock rate instead of the per-block program rate.
+
+    fn(state, in_stack[n, inputs, k*B]) -> (state, outs[n, ch, k*B],
+    dones[n, ...]); jit re-traces per distinct n."""
+    if (
+        k <= 1
+        or not superblock_eligible(cg)
+        or k * cg.ctx.block_size > cg.superblock_max
+    ):
+        return None
+    cache = cg.super_fns
+    key = ("scan", k)
+    fn = cache.get(key)
+    if fn is None:
+        raw = _build_render(cg, fast=True, block_multiple=k)
+
+        def scan_fn(state, in_stack):
+            def body(st, inp):
+                st, out, done = raw(st, inp)
+                return st, (out, done)
+
+            state, (outs, dones) = jax.lax.scan(body, state, in_stack)
+            return state, outs, dones
+
+        fn = jax.jit(scan_fn, donate_argnums=(0,))
+        cache[key] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("super_fns", {})[key] = fn
+    return fn
+
+
 def get_evchunk_fn(cg: CompiledGraph, n: int, existing_only: bool = False):
     """ONE-dispatch program for the dominant live-streaming chunk shape:
     events in block 0 only (asap control batches land at the next block

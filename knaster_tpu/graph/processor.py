@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compile import (CompiledGraph, compile_graph, get_evchunk_fn,
-                      get_super_fn)
+                      get_super_fn, get_super_scan_fn)
 from .graph import Done, Graph
 from .param_engine import events_from_lists
 from .scheduling import ScheduledEvent
@@ -440,6 +440,24 @@ class AudioProcessor:
             )
         return buf
 
+    def _super_scan_k(self, sub: int) -> int:
+        """Largest power-of-two superblock multiple k (>= 2) that divides
+        ``sub`` and fits the graph's superblock cap, or 0."""
+        from .compile import superblock_eligible
+
+        cg = self.compiled
+        if not superblock_eligible(cg):
+            return 0
+        B = self.graph.block_size
+        k = 1
+        while (
+            k * 2 <= sub
+            and (k * 2) * B <= cg.superblock_max
+            and sub % (k * 2) == 0
+        ):
+            k *= 2
+        return k if k >= 2 else 0
+
     # ------------------------------------------------------------------ run
     def run(self, inputs=None):
         """Process exactly one block (processor.rs:119-179 run)."""
@@ -609,6 +627,30 @@ class AudioProcessor:
             seg = np.moveaxis(avail.reshape(self.graph.inputs, n, B), 1, 0)
             return jnp.asarray(seg, dtype=self.graph.dtype)
 
+        def in_super_stack_for(start_block, sub, k):
+            """[sub//k, inputs, k*B] stack for the scan-of-superblocks."""
+            n = sub // k
+            if inputs is None:
+                cache = getattr(self, "_zero_in_cache", None)
+                if cache is None:
+                    cache = self._zero_in_cache = {}
+                key = ("sstack", n, k)
+                buf = cache.get(key)
+                if buf is None:
+                    buf = cache[key] = jnp.zeros(
+                        (n, self.graph.inputs, k * B), dtype=self.graph.dtype
+                    )
+                return buf
+            i0 = start_block * B
+            avail = np.asarray(inputs)[:, i0 : i0 + sub * B]
+            pad = sub * B - avail.shape[1]
+            if pad > 0:
+                avail = np.pad(avail, ((0, 0), (0, pad)))
+            seg = np.moveaxis(
+                avail.reshape(self.graph.inputs, n, k * B), 1, 0
+            )
+            return jnp.asarray(seg, dtype=self.graph.dtype)
+
         def in_super_for(start_block, n):
             """[inputs, n*B] flat segment for the superblock program."""
             if inputs is None:
@@ -709,6 +751,22 @@ class AudioProcessor:
                                 )
                                 out_stack = out_flat  # already [ch, sub*B]
                                 done_any = done_vec
+                            elif (kc := self._super_scan_k(sub)) and (
+                                ss_fn := get_super_scan_fn(
+                                    self.compiled, kc
+                                )
+                            ) is not None:
+                                # sub*B exceeds the graph's superblock cap
+                                # (blockwise nodes): scan OF the capped
+                                # superblock — still one dispatch, at
+                                # superblock throughput
+                                self.state, out_stack, done_stack = ss_fn(
+                                    self.state,
+                                    in_super_stack_for(rendered, sub, kc),
+                                )
+                                out_stack = jnp.moveaxis(
+                                    out_stack, 0, 1
+                                ).reshape(self.graph.outputs, -1)
                             else:
                                 scan_fn = _get_scan_fn(self.compiled)
                                 self.state, out_stack, done_stack = scan_fn(
