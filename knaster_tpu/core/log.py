@@ -171,19 +171,25 @@ class ProbeCapture:
 
 
 def collect_probes(compiled, state) -> List[ProbeCapture]:
-    """Read the latest LogProbe captures out of a graph state pytree."""
+    """Read the latest LogProbe captures out of a graph state pytree.
+
+    All probe leaves come back in ONE ``jax.device_get`` — per-leaf
+    ``float()``/``bool()`` casts each cost a device→host round-trip
+    (~tens of ms over a remote-TPU tunnel), which made per-chunk probing
+    unusable in streaming sessions."""
     from ..ugens.util import LogProbe
 
-    out: List[ProbeCapture] = []
+    names, leaves = [], []
     for nid in compiled.order:
         entry = compiled.entries[nid]
         if isinstance(entry.ugen, LogProbe):
             st = state["nodes"][compiled.state_key(nid)]
-            out.append(
-                ProbeCapture(
-                    name=entry.ugen.probe_name,
-                    value=float(st["last_value"]),
-                    fired=bool(st["fired"]),
-                )
-            )
-    return out
+            names.append(entry.ugen.probe_name)
+            leaves.append((st["last_value"], st["fired"]))
+    if not leaves:
+        return []
+    fetched = jax.device_get(leaves)  # one host round-trip for all probes
+    return [
+        ProbeCapture(name=n, value=float(v), fired=bool(f))
+        for n, (v, f) in zip(names, fetched)
+    ]

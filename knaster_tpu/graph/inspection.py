@@ -113,6 +113,16 @@ def inspect(graph: Graph) -> GraphInspection:
     return gi
 
 
+def node_handles(graph: Graph, inspection: Optional[GraphInspection] = None):
+    """Rebuild live Handles from an inspection snapshot — parity with the
+    reference's ``GraphInspection::node_handles`` (inspection.rs:49), which
+    lets UIs that only hold an inspection re-acquire control of the graph.
+    Returns ``{node_id: Handle}`` for every user node (auto-inserted
+    math/feedback sugar nodes excluded)."""
+    gi = inspection if inspection is not None else inspect(graph)
+    return {n.nid: graph.handle(n.nid) for n in gi.nodes if not n.auto}
+
+
 def to_dot(graph: Graph) -> str:
     """Graphviz dot source for the graph (inspection.rs dot exporter)."""
     gi = inspect(graph)

@@ -142,11 +142,17 @@ class ShardedVoiceBank:
         """Render one block: returns (state', mixed [channels, block])."""
         return self._step(state, events)
 
-    def render(self, n_blocks: int, events_per_block=None):
+    def render(self, n_blocks: int, events_per_block=None, state=None,
+               return_state: bool = False):
         """Bounce n_blocks fully ON DEVICE: one ``lax.scan`` over the
         shard-mapped step (stacked event tensors ride along), one dispatch,
-        one result — no per-block Python loop."""
-        state = self.init_state()
+        one result — no per-block Python loop.
+
+        Pass ``state`` (and set ``return_state=True`` to get it back) to
+        make consecutive renders sample-continuous, like
+        ``AudioProcessor.render``; with no state a fresh one is used."""
+        if state is None:
+            state = self.init_state()
         if events_per_block is None:
             ev = self.empty_events()
             events_stacked = jax.tree_util.tree_map(
@@ -169,7 +175,8 @@ class ShardedVoiceBank:
 
             fn = self._render_scan = jax.jit(run)
         state, outs = fn(state, events_stacked)
-        return jnp.swapaxes(outs, 0, 1).reshape(self.bank.voice.outputs, -1)
+        audio = jnp.swapaxes(outs, 0, 1).reshape(self.bank.voice.outputs, -1)
+        return (audio, state) if return_state else audio
 
 
 class MeshVoiceBank(VoiceBank):

@@ -13,7 +13,8 @@ from .core.decorator import TRIG, ugen  # noqa: F401
 from .core.ugen import AudioCtx, UGen, sample_scan  # noqa: F401
 from .graph.graph import CircularConnection, Done, Graph, GraphError  # noqa: F401
 from .graph.handles import Handle, Parameter, Source, VoiceParameter  # noqa: F401
-from .graph.inspection import inspect, show_dot_svg, to_dot  # noqa: F401
+from .graph.inspection import (inspect, node_handles,  # noqa: F401
+                               show_dot_svg, to_dot)
 from .graph.processor import AudioProcessor, AudioProcessorOptions  # noqa: F401
 from .graph.scheduling import SchedulingToken, Time  # noqa: F401
 from .primitives import (  # noqa: F401

@@ -137,3 +137,54 @@ def test_arlog_ring_semantics():
     rt_log(logger)  # empty log() = bare End terminator
     assert rec.recv(got.append) == 1
     assert got == [("partial",)]
+
+
+def test_node_handles_from_inspection():
+    """inspection.rs:49 node_handles parity: rebuild live handles from an
+    inspection snapshot; auto math-sugar nodes are excluded."""
+    from knaster_tpu.graph.inspection import inspect, node_handles
+
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=16))
+
+    def build(gg):
+        s = gg.push(SinWt(440.0))
+        (s * 0.1).to_graph_out()
+        return s
+
+    s = g.edit(build)
+    gi = inspect(g)
+    hs = node_handles(g, gi)
+    assert s.node_id in hs
+    assert all(not n.auto or nid not in hs
+               for n in gi.nodes for nid in [n.nid])
+    # the rebuilt handle controls the same node
+    hs[s.node_id].param("freq").set(220.0)
+    proc.render(frames=64)
+    zc = np.asarray(proc.render(frames=48000)[0])
+    rate = np.sum((zc[:-1] < 0) & (zc[1:] >= 0))
+    assert abs(rate - 220.0) < 4
+
+
+def test_collect_probes_single_fetch(monkeypatch):
+    """collect_probes makes exactly ONE device_get regardless of probe
+    count (per-probe float()/bool() casts were a round-trip each)."""
+    import jax
+
+    from knaster_tpu import LogProbe
+
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=16))
+
+    def build(gg):
+        for i in range(5):
+            s = gg.push(SinWt(100.0 * (i + 1)))
+            s.to(gg.push(LogProbe(f"p{i}")))
+            (s * 0.01).to_graph_out()
+
+    g.edit(build)
+    proc.render(frames=64)
+    calls = []
+    orig = jax.device_get
+    monkeypatch.setattr(jax, "device_get", lambda x: (calls.append(1), orig(x))[1])
+    probes = proc.probe_log()
+    assert len(probes) == 5
+    assert len(calls) == 1

@@ -863,3 +863,27 @@ def test_mesh_voicebank_pallas_inside_graph():
     b = render(False)
     assert np.abs(b).max() > 1e-4
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_render_is_state_continuous():
+    """ShardedVoiceBank.render can thread state: two 4-block renders equal
+    one 8-block render (it previously re-initialized per call)."""
+    import jax.numpy as jnp
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    ctx = AudioCtx(SR, 64, np.float32)
+    freqs = 220.0 * (1 + np.arange(16, dtype=np.float32) / 16.0)
+    bank = VoiceBank(SineVoice(amp=0.05), 16, voice_defaults={"freq": freqs})
+    sb = ShardedVoiceBank(bank, mesh, ctx)
+    ev = sb.events_from_lists([(0, v, 0, 1, 0.0) for v in range(16)])
+    st = sb.init_state()
+    st, _ = sb.step(st, ev)  # start the envelopes
+
+    # render() does not donate its state: the same st drives both paths
+    whole = np.asarray(sb.render(8, state=st))
+    a, st2 = sb.render(4, state=st, return_state=True)
+    b = np.asarray(sb.render(4, state=st2))
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a), b], axis=1), whole, atol=1e-6
+    )
