@@ -13,7 +13,13 @@ knaster_benchmarks parity (SURVEY §6 / BASELINE.md):
                   config #5)
 
 Each prints one JSON line: {"bench", "config", "value", "unit", ...}.
-Usage: python benchmarks/suite.py [name ...]   (default: all quick ones)
+
+Usage: python benchmarks/suite.py [name ...] [--save F] [--baseline F]
+  (default names: all quick ones)
+  --save F      write every record to F (json lines) — commit as baseline
+  --baseline F  compare against a saved baseline; any rate >10% below it
+                is flagged and the process exits 1 (criterion's
+                regression-tracking role, knaster_benchmarks/)
 """
 
 from __future__ import annotations
@@ -26,6 +32,57 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RECORDS: list = []
+
+
+def emit(rec: dict) -> None:
+    RECORDS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+# fields compared by --baseline: direction +1 = higher is better
+COMPARE_FIELDS = {
+    "value": 1,
+    "realtime_x": 1,
+    "program_realtime_x": 1,
+    "superblock_realtime_x": 1,
+    "superblock_bounce_x": 1,
+    "realtime_voices": 1,
+    "wrapper_rate": 1,
+    "node_rate": 1,
+    "cache_hit_push_ms": -1,
+    "cache_hit_free_ms": -1,
+}
+
+
+def compare_to_baseline(records, baseline_path, tolerance=0.10):
+    """Flag regressions beyond ``tolerance`` vs a saved baseline. Returns
+    the list of regression strings (empty = clean)."""
+    with open(baseline_path) as f:
+        base = {
+            (r["bench"], r.get("config")): r
+            for r in (json.loads(ln) for ln in f if ln.strip())
+        }
+    regressions = []
+    for rec in records:
+        key = (rec["bench"], rec.get("config"))
+        ref = base.get(key)
+        if ref is None:
+            continue
+        for field, direction in COMPARE_FIELDS.items():
+            a, b = rec.get(field), ref.get(field)
+            if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+                continue
+            if b == 0:
+                continue
+            ratio = a / b if direction > 0 else b / a
+            if ratio < 1.0 - tolerance:
+                regressions.append(
+                    f"{key[0]}[{key[1]}].{field}: {a} vs baseline {b} "
+                    f"({(ratio - 1.0) * 100:.1f}%)"
+                )
+    return regressions
 
 
 def _bounce_rate(proc, seconds=0.5, runs=2):
@@ -161,8 +218,8 @@ def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
         rate = _bounce_rate(proc)
         prate = _program_rate(proc)
         srate_, k = _super_rate(proc)
-        print(
-            json.dumps(
+        emit(
+            (
                 {
                     "bench": "sines_const",
                     "config": f"{n_nodes}nodes_block{bs}",
@@ -218,8 +275,8 @@ def bench_fm_cascade(n_nodes=256, block_sizes=(64,)):
         # the bounce path renders event-free runs at up to
         # render_chunk_blocks per dispatch — report that regime too
         brate_, bk = _super_rate(proc, latency_s=0.0427)
-        print(
-            json.dumps(
+        emit(
+            (
                 {
                     "bench": "fm_cascade",
                     "config": f"{n_nodes}nodes_block{bs}",
@@ -267,8 +324,8 @@ def bench_wrappers(block_size=64):
 
     g2.edit(build_nodes)
     r_nodes = _program_rate(proc2)
-    print(
-        json.dumps(
+    emit(
+        (
             {
                 "bench": "wrappers_vs_nodes",
                 "config": "64x_sinwt_mul",
@@ -305,8 +362,8 @@ def bench_galactic(block_size=64):
     rate = _bounce_rate(proc, seconds=1.0)
     prate = _program_rate(proc, lo=100, hi=600)
     srate_, k = _super_rate(proc)
-    print(
-        json.dumps(
+    emit(
+        (
             {
                 "bench": "galactic_chain",
                 "config": f"pink_echo_galactic_block{block_size}",
@@ -332,7 +389,7 @@ def bench_fm_cascade_model(n_stages=256):
     g.edit(lambda gg: gg.push(FMCascade(n_stages)).to_graph_out())
     rate = _bounce_rate(proc, seconds=2.0)
     prate = _program_rate(proc)
-    print(json.dumps({
+    emit(({
         "bench": "fm_cascade_model",
         "config": f"{n_stages}stages_fused",
         "value": round(rate),
@@ -388,7 +445,7 @@ def bench_fm_bank(n_voices=8192):
         _ = np.asarray(m)
         dt = min(dt, time.time() - t0)
     vs = n_voices * 48000 / dt
-    print(json.dumps({
+    emit(({
         "bench": "fm_voice_bank",
         "config": f"{n_voices}voices_vmap",
         "value": round(vs),
@@ -440,7 +497,7 @@ def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     jax.block_until_ready(out)
     dt = time.time() - t0
     vs = n_voices * 64 * n / dt
-    print(json.dumps({
+    emit(({
         "bench": "wavetable_bank",
         "config": f"{n_voices}voices_{n_harmonics}partials_pallas",
         "value": round(vs),
@@ -497,8 +554,8 @@ def bench_edit_latency(n_nodes=256, block_size=16):
         p = edit_to_audible(lambda gg: handles.append(add_sine(gg)))
         cycle.append((f, p))
     hot_free, hot_push = cycle[-1]
-    print(
-        json.dumps(
+    emit(
+        (
             {
                 "bench": "edit_latency",
                 "config": f"{n_nodes}nodes_block{block_size}",
@@ -514,7 +571,22 @@ def bench_edit_latency(n_nodes=256, block_size=16):
 
 
 def bench_voicebank():
-    os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), '..', 'bench.py')}")
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        capture_output=True, text=True,
+    )
+    sys.stderr.write(out.stderr)
+    for ln in out.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            rec = json.loads(ln)
+            rec.setdefault("bench", "voicebank")
+            rec.setdefault("config", "headline")
+            emit(rec)
+        else:
+            print(ln)
 
 
 ALL = {
@@ -530,7 +602,30 @@ ALL = {
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["sines_const", "wrappers", "galactic", "fm_bank",
-                             "fm_cascade_model", "wavetable_bank"]
+    args = sys.argv[1:]
+    save = baseline = None
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--save":
+            save = args[i + 1]; i += 2
+        elif args[i] == "--baseline":
+            baseline = args[i + 1]; i += 2
+        else:
+            names.append(args[i]); i += 1
+    names = names or ["sines_const", "wrappers", "galactic", "fm_bank",
+                      "fm_cascade_model", "wavetable_bank"]
     for n in names:
         ALL[n]()
+    if save:
+        with open(save, "w") as f:
+            for rec in RECORDS:
+                f.write(json.dumps(rec) + "\n")
+    if baseline:
+        regs = compare_to_baseline(RECORDS, baseline)
+        if regs:
+            print("PERF REGRESSIONS (>10% below baseline):", file=sys.stderr)
+            for r in regs:
+                print("  " + r, file=sys.stderr)
+            sys.exit(1)
+        print(f"# perf check OK: no >10% regressions vs {baseline}")

@@ -27,12 +27,6 @@ import numpy as np
 from ..graph.processor import AudioProcessor
 
 
-def jnp_copy(x):
-    import jax.numpy as jnp
-
-    return jnp.array(x, copy=True)
-
-
 class AudioBackend:
     """Backend trait (audio_backend.rs:23-42)."""
 

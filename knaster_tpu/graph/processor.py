@@ -52,6 +52,15 @@ class AudioProcessorOptions:
     render_chunk_blocks: int = 128
 
 
+
+def copy_state(state):
+    """Sharding-preserving deep copy of a state pytree in ONE jitted
+    dispatch. Eager per-leaf copies both cost a tunnel round-trip per leaf
+    and (for mesh-sharded leaves) trip an XLA replicated-vs-NamedSharding
+    assertion in eager mode; under jit the input shardings propagate."""
+    return jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(state)
+
+
 class AudioProcessor:
     """Runs a Graph one block at a time; also the offline bounce engine."""
 
@@ -140,7 +149,7 @@ class AudioProcessor:
         of ``base_state`` (the scan fns donate their state argument)."""
         ev = cg.empty_events()
         inp = jnp.zeros((self.graph.inputs, self.graph.block_size), self.graph.dtype)
-        cp = lambda st: jax.tree_util.tree_map(jnp.copy, st)
+        cp = copy_state
         out = cg.render_fast(cp(base_state), inp)
         jax.block_until_ready(out[1])
         out = cg.render(cp(base_state), ev, inp)
@@ -232,7 +241,7 @@ class AudioProcessor:
         # worker, so warming from a live reference raises "Array has been
         # deleted" mid-warm (and an unwarmed program would stall the stream
         # with a jit trace at swap time)
-        live_state = jax.tree_util.tree_map(jnp.copy, self.state)
+        live_state = copy_state(self.state)
         live_compiled = self.compiled
 
         def worker():
@@ -932,15 +941,31 @@ def save_state(processor: AudioProcessor, path: str) -> None:
 
 
 def load_state(processor: AudioProcessor, path: str) -> None:
-    """Restore a checkpoint written by :func:`save_state`."""
+    """Restore a checkpoint written by :func:`save_state`.
+
+    Each leaf is placed with the sharding the processor's freshly-built
+    state uses — so checkpoints of mesh-sharded graphs (MeshVoiceBank)
+    restore sharded instead of silently replicated."""
     import pickle
 
     with open(path, "rb") as f:
         blob = pickle.load(f)
     processor._ensure_compiled()
     state = jax.tree_util.tree_unflatten(
-        blob["treedef"], [jnp.asarray(x) for x in blob["leaves"]]
+        blob["treedef"], blob["leaves"]
     )
+
+    def place(x, ref):
+        sh = getattr(ref, "sharding", None)
+        if sh is not None and len(sh.device_set) > 1:
+            return jax.device_put(np.asarray(x), sh)
+        return jnp.asarray(x)  # uncommitted: composes with any sharding
+
+    try:
+        state = jax.tree_util.tree_map(place, state, processor.state)
+    except ValueError:
+        # structure changed since the checkpoint: best-effort plain restore
+        state = jax.tree_util.tree_map(jnp.asarray, state)
     processor.state = state
     processor.graph.clock.frames = blob["clock"]
     processor._pending = blob.get("pending")
