@@ -62,4 +62,6 @@ from .ugens.pan import Pan2  # noqa: F401
 from .ugens.polyblep import PolyBlep, Waveform  # noqa: F401
 from .ugens.util import Constant, DoneOnTrig, LogProbe  # noqa: F401
 from .ugens.wavetable import NonAaWavetable, Wavetable  # noqa: F401
+from .utils.codec import (read_sound_file, write_mp3,  # noqa: F401
+                          write_ogg)
 from .utils.wav import read_wav, write_wav  # noqa: F401

@@ -47,9 +47,12 @@ class Buffer:
 
     @staticmethod
     def from_sound_file(path: str) -> "Buffer":
-        from ..utils.wav import read_wav
+        """Load wav/ogg/mp3 (dsp/buffer.rs:154 from_sound_file parity; the
+        compressed formats decode through the system codec libraries — see
+        utils/codec.py. FLAC is absent from this image and raises)."""
+        from ..utils.codec import read_sound_file
 
-        data, sr = read_wav(path)
+        data, sr = read_sound_file(path)
         return Buffer(data, sr)
 
     def save_to_disk(self, path: str, subtype: str = "float32") -> None:
