@@ -186,10 +186,9 @@ def _super_rate(proc, latency_s=0.010):
         s2, out, _done = raw(s, inputs)
         return s2, out
 
-    n_iter = max(2200 // k, 40)
-    return _scan_slope_rate(
-        step, proc.state, k * B, lo=max(200 // k, 8), hi=n_iter
-    ), k
+    # full iteration counts regardless of k: small counts make the slope
+    # noise-dominated (ms of work against ~30 ms of tunnel dispatch jitter)
+    return _scan_slope_rate(step, proc.state, k * B), k
 
 
 def bench_sines_const(n_nodes=256, block_sizes=(16, 32, 128)):
