@@ -198,3 +198,49 @@ def test_state_carry_chain_to_chain():
     C._CHAIN_COLLAPSE_ON = False
     b2 = np.asarray(proc2.render(seconds=0.01))
     np.testing.assert_allclose(a2, b2, atol=1e-6)
+
+
+def test_chain_variants_bit_exact():
+    """More chain shapes: homogeneous filter chain with an external
+    mid-chain tap (the stacked-outputs ys path), and two back-to-back
+    heterogeneous chains in one graph — all bit-exact vs uncollapsed."""
+    from knaster_tpu import OnePoleLpf, SvfFilter, WhiteNoise
+
+    def build_tap(gg):
+        node = gg.push(WhiteNoise(seed=1))
+        tap = None
+        for i in range(12):
+            f = gg.push(OnePoleLpf(1500.0 + 90.0 * i))
+            node.to(f)
+            node = f
+            if i == 6:
+                tap = f
+        node.to_graph_out()
+        (tap * 0.2).to_graph_out()
+
+    def build_two(gg):
+        node = gg.push(WhiteNoise(seed=2))
+        for i in range(10):
+            f = gg.push(OnePoleLpf(2000.0 + 50.0 * i))
+            node.to(f)
+            node = f
+        for i in range(10):
+            f = gg.push(SvfFilter(cutoff_freq=3000.0 - 40.0 * i))
+            node.to(f)
+            node = f
+        node.to_graph_out()
+
+    for builder, want_chains in ((build_tap, 1), (build_two, 2)):
+        outs = {}
+        for collapse in (True, False):
+            C._CHAIN_COLLAPSE_ON = collapse
+            C.clear_program_cache()
+            g, proc = AudioProcessor.new(
+                0, 1, AudioProcessorOptions(block_size=32)
+            )
+            g.edit(builder)
+            outs[collapse] = np.asarray(proc.render(frames=160))
+            if collapse:
+                n = sum(1 for k, _ in proc.compiled.plan if k == "chain")
+                assert n == want_chains
+        np.testing.assert_array_equal(outs[True], outs[False])
