@@ -48,6 +48,7 @@ def main():
     opts = AudioProcessorOptions(block_size=BLOCK, sample_rate=SR)
     graph, proc = AudioProcessor.new(0, 2, opts)
     with_fx = os.environ.get("SOAK_FX", "0") == "1"
+    with_probe = os.environ.get("SOAK_PROBE", "0") == "1"
 
     def build(g):
         bank = g.push(PallasSineVoiceBank(
@@ -67,6 +68,14 @@ def main():
             verb.to_graph_out()
         else:
             bank.to_graph_out()
+        if with_probe:
+            # bus probe drained from the control thread (VERDICT #8: probing
+            # a live stream must not add round-trips to the producer; the
+            # one-fetch drain rides the control thread at ~10 Hz)
+            from knaster_tpu import LogProbe
+
+            probe = g.push(LogProbe("bus"))
+            bank.out([0]).to(probe)
         return bank
 
     bank = graph.edit(build)
@@ -91,6 +100,7 @@ def main():
     t_end = time.time() + SOAK_SECONDS
     n_events = 0
     group = 0
+    probe_reads = [0]
     while time.time() < t_end:
         # live control at ~10 Hz: start a 64-voice cluster, release the one
         # from two rounds ago, detune a few voices
@@ -105,6 +115,9 @@ def main():
             freqp.set(v, float(rng.uniform(200, 2000)))
         n_events += 64 + (64 if group >= 2 else 0) + 8
         group += 1
+        if with_probe:
+            caps = proc.probe_log()
+            probe_reads[0] += len(caps)
         time.sleep(0.1)
 
     backend.stop()
@@ -119,6 +132,7 @@ def main():
         "audio_consumed_s": round(audio_s, 2),
         "live_events": n_events,
         "peak": round(peak[0], 4),
+        "probe_reads": probe_reads[0],
         "startup_s": round(setup_s, 1),
     }))
 

@@ -538,13 +538,24 @@ class AudioProcessor:
             self.graph.commit()
 
     # ---------------------------------------------------------------- logs
-    def probe_log(self):
-        """Latest LogProbe captures (reference ArLogReceiver drain analog)."""
+    def probe_log(self, retries: int = 3):
+        """Latest LogProbe captures (reference ArLogReceiver drain analog).
+
+        Safe to call from a control thread while a stream renders: if the
+        producer donates the state buffers mid-fetch, the read retries
+        against the fresh state (all probe leaves come back in one
+        device_get — see core.log.collect_probes)."""
         from ..core.log import collect_probes
 
-        if self.compiled is None or self.state is None:
-            return []
-        return collect_probes(self.compiled, self.state)
+        for _ in range(max(retries, 1)):
+            compiled, state = self.compiled, self.state
+            if compiled is None or state is None:
+                return []
+            try:
+                return collect_probes(compiled, state)
+            except RuntimeError:
+                continue  # donated under us by a concurrent render
+        return []
 
     # ------------------------------------------------------------- bounce
     def render(
