@@ -97,3 +97,37 @@ def test_auto_release_is_fetch_gated():
     # exhausted now: the next note_on fetches exactly once
     pool.note_on({"amp": 0.001})
     assert len(calls) == 1
+
+
+def test_pool_over_pallas_bank():
+    """The idle latch's level semantics in the Pallas kernels (stopped
+    envelope stage == free) drive VoicePool auto-release too."""
+    from knaster_tpu import PallasSineVoiceBank
+
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+    bank = g.edit(
+        lambda gg: gg.push(
+            PallasSineVoiceBank(
+                256, attack=0.001, release=0.004, tile_rows=2,
+                voice_defaults={
+                    "freq": np.linspace(100, 900, 256).astype(np.float32),
+                    "amp": np.full(256, 0.01, np.float32),
+                    "pan": np.zeros(256, np.float32),
+                },
+            )
+        )
+    )
+    bank.to_graph_out()
+    g.commit()
+    pool = VoicePool(proc, bank)
+    proc.render(frames=64)
+    voices = [pool.note_on() for _ in range(16)]
+    assert all(v is not None for v in voices)
+    peak = float(np.abs(proc.render(frames=64 * 4)).max())
+    assert peak > 1e-4
+    for v in voices:
+        pool.note_off(v)
+    proc.render(frames=64 * 12)  # release tails run out
+    released = pool.refresh()
+    assert released == 16
+    assert pool.free_count == pool.n_voices
