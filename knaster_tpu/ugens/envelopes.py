@@ -1,13 +1,19 @@
 """Envelope UGens (reference: knaster_core_dsp/src/ugens/envelopes.rs).
 
-Envelopes are genuinely sequential state machines (trigger-dependent stage
-transitions), so they run per-sample inside ``lax.scan`` — the cost is
-amortized by batching voices across VPU lanes (the graph vmaps a VoiceBank's
-whole sub-graph, so a 10k-voice bank runs one scan with [10k]-wide steps).
+Envelopes are trigger-dependent state machines, so the general (eventful)
+path runs per-sample inside ``lax.scan``. In the EVENT-FREE fast program
+(``ctx.no_events`` — every trigger statically False) the machine can make
+at most one spontaneous transition per block (attack→sustain or
+release→stopped for ASR; attack→release→stopped for AR), so the whole
+block has a piecewise CLOSED FORM over cumulative rates — no scan at all.
+That removes the last sequential loop from enveloped voice banks: the
+whole SineVoice/FMVoice block becomes scan-free vectorized code.
 
-Rates are derived from the per-sample ``*_time`` parameter arrays *outside*
-the scan (vectorized divides), matching the reference recomputing rates in
-``param_apply``.
+Rates are derived from the per-sample ``*_time`` parameter arrays
+*outside* the scan (vectorized divides), matching the reference
+recomputing rates in ``param_apply``. The closed forms use cumulative
+sums where the scan accumulates sequentially — identical math, float
+reassociation ≤ ~1e-6 over a block.
 """
 
 from __future__ import annotations
@@ -57,11 +63,66 @@ class EnvAsr(UGen):
             "release_scale": jnp.ones((), ctx.dtype),
         }
 
+    def _process_no_events(self, ctx: AudioCtx, state, atk_rate, rel_rate):
+        """Event-free closed form: at most ONE spontaneous transition per
+        block (attack→sustain or release→stopped), so the scan's repeated
+        addition becomes cumulative sums + selects. Behavior matches the
+        scan with all-False triggers (float reassociation aside)."""
+        dtype = ctx.dtype
+        B = ctx.block_size
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+        stage0, t0, rscale = state["stage"], state["t"], state["release_scale"]
+        i0 = jnp.arange(B) == 0
+
+        inc_atk = t0 + jnp.cumsum(atk_rate)          # t AFTER step i
+        e_atk = jnp.concatenate([t0[None], inc_atk[:-1]])  # t AT step i
+        crossed = inc_atk >= one
+        atk_any = jnp.any(crossed)
+        k_atk = jnp.argmax(crossed)
+        # out during attack is the RAW t (the scan never clamps it);
+        # sustain (after the crossing step) holds exactly 1
+        out_atk = jnp.where(
+            atk_any & (jnp.arange(B) > k_atk), one, e_atk
+        )
+        t_atk_final = jnp.where(atk_any, inc_atk[k_atk], inc_atk[B - 1])
+        stage_atk_final = jnp.where(atk_any, SUSTAINING, ATTACKING)
+
+        inc_rel = t0 - jnp.cumsum(rel_rate)
+        e_rel = jnp.concatenate([t0[None], inc_rel[:-1]])
+        alive = i0 | (e_rel > zero)
+        out_rel = jnp.where(alive, e_rel * e_rel * e_rel * rscale, zero)
+        done_rel = alive & (inc_rel <= zero)
+        rel_done = jnp.any(done_rel)
+        t_rel_final = jnp.where(rel_done, zero, inc_rel[B - 1])
+        stage_rel_final = jnp.where(rel_done, STOPPED, RELEASING)
+
+        out = jnp.select(
+            [stage0 == ATTACKING, stage0 == SUSTAINING, stage0 == RELEASING],
+            [out_atk, jnp.full((B,), one), out_rel],
+            jnp.zeros((B,), dtype),
+        )
+        done = jnp.where(stage0 == RELEASING, done_rel,
+                         jnp.zeros((B,), bool))
+        t_final = jnp.select(
+            [stage0 == ATTACKING, stage0 == RELEASING],
+            [t_atk_final, t_rel_final], t0,
+        )
+        stage_final = jnp.select(
+            [stage0 == ATTACKING, stage0 == RELEASING],
+            [stage_atk_final, stage_rel_final], stage0,
+        )
+        new_state = {"stage": stage_final, "t": t_final,
+                     "release_scale": rscale}
+        return new_state, out[None, :], done
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         dtype = ctx.dtype
         sr = jnp.asarray(float(ctx.sample_rate), dtype)
         atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
         rel_rate = _rate_from_time(params["release_time"], sr, dtype)
+        if ctx.no_events:
+            return self._process_no_events(ctx, state, atk_rate, rel_rate)
         one = jnp.ones((), dtype)
         zero = jnp.zeros((), dtype)
 
@@ -138,11 +199,88 @@ class EnvAr(UGen):
             "release_scale": jnp.ones((), ctx.dtype),
         }
 
+    def _process_no_events(self, ctx: AudioCtx, state, atk_rate, rel_rate):
+        """Event-free closed form. Unlike ASR, AR can make TWO spontaneous
+        transitions in one block (attack→release at t crossing 1, which
+        pins t to exactly 1, then release→stopped): the release segment's
+        trajectory is 1 - (R[i-1] - R[k]) over the release-rate cumsum R
+        anchored at the crossing step k."""
+        dtype = ctx.dtype
+        B = ctx.block_size
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+        stage0, t0, rscale = state["stage"], state["t"], state["release_scale"]
+        idx = jnp.arange(B)
+        i0 = idx == 0
+
+        # --- starting in ATTACKING ---
+        inc_atk = t0 + jnp.cumsum(atk_rate)
+        e_atk = jnp.concatenate([t0[None], inc_atk[:-1]])
+        crossed = inc_atk >= one
+        atk_any = jnp.any(crossed)
+        k = jnp.argmax(crossed)
+        R = jnp.cumsum(rel_rate)
+        R_prev = jnp.concatenate([zero[None], R[:-1]])
+        Rk = jnp.where(atk_any, R[k], zero)
+        t_rel2 = one - (R_prev - Rk)     # t at step i in the post-cross release
+        in_rel2 = atk_any & (idx > k)
+        alive2 = t_rel2 > zero
+        out_a = jnp.where(
+            in_rel2,
+            jnp.where(alive2, t_rel2 * t_rel2 * t_rel2, zero),
+            e_atk,
+        )
+        done_a = in_rel2 & alive2 & ((one - (R - Rk)) <= zero)
+        a_done = jnp.any(done_a)
+        t_a_final = jnp.where(
+            a_done, zero,
+            jnp.where(atk_any, one - (R[B - 1] - Rk), inc_atk[B - 1]),
+        )
+        stage_a_final = jnp.where(
+            a_done, STOPPED, jnp.where(atk_any, RELEASING, ATTACKING)
+        )
+        rscale_a = jnp.where(atk_any, one, rscale)
+
+        # --- starting in RELEASING ---
+        inc_rel = t0 - R
+        e_rel = jnp.concatenate([t0[None], inc_rel[:-1]])
+        alive = i0 | (e_rel > zero)
+        out_r = jnp.where(alive, e_rel * e_rel * e_rel * rscale, zero)
+        done_r = alive & (inc_rel <= zero)
+        r_done = jnp.any(done_r)
+        t_r_final = jnp.where(r_done, zero, inc_rel[B - 1])
+        stage_r_final = jnp.where(r_done, STOPPED, RELEASING)
+
+        out = jnp.select(
+            [stage0 == ATTACKING, stage0 == RELEASING],
+            [out_a, out_r], jnp.zeros((B,), dtype),
+        )
+        done = jnp.select(
+            [stage0 == ATTACKING, stage0 == RELEASING],
+            [done_a, done_r], jnp.zeros((B,), bool),
+        )
+        t_final = jnp.select(
+            [stage0 == ATTACKING, stage0 == RELEASING],
+            [t_a_final, t_r_final], t0,
+        )
+        stage_final = jnp.select(
+            [stage0 == ATTACKING, stage0 == RELEASING],
+            [stage_a_final, stage_r_final], stage0,
+        )
+        rscale_final = jnp.where(stage0 == ATTACKING, rscale_a, rscale)
+        return (
+            {"stage": stage_final, "t": t_final, "release_scale": rscale_final},
+            out[None, :],
+            done,
+        )
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         dtype = ctx.dtype
         sr = jnp.asarray(float(ctx.sample_rate), dtype)
         atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
         rel_rate = _rate_from_time(params["release_time"], sr, dtype)
+        if ctx.no_events:
+            return self._process_no_events(ctx, state, atk_rate, rel_rate)
         one = jnp.ones((), dtype)
         zero = jnp.zeros((), dtype)
 

@@ -342,3 +342,62 @@ def test_safety_limiter():
     proc.run(x)
     out = proc.output_block()[0]
     np.testing.assert_array_equal(out[:4], [0.5, 1.0, -1.0, 0.0])
+
+
+def test_envelope_closed_form_matches_scan():
+    """The event-free fast path's closed-form envelopes (no scan) match
+    the per-sample state machine from every reachable state — at most one
+    spontaneous transition per block for ASR, two for AR. Differences are
+    pure float reassociation (cumsum vs repeated addition), < 5e-5."""
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx
+    from knaster_tpu.ugens.envelopes import (
+        ATTACKING,
+        RELEASING,
+        STOPPED,
+        SUSTAINING,
+        EnvAr,
+        EnvAsr,
+    )
+
+    B = 64
+    ctx_ev = AudioCtx(SR, B, np.float32, no_events=False)
+    ctx_cf = AudioCtx(SR, B, np.float32, no_events=True)
+    rng = np.random.default_rng(0)
+    no_in = jnp.zeros((0, B), np.float32)
+
+    def params_for(env, atk_t, rel_t):
+        p = {
+            "attack_time": jnp.full((B,), atk_t, np.float32),
+            "release_time": jnp.full((B,), rel_t, np.float32),
+            "t_restart": jnp.zeros((B,), bool),
+        }
+        if any(q.name == "t_release" for q in env.params):
+            p["t_release"] = jnp.zeros((B,), bool)
+        return p
+
+    for cls in (EnvAsr, EnvAr):
+        stages = [STOPPED, ATTACKING, SUSTAINING, RELEASING]
+        if cls is EnvAr:
+            stages = [STOPPED, ATTACKING, RELEASING]
+        for trial in range(80):
+            stage = int(rng.choice(stages))
+            t0 = float(rng.uniform(0, 1.2)) if stage != STOPPED else 0.0
+            rs = float(rng.uniform(0.1, 1.0))
+            atk_t = float(rng.choice([0.0, 0.0003, 0.001, 0.01, 0.5]))
+            rel_t = float(rng.choice([0.0, 0.0003, 0.001, 0.01, 0.5]))
+            env = cls(atk_t, rel_t)
+            st = {"stage": jnp.asarray(stage, jnp.int32),
+                  "t": jnp.asarray(t0, np.float32),
+                  "release_scale": jnp.asarray(rs, np.float32)}
+            p = params_for(env, atk_t, rel_t)
+            s1, o1, d1 = env.process(ctx_ev, dict(st), no_in, p)
+            s2, o2, d2 = env.process(ctx_cf, dict(st), no_in, p)
+            label = (cls.__name__, trial, stage, t0, atk_t, rel_t)
+            assert (np.asarray(d1) == np.asarray(d2)).all(), label
+            assert int(s1["stage"]) == int(s2["stage"]), label
+            np.testing.assert_allclose(
+                np.asarray(o1), np.asarray(o2), atol=5e-5, err_msg=str(label)
+            )
+            assert abs(float(s1["t"]) - float(s2["t"])) < 2e-5, label
