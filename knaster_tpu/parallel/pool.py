@@ -50,6 +50,16 @@ class VoicePool:
             if note_on_trigger is not None
             else None
         )
+        if not getattr(self.bank, "track_idle", False):
+            # idle tracking is off by default (it defeats done-flag DCE in
+            # banks without a pool); turn it on, re-freeze the node's
+            # structural signature (the program cache must not serve the
+            # latch-free program for this topology), and force a recompile
+            from ..core.signature import ugen_signature
+
+            self.bank.track_idle = True
+            self.graph._node(self.node_id).sig = ugen_signature(self.bank)
+            self.graph.root().revision += 1
         self._free = list(range(self.bank.n_voices))
         self._held: "OrderedDict[int, bool]" = OrderedDict()  # insertion = age
 

@@ -45,6 +45,11 @@ class VoiceBank(UGen):
     """
 
     event_capacity = 256
+    # consume per-voice done flags into the idle latch. Off by default:
+    # reading `dones` defeats XLA's dead-code elimination of the whole
+    # [V, B] done computation, which costs real bandwidth at 100k voices.
+    # VoicePool turns it on (and recompiles) when it attaches.
+    track_idle = False
 
     def __init__(
         self,
@@ -371,10 +376,18 @@ class VoiceBank(UGen):
         )
         return (new_vals, ftarget, fstep, rem_next, fsdur)
 
+    # above this many voices, per-sample scans inside voices beat
+    # closed forms (AudioCtx.wide_batch; measured crossover on a v5e)
+    WIDE_BATCH_VOICES = 4096
+
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
+        import dataclasses
+
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
+        if V >= self.WIDE_BATCH_VOICES and not ctx.wide_batch:
+            ctx = dataclasses.replace(ctx, wide_batch=True)
         fstate, ivals, active, trig, fframe, (iframe, iset), idle = \
             self._apply_events(ctx, state, events)
         fvals, ftarget, fstep, frem, fsdur = fstate
@@ -447,8 +460,9 @@ class VoiceBank(UGen):
         new_vstate, outs, dones = jax.vmap(one_voice)(
             state["voices"], zero_in, voice_params
         )
-        # latch per-voice done edges for VoicePool auto-release
-        idle = idle | jnp.any(dones, axis=1)
+        if self.track_idle:
+            # latch per-voice done edges for VoicePool auto-release
+            idle = idle | jnp.any(dones, axis=1)
         # outs: [V, out_ch, B]
         outs = jnp.where(active[:, None, None], outs, jnp.zeros_like(outs))
         if self.mix == "sum":

@@ -6,8 +6,13 @@ path runs per-sample inside ``lax.scan``. In the EVENT-FREE fast program
 at most one spontaneous transition per block (attack→sustain or
 release→stopped for ASR; attack→release→stopped for AR), so the whole
 block has a piecewise CLOSED FORM over cumulative rates — no scan at all.
-That removes the last sequential loop from enveloped voice banks: the
-whole SineVoice/FMVoice block becomes scan-free vectorized code.
+
+Which form wins depends on the batch width (``ctx.wide_batch``): for
+single nodes and modest auto-batched groups the closed form removes the
+64-iteration scan's per-step overhead; under a WIDE vmap (multi-thousand-
+voice banks) the scan body fuses into one on-chip loop and beats the
+closed form's HBM-materialized [V, B] planes by ~3.7× (v5e, 32k voices),
+so banks keep the scan.
 
 Rates are derived from the per-sample ``*_time`` parameter arrays
 *outside* the scan (vectorized divides), matching the reference
@@ -121,7 +126,9 @@ class EnvAsr(UGen):
         sr = jnp.asarray(float(ctx.sample_rate), dtype)
         atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
         rel_rate = _rate_from_time(params["release_time"], sr, dtype)
-        if ctx.no_events:
+        if ctx.no_events and not ctx.wide_batch:
+            # narrow batches: the closed form beats the 64-iteration scan;
+            # wide vmaps (voice banks) keep the scan (AudioCtx.wide_batch)
             return self._process_no_events(ctx, state, atk_rate, rel_rate)
         one = jnp.ones((), dtype)
         zero = jnp.zeros((), dtype)
@@ -279,7 +286,9 @@ class EnvAr(UGen):
         sr = jnp.asarray(float(ctx.sample_rate), dtype)
         atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
         rel_rate = _rate_from_time(params["release_time"], sr, dtype)
-        if ctx.no_events:
+        if ctx.no_events and not ctx.wide_batch:
+            # narrow batches: the closed form beats the 64-iteration scan;
+            # wide vmaps (voice banks) keep the scan (AudioCtx.wide_batch)
             return self._process_no_events(ctx, state, atk_rate, rel_rate)
         one = jnp.ones((), dtype)
         zero = jnp.zeros((), dtype)
