@@ -300,7 +300,8 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
     PAN = refs[2 * ng:2 * ng + np_]
     (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
      rlo_ref, rhi_ref, qlo_ref, qhi_ref, phase_ref,
-     out_ref, stage_out, t_out, rscale_out, phase_out) = refs[2 * ng + np_:]
+     outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
+        refs[2 * ng + np_:]
 
     def body(i, carry):
         phase, stage, t, rscale, pan_c = carry
@@ -318,9 +319,11 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
 
         sig = osc * env * _mat(i_f, AMP) * act_ref[:]
         panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
-        out_ref[0, i, :] = jnp.stack(
-            [jnp.sum(sig * panl, axis=0), jnp.sum(sig * panr, axis=0)]
-        )
+        # two mono [B, LANES] outs, not one [B, 2, LANES]: a trailing
+        # (2, LANES) pair maps to (sublane, lane) and wastes 6/8 of every
+        # 8-sublane store tile
+        outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
+        outr_ref[0, i, :] = jnp.sum(sig * panr, axis=0)
         return phase, stage, t_next, rscale, pan_c
 
     pan_c = (PAN[0][:], PAN[1][:]) if np_ == N_PAN_FAST else None
@@ -417,14 +420,17 @@ class PallasSineVoiceBank(VoiceBank):
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(n_in)],
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, B, 2, LANES), dtype),
+                jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
+                jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
             ),
             out_specs=(
-                pl.BlockSpec((1, B, 2, LANES), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 tile(), tile(), tile(), tile(),
             ),
@@ -434,8 +440,10 @@ class PallasSineVoiceBank(VoiceBank):
             state["stage"], state["t"], state["rscale"], atk, rel, act,
             restart_lo, restart_hi, release_lo, release_hi, state["phase"],
         )
-        partial_mix, stage, t, rscale, phase = outs
-        out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
+        partial_l, partial_r, stage, t, rscale, phase = outs
+        out = jnp.stack(
+            [jnp.sum(partial_l, axis=(0, 2)), jnp.sum(partial_r, axis=(0, 2))]
+        )  # [2, B]
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
             fstate, B, dtype, fframe
         )
@@ -808,7 +816,8 @@ def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
     PAN = refs[2 * ng:2 * ng + np_]
     (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
      rlo_ref, rhi_ref, qlo_ref, qhi_ref,
-     out_ref, phase_out, stage_out, t_out, rscale_out) = refs[2 * ng + np_:]
+     outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
+        refs[2 * ng + np_:]
     H = len(acoef)
     zero = np.float32(0.0)
 
@@ -843,9 +852,9 @@ def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
 
         sig = acc * env * _mat(i_f, AMP) * act_ref[:]
         panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
-        out_ref[0, i, :] = jnp.stack(
-            [jnp.sum(sig * panl, axis=0), jnp.sum(sig * panr, axis=0)]
-        )
+        # two mono outs for store-tile efficiency (see _sine_kernel)
+        outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
+        outr_ref[0, i, :] = jnp.sum(sig * panr, axis=0)
         return phase, stage, t_next, rscale, pan_c
 
     pan_c = (PAN[0][:], PAN[1][:]) if np_ == N_PAN_FAST else None
@@ -970,14 +979,17 @@ class PallasWavetableVoiceBank(VoiceBank):
             grid=(n_tiles,),
             in_specs=[tile() for _ in range(n_in)],
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, B, 2, LANES), dtype),
+                jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
+                jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
             ),
             out_specs=(
-                pl.BlockSpec((1, B, 2, LANES), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 tile(), tile(), tile(), tile(),
             ),
@@ -988,8 +1000,10 @@ class PallasWavetableVoiceBank(VoiceBank):
             atk, rel, act,
             restart_lo, restart_hi, release_lo, release_hi,
         )
-        partial_mix, phase, stage, t, rscale = outs
-        out = jnp.sum(partial_mix, axis=(0, 3)).T  # [2, B]
+        partial_l, partial_r, phase, stage, t, rscale = outs
+        out = jnp.stack(
+            [jnp.sum(partial_l, axis=(0, 2)), jnp.sum(partial_r, axis=(0, 2))]
+        )  # [2, B]
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
             fstate, B, dtype, fframe)
         new_state = {
