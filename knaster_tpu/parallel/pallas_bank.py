@@ -170,11 +170,57 @@ def _env_asr(stage, t, rscale, restart, release, atk, rel):
     return env, stage, t_next, rscale
 
 
+def _env_asr_free(stage, t, rscale, atk, rel):
+    """``_env_asr`` without the trigger plumbing. Event-free blocks carry no
+    restart/release bits by construction (triggers only arrive via events),
+    so the two per-sample ``_trig_bit`` chains and the release-capture
+    selects vanish statically; ``rscale`` is read-only and stays in the
+    caller's carry. Returns (env, stage', t')."""
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    env = jnp.where(
+        stage == 1.0, t,
+        jnp.where(stage == 2.0, one,
+                  jnp.where(stage == 3.0, t * t * t * rscale, zero)),
+    )
+    t_next = jnp.where(
+        stage == 1.0, t + atk,
+        jnp.where(stage == 3.0, t - rel, t),
+    )
+    to_sus = (stage == 1.0) & (t_next >= one)
+    done = (stage == 3.0) & (t_next <= zero)
+    stage = jnp.where(to_sus, np.float32(2.0), stage)
+    stage = jnp.where(done, zero, stage)
+    t_next = jnp.where(done, zero, t_next)
+    return env, stage, t_next
+
+
 def _env_ar(stage, t, restart, atk, rel):
     """EnvAr state machine (stages: 0 stopped, 1 attack, 2 release)."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
     stage = jnp.where(restart, one, stage)
+    env = jnp.where(
+        stage == 1.0, t,
+        jnp.where(stage == 2.0, t * t * t, zero),
+    )
+    t_next = jnp.where(
+        stage == 1.0, t + atk,
+        jnp.where(stage == 2.0, t - rel, t),
+    )
+    to_rel = (stage == 1.0) & (t_next >= one)
+    stage = jnp.where(to_rel, np.float32(2.0), stage)
+    t_next = jnp.where(to_rel, one, t_next)
+    done = (stage == 2.0) & ~to_rel & (t_next <= zero)
+    stage = jnp.where(done, zero, stage)
+    t_next = jnp.where(done, zero, t_next)
+    return env, stage, t_next
+
+
+def _env_ar_free(stage, t, atk, rel):
+    """``_env_ar`` without the restart trigger (see ``_env_asr_free``)."""
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
     env = jnp.where(
         stage == 1.0, t,
         jnp.where(stage == 2.0, t * t * t, zero),
@@ -218,6 +264,19 @@ def _ramp_operands(bank, state, fstate, fframe, dtype):
                     g2(state["frem"][p].astype(dtype)),
                     g2(state["ftarget"][p]), g2(fframe[p].astype(dtype))]
     return ops
+
+
+def _fold_act(bank, ramp_ops, act):
+    """Event-free blocks fold the block-constant active gain into the amp
+    ramp group host-side: ``act`` is exactly 0 or 1, so scaling (v0, step,
+    tgt) — never ``rem`` — makes ``_mat(i, AMP)`` produce ``amp * act``
+    bit-exactly while the kernel drops one ref load and mul per sample.
+    Must run on the 4-tile fast layout BEFORE any pan-pack swap."""
+    base = N_FAST * bank.float_index("amp")
+    out = list(ramp_ops)
+    for j in (0, 1, 3):
+        out[base + j] = out[base + j] * act
+    return out
 
 
 def _bank_setup(bank, ctx, state, events):
@@ -295,29 +354,42 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
     restart_lo/hi, release_lo/hi, phase; outs: partial mix [1, B, 2, LANES],
     stage, t, rscale, phase."""
     np_ = N_EVENTFUL if ng == N_EVENTFUL else N_PAN_FAST
+    trig_free = ng == N_FAST
     FREQ = refs[0:ng]
     AMP = refs[ng:2 * ng]
     PAN = refs[2 * ng:2 * ng + np_]
-    (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
-     rlo_ref, rhi_ref, qlo_ref, qhi_ref, phase_ref,
-     outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
-        refs[2 * ng + np_:]
+    if trig_free:
+        # event-free: no trigger words, active folded into AMP host-side
+        (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, phase_ref,
+         outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
+            refs[2 * ng + np_:]
+    else:
+        (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
+         rlo_ref, rhi_ref, qlo_ref, qhi_ref, phase_ref,
+         outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
+            refs[2 * ng + np_:]
 
     def body(i, carry):
         phase, stage, t, rscale, pan_c = carry
         i_f = i.astype(jnp.float32)
-        restart = _trig_bit(i, rlo_ref, rhi_ref)
-        release = _trig_bit(i, qlo_ref, qhi_ref)
-
-        env, stage, t_next, rscale = _env_asr(
-            stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
-        )
+        if trig_free:
+            env, stage, t_next = _env_asr_free(
+                stage, t, rscale, atk_ref[:], rel_ref[:]
+            )
+            gain = env * _mat(i_f, AMP)
+        else:
+            restart = _trig_bit(i, rlo_ref, rhi_ref)
+            release = _trig_bit(i, qlo_ref, qhi_ref)
+            env, stage, t_next, rscale = _env_asr(
+                stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
+            )
+            gain = env * _mat(i_f, AMP) * act_ref[:]
 
         freq = _mat(i_f, FREQ)
         osc = _sin_quant(phase)
         phase = phase + _to_inc(freq * f2pi)
 
-        sig = osc * env * _mat(i_f, AMP) * act_ref[:]
+        sig = osc * gain
         panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
         # two mono [B, LANES] outs, not one [B, 2, LANES]: a trailing
         # (2, LANES) pair maps to (sublane, lane) and wastes 6/8 of every
@@ -394,22 +466,28 @@ class PallasSineVoiceBank(VoiceBank):
             idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
         if ng == N_FAST:
-            # event-free block: swap pan's ramp group for the rotation pack
+            # event-free block: fold active into amp, swap pan's ramp group
+            # for the rotation pack, drop the (all-zero) trigger words
+            ramp_ops = _fold_act(self, ramp_ops, act)
             ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(
                 self, fstate, dtype
             )
-            n_in = 2 * ng + N_PAN_FAST + 11
+            n_in = 2 * ng + N_PAN_FAST + 6
+            extras = (state["stage"], state["t"], state["rscale"], atk, rel,
+                      state["phase"])
         else:
             n_in = 3 * ng + 11
-
-        restart_lo, restart_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-        )
-        release_lo, release_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_release"))
-        )
+            restart_lo, restart_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+            )
+            release_lo, release_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_release"))
+            )
+            extras = (state["stage"], state["t"], state["rscale"], atk, rel,
+                      act, restart_lo, restart_hi, release_lo, release_hi,
+                      state["phase"])
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -435,11 +513,7 @@ class PallasSineVoiceBank(VoiceBank):
                 tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
-        )(
-            *ramp_ops,
-            state["stage"], state["t"], state["rscale"], atk, rel, act,
-            restart_lo, restart_hi, release_lo, release_hi, state["phase"],
-        )
+        )(*ramp_ops, *extras)
         partial_l, partial_r, stage, t, rscale, phase = outs
         out = jnp.stack(
             [jnp.sum(partial_l, axis=(0, 2)), jnp.sum(partial_r, axis=(0, 2))]
@@ -466,21 +540,31 @@ def _fm_kernel(B, ng, f2pi, unroll, *refs):
     phases (the modulator's frequency is freq*ratio of the materialized
     per-sample params; the carrier's instantaneous frequency is audio-rate
     FM), AR envelope, mono mix."""
+    trig_free = ng == N_FAST
     FREQ = refs[0:ng]
     RATIO = refs[ng:2 * ng]
     INDEX = refs[2 * ng:3 * ng]
     AMP = refs[3 * ng:4 * ng]
-    (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref, act_ref,
-     rlo_ref, rhi_ref,
-     out_ref, phm_out, phc_out, stage_out, t_out) = refs[4 * ng:]
+    if trig_free:
+        (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref,
+         out_ref, phm_out, phc_out, stage_out, t_out) = refs[4 * ng:]
+    else:
+        (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref, act_ref,
+         rlo_ref, rhi_ref,
+         out_ref, phm_out, phc_out, stage_out, t_out) = refs[4 * ng:]
     one = np.float32(1.0)
 
     def body(i, carry):
         phm, phc, stage, t = carry
         i_f = i.astype(jnp.float32)
-        restart = _trig_bit(i, rlo_ref, rhi_ref)
-
-        env, stage, t_next = _env_ar(stage, t, restart, atk_ref[:], rel_ref[:])
+        if trig_free:
+            env, stage, t_next = _env_ar_free(stage, t, atk_ref[:], rel_ref[:])
+            gain = env * _mat(i_f, AMP)
+        else:
+            restart = _trig_bit(i, rlo_ref, rhi_ref)
+            env, stage, t_next = _env_ar(stage, t, restart,
+                                         atk_ref[:], rel_ref[:])
+            gain = env * _mat(i_f, AMP) * act_ref[:]
 
         freq = _mat(i_f, FREQ)
         mod = _sin_quant(phm)
@@ -489,7 +573,7 @@ def _fm_kernel(B, ng, f2pi, unroll, *refs):
         car = _sin_quant(phc)
         phc = phc + _to_inc(car_freq * f2pi)
 
-        sig = car * env * _mat(i_f, AMP) * act_ref[:]
+        sig = car * gain
         out_ref[0, i, :] = jnp.sum(sig, axis=0)
         return phm, phc, stage, t_next
 
@@ -559,15 +643,23 @@ class PallasFMVoiceBank(VoiceBank):
             idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
 
-        r_lo, r_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-        )
+        if ng == N_FAST:
+            ramp_ops = _fold_act(self, ramp_ops, act)
+            n_in = 4 * ng + 6
+            extras = (state["phm"], state["phc"], state["stage"], state["t"],
+                      atk, rel)
+        else:
+            r_lo, r_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+            )
+            n_in = 4 * ng + 9
+            extras = (state["phm"], state["phc"], state["stage"], state["t"],
+                      atk, rel, act, r_lo, r_hi)
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
-        n_in = 4 * ng + 9
         outs = pl.pallas_call(
             functools.partial(_fm_kernel, B, ng, f2pi, not interpret),
             grid=(n_tiles,),
@@ -585,11 +677,7 @@ class PallasFMVoiceBank(VoiceBank):
                 tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
-        )(
-            *ramp_ops,
-            state["phm"], state["phc"], state["stage"], state["t"],
-            atk, rel, act, r_lo, r_hi,
-        )
+        )(*ramp_ops, *extras)
         partial_mix, phm, phc, stage, t = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
@@ -615,15 +703,22 @@ def _sub_kernel(B, ng, inv_sr, unroll, *refs):
     per-sample freq, and the SVF coefficients (tan-based, svf.rs set_coeffs
     Low type) are recomputed per sample exactly like SvfFilter, whose
     coefficients always track the parameter arrays."""
+    trig_free = ng == N_FAST
     FREQ = refs[0:ng]
     CUT = refs[ng:2 * ng]
     Q = refs[2 * ng:3 * ng]
     AMP = refs[3 * ng:4 * ng]
-    (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
-     atk_ref, rel_ref, act_ref,
-     rlo_ref, rhi_ref, qlo_ref, qhi_ref,
-     out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
-        refs[4 * ng:]
+    if trig_free:
+        (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
+         atk_ref, rel_ref,
+         out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
+            refs[4 * ng:]
+    else:
+        (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
+         atk_ref, rel_ref, act_ref,
+         rlo_ref, rhi_ref, qlo_ref, qhi_ref,
+         out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
+            refs[4 * ng:]
     one = np.float32(1.0)
     zero = np.float32(0.0)
     two = np.float32(2.0)
@@ -640,12 +735,16 @@ def _sub_kernel(B, ng, inv_sr, unroll, *refs):
     def body(i, carry):
         t, ic1, ic2, stage, et, rscale = carry
         i_f = i.astype(jnp.float32)
-        restart = _trig_bit(i, rlo_ref, rhi_ref)
-        release = _trig_bit(i, qlo_ref, qhi_ref)
-
-        env, stage, et_next, rscale = _env_asr(
-            stage, et, rscale, restart, release, atk_ref[:], rel_ref[:]
-        )
+        if trig_free:
+            env, stage, et_next = _env_asr_free(
+                stage, et, rscale, atk_ref[:], rel_ref[:]
+            )
+        else:
+            restart = _trig_bit(i, rlo_ref, rhi_ref)
+            release = _trig_bit(i, qlo_ref, qhi_ref)
+            env, stage, et_next, rscale = _env_asr(
+                stage, et, rscale, restart, release, atk_ref[:], rel_ref[:]
+            )
 
         # polyBLEP sawtooth (polyblep.rs saw): y = 2*frac(t+0.5)-1 - blep
         dt = jnp.clip(_mat(i_f, FREQ) * inv_sr, 0.0, 0.5)
@@ -668,8 +767,10 @@ def _sub_kernel(B, ng, inv_sr, unroll, *refs):
         ic1 = two * v1 - ic1
         ic2 = two * v2 - ic2
 
-        sig = v2 * env * _mat(i_f, AMP) * act_ref[:]
-        out_ref[0, i, :] = jnp.sum(sig, axis=0)
+        gain = env * _mat(i_f, AMP)
+        if not trig_free:
+            gain = gain * act_ref[:]
+        out_ref[0, i, :] = jnp.sum(v2 * gain, axis=0)
         return t, ic1, ic2, stage, et_next, rscale
 
     carry = (t_ref[:], ic1_ref[:], ic2_ref[:], stage_ref[:], et_ref[:],
@@ -747,19 +848,28 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             idle = _bank_setup(self, ctx, state, events)
         inv_sr = np.float32(1.0 / ctx.sample_rate)
 
-        r_lo, r_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-        )
-        rel_lo, rel_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_release"))
-        )
+        if ng == N_FAST:
+            ramp_ops = _fold_act(self, ramp_ops, act)
+            n_in = 4 * ng + 8
+            extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
+                      state["et"], state["rscale"], atk, rel)
+        else:
+            r_lo, r_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+            )
+            rel_lo, rel_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_release"))
+            )
+            n_in = 4 * ng + 13
+            extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
+                      state["et"], state["rscale"],
+                      atk, rel, act, r_lo, r_hi, rel_lo, rel_hi)
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
-        n_in = 4 * ng + 13
         outs = pl.pallas_call(
             functools.partial(_sub_kernel, B, ng, inv_sr, not interpret),
             grid=(n_tiles,),
@@ -779,12 +889,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
                 tile(), tile(), tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
-        )(
-            *ramp_ops,
-            state["t"], state["ic1"], state["ic2"], state["stage"],
-            state["et"], state["rscale"],
-            atk, rel, act, r_lo, r_hi, rel_lo, rel_hi,
-        )
+        )(*ramp_ops, *extras)
         partial_mix, t, ic1, ic2, stage, et, rscale = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
         fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
@@ -811,25 +916,35 @@ def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
     mix. The per-harmonic A/B coefficients are python-float constants baked
     into the unrolled harmonic loop (no [H, R, LANES] tiles)."""
     np_ = N_EVENTFUL if ng == N_EVENTFUL else N_PAN_FAST
+    trig_free = ng == N_FAST
     FREQ = refs[0:ng]
     AMP = refs[ng:2 * ng]
     PAN = refs[2 * ng:2 * ng + np_]
-    (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
-     rlo_ref, rhi_ref, qlo_ref, qhi_ref,
-     outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
-        refs[2 * ng + np_:]
+    if trig_free:
+        (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref,
+         outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
+            refs[2 * ng + np_:]
+    else:
+        (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
+         rlo_ref, rhi_ref, qlo_ref, qhi_ref,
+         outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
+            refs[2 * ng + np_:]
     H = len(acoef)
     zero = np.float32(0.0)
 
     def body(i, carry):
         phase, stage, t, rscale, pan_c = carry
         i_f = i.astype(jnp.float32)
-        restart = _trig_bit(i, rlo_ref, rhi_ref)
-        release = _trig_bit(i, qlo_ref, qhi_ref)
-
-        env, stage, t_next, rscale = _env_asr(
-            stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
-        )
+        if trig_free:
+            env, stage, t_next = _env_asr_free(
+                stage, t, rscale, atk_ref[:], rel_ref[:]
+            )
+        else:
+            restart = _trig_bit(i, rlo_ref, rhi_ref)
+            release = _trig_bit(i, qlo_ref, qhi_ref)
+            env, stage, t_next, rscale = _env_asr(
+                stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
+            )
 
         freq = _mat(i_f, FREQ)
         theta = _theta_full(phase)
@@ -850,7 +965,10 @@ def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
                 freq * np.float32(h + 1) <= np.float32(nyq), part, zero
             )
 
-        sig = acc * env * _mat(i_f, AMP) * act_ref[:]
+        gain = env * _mat(i_f, AMP)
+        if not trig_free:
+            gain = gain * act_ref[:]
+        sig = acc * gain
         panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
         # two mono outs for store-tile efficiency (see _sine_kernel)
         outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
@@ -943,13 +1061,28 @@ class PallasWavetableVoiceBank(VoiceBank):
             idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
         if ng == N_FAST:
-            # event-free block: swap pan's ramp group for the rotation pack
+            # event-free block: fold active into amp, swap pan's ramp group
+            # for the rotation pack, drop the (all-zero) trigger words
+            ramp_ops = _fold_act(self, ramp_ops, act)
             ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(
                 self, fstate, dtype
             )
-            n_in = 2 * ng + N_PAN_FAST + 11
+            n_in = 2 * ng + N_PAN_FAST + 6
+            extras = (state["phase"], state["stage"], state["t"],
+                      state["rscale"], atk, rel)
         else:
             n_in = 3 * ng + 11
+            restart_lo, restart_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
+            )
+            release_lo, release_hi = (
+                _grid2(self, w) for w in
+                self._packed_trigs(ctx, events, self.trig_index("t_release"))
+            )
+            extras = (state["phase"], state["stage"], state["t"],
+                      state["rscale"], atk, rel, act,
+                      restart_lo, restart_hi, release_lo, release_hi)
 
         # per-harmonic A/B constants: table phases folded into static coeffs
         # (partial_h = A_h*sin(h*theta) + B_h*cos(h*theta))
@@ -958,15 +1091,6 @@ class PallasWavetableVoiceBank(VoiceBank):
                       (self.mags * np.cos(phi)).astype(np.float32))
         bcoef = tuple(float(x) for x in
                       (self.mags * np.sin(phi)).astype(np.float32))
-
-        restart_lo, restart_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-        )
-        release_lo, release_hi = (
-            _grid2(self, w) for w in
-            self._packed_trigs(ctx, events, self.trig_index("t_release"))
-        )
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -994,12 +1118,7 @@ class PallasWavetableVoiceBank(VoiceBank):
                 tile(), tile(), tile(), tile(),
             ),
             interpret=interpret,
-        )(
-            *ramp_ops,
-            state["phase"], state["stage"], state["t"], state["rscale"],
-            atk, rel, act,
-            restart_lo, restart_hi, release_lo, release_hi,
-        )
+        )(*ramp_ops, *extras)
         partial_l, partial_r, phase, stage, t, rscale = outs
         out = jnp.stack(
             [jnp.sum(partial_l, axis=(0, 2)), jnp.sum(partial_r, axis=(0, 2))]
