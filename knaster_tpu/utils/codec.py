@@ -1,12 +1,14 @@
-"""Compressed sound-file IO via the system codec libraries (ctypes).
+"""Compressed sound-file IO via system codec libraries + the native codec.
 
 The reference reads wav/ogg/flac/mp3 through symphonia
 (knaster_core_dsp/src/dsp/buffer.rs:154 Buffer::from_sound_file). This image
 ships no Python codec packages, but it does carry the canonical C codec
 libraries — libmpg123 (mp3 decode), libvorbisfile (ogg/vorbis decode),
-libmp3lame (mp3 encode) and libvorbis/enc/ogg (ogg encode) — so the
-decoders bind straight to their stable C ABIs with ctypes. No FLAC library
-is present; .flac raises with a clear message.
+libmp3lame (mp3 encode) and libvorbis/enc/ogg (ogg encode) — so those
+decoders bind straight to their stable C ABIs with ctypes. FLAC has no
+system library at all, so it is implemented from the format spec in the
+project's own native code (native/knaster_flac.cpp): full-spec decode and
+a fixed/LPC-predictor lossless encoder.
 
 All decoders return ``(data [channels, frames] float32 in ±1, sample_rate)``
 — the same planar layout as utils/wav.read_wav.
@@ -342,13 +344,108 @@ def write_ogg(path: str, data: np.ndarray, sample_rate: int,
 
 
 # --------------------------------------------------------------------------
+# flac: the project's native codec (native/knaster_flac.cpp, built on demand)
+# --------------------------------------------------------------------------
+_flac = None
+
+
+def _get_flac():
+    global _flac
+    if _flac is None:
+        import subprocess
+
+        native_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "native",
+        )
+        lib_path = os.path.join(native_dir, "build", "libknaster_flac.so")
+        if not os.path.exists(lib_path):
+            proc = subprocess.run(
+                ["make", "-C", native_dir], capture_output=True, text=True
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    "failed to build native/knaster_flac.cpp:\n"
+                    f"{proc.stdout}\n{proc.stderr}"
+                )
+        lib = C.CDLL(lib_path)
+        lib.kn_flac_open.restype = C.c_void_p
+        lib.kn_flac_open.argtypes = [C.c_char_p, C.c_size_t]
+        for fn in ("kn_flac_channels", "kn_flac_rate", "kn_flac_bits"):
+            getattr(lib, fn).restype = C.c_int
+            getattr(lib, fn).argtypes = [C.c_void_p]
+        lib.kn_flac_frames.restype = C.c_longlong
+        lib.kn_flac_frames.argtypes = [C.c_void_p]
+        lib.kn_flac_read.argtypes = [C.c_void_p, C.POINTER(C.c_int32)]
+        lib.kn_flac_close.argtypes = [C.c_void_p]
+        lib.kn_flac_encode.restype = C.POINTER(C.c_uint8)
+        lib.kn_flac_encode.argtypes = [
+            C.POINTER(C.c_int32), C.c_longlong, C.c_int, C.c_int, C.c_int,
+            C.POINTER(C.c_size_t),
+        ]
+        lib.kn_flac_free_buf.argtypes = [C.POINTER(C.c_uint8)]
+        _flac = lib
+    return _flac
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file with the native codec. Lossless: int samples are
+    scaled by 2^(bits-1) into float32 ±1 exactly like read_wav's int paths."""
+    lib = _get_flac()
+    with open(path, "rb") as f:
+        raw = f.read()
+    h = lib.kn_flac_open(raw, len(raw))
+    if not h:
+        raise RuntimeError(f"cannot decode FLAC file {path!r}")
+    try:
+        n_ch = lib.kn_flac_channels(h)
+        rate = lib.kn_flac_rate(h)
+        bits = lib.kn_flac_bits(h)
+        frames = lib.kn_flac_frames(h)
+        data = np.zeros((n_ch, frames), np.int32)
+        if frames:
+            lib.kn_flac_read(h, data.ctypes.data_as(C.POINTER(C.c_int32)))
+        return data.astype(np.float32) / np.float32(2 ** (bits - 1)), rate
+    finally:
+        lib.kn_flac_close(h)
+
+
+def write_flac(path: str, data: np.ndarray, sample_rate: int,
+               bits: int = 16) -> None:
+    """Encode ``data [channels, frames]`` (float32 ±1) to FLAC (lossless at
+    the chosen bit depth; 16 or 24)."""
+    if bits not in (8, 16, 24):
+        raise ValueError("write_flac supports 8/16/24-bit depths")
+    lib = _get_flac()
+    data = np.atleast_2d(np.asarray(data, np.float32))
+    n_ch, frames = data.shape
+    if n_ch > 8:
+        raise ValueError("flac supports at most 8 channels")
+    scale = float(2 ** (bits - 1))
+    quant = np.clip(np.rint(data * scale), -scale, scale - 1).astype(np.int32)
+    interleaved = np.ascontiguousarray(quant.T)  # [frames, ch]
+    out_len = C.c_size_t(0)
+    p = lib.kn_flac_encode(
+        interleaved.ctypes.data_as(C.POINTER(C.c_int32)),
+        frames, n_ch, int(sample_rate), bits, C.byref(out_len),
+    )
+    if not p:
+        raise RuntimeError("flac encode failed")
+    try:
+        with open(path, "wb") as f:
+            f.write(C.string_at(p, out_len.value))
+    finally:
+        lib.kn_flac_free_buf(p)
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 def read_sound_file(path: str) -> Tuple[np.ndarray, int]:
-    """Read wav/ogg/mp3 into ``([channels, frames] float32, sample_rate)``
-    (Buffer::from_sound_file parity, dsp/buffer.rs:154). Dispatch is by
-    magic bytes with the extension as fallback; .flac raises (no FLAC
-    library in this image)."""
+    """Read wav/ogg/flac/mp3 into ``([channels, frames] float32,
+    sample_rate)`` (Buffer::from_sound_file parity, dsp/buffer.rs:154).
+    Dispatch is by magic bytes with the extension as fallback."""
     with open(path, "rb") as f:
         magic = f.read(4)
     ext = os.path.splitext(path)[1].lower()
@@ -359,10 +456,7 @@ def read_sound_file(path: str) -> Tuple[np.ndarray, int]:
     if magic[:4] == b"OggS" or ext in (".ogg", ".oga"):
         return read_ogg(path)
     if magic[:4] == b"fLaC" or ext == ".flac":
-        raise RuntimeError(
-            "FLAC decoding is unavailable: this image ships no libFLAC "
-            "(wav/ogg/mp3 are supported)"
-        )
+        return read_flac(path)
     if magic[:3] == b"ID3" or (len(magic) >= 2 and magic[0] == 0xFF
                                and (magic[1] & 0xE0) == 0xE0) or ext == ".mp3":
         return read_mp3(path)

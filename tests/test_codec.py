@@ -1,6 +1,7 @@
 """Compressed sound-file IO (Buffer::from_sound_file parity,
 dsp/buffer.rs:154): mp3 via libmpg123, ogg via libvorbisfile, with
-encoders (libmp3lame / libvorbisenc) providing round-trip coverage."""
+encoders (libmp3lame / libvorbisenc) providing round-trip coverage, and
+FLAC via the project's native codec (native/knaster_flac.cpp)."""
 
 import os
 
@@ -64,12 +65,70 @@ def test_ogg_roundtrip(tmp_path):
     assert abs(_freq(data[0][SR // 2 : SR // 2 + SR]) - 440) <= 3
 
 
-def test_flac_raises_clearly(tmp_path):
+def test_flac_roundtrip_lossless(tmp_path):
+    """write_flac -> read_flac is bit-exact at the quantized depth for
+    16- and 24-bit, stereo and mono, including a short trailing frame."""
+    rng = np.random.default_rng(7)
+    t = np.arange(int(SR * 1.3) + 61) / SR  # odd length: short last frame
+    sig = np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t) + 0.01 * rng.standard_normal(len(t)),
+         0.5 * np.sin(2 * np.pi * 440 * t + 0.2)
+         + 0.1 * np.sin(2 * np.pi * 880 * t)]
+    ).astype(np.float32)
+    for bits, data in ((16, sig), (24, sig), (16, sig[:1])):
+        path = str(tmp_path / f"t{bits}_{data.shape[0]}.flac")
+        codec.write_flac(path, data, SR, bits=bits)
+        dec, rate = codec.read_sound_file(path)
+        assert rate == SR and dec.shape == data.shape
+        scale = 2.0 ** (bits - 1)
+        q = (np.clip(np.rint(data * scale), -scale, scale - 1)
+             / scale).astype(np.float32)
+        assert np.array_equal(dec, q)
+
+
+def test_flac_compresses_and_covers_subframe_types(tmp_path):
+    """Tonal + constant + silent content: the encoder's LPC/fixed/constant
+    subframe choices must all decode losslessly, and tonal content must
+    actually compress (LPC prediction working, not verbatim fallback)."""
+    t = np.arange(SR) / SR
+    tonal = (0.4 * np.sin(2 * np.pi * 220 * t)
+             + 0.2 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    sig = np.concatenate(
+        [np.zeros(4096, np.float32), np.full(4096, 0.125, np.float32), tonal]
+    )[None]
+    path = str(tmp_path / "t.flac")
+    codec.write_flac(path, sig, SR, bits=16)
+    raw_bytes = sig.shape[1] * 2
+    assert os.path.getsize(path) < 0.5 * raw_bytes  # real compression
+    dec, rate = codec.read_sound_file(path)
+    q = (np.clip(np.rint(sig * 32768.0), -32768, 32767) / 32768.0)
+    assert np.array_equal(dec, q.astype(np.float32))
+
+
+def test_flac_bad_stream_raises(tmp_path):
     path = str(tmp_path / "t.flac")
     with open(path, "wb") as f:
         f.write(b"fLaC" + b"\x00" * 64)
-    with pytest.raises(RuntimeError, match="FLAC"):
+    with pytest.raises(RuntimeError, match="FLAC|decode"):
         codec.read_sound_file(path)
+
+
+def test_buffer_reader_plays_flac(tmp_path):
+    """End to end: decode a FLAC into a Buffer and play it through
+    BufferReader in a graph."""
+    from knaster_tpu import (AudioProcessor, AudioProcessorOptions,
+                             BufferReader)
+
+    path = str(tmp_path / "t.flac")
+    codec.write_flac(path, _sig(), SR, bits=16)
+    buf = Buffer.from_sound_file(path)
+    assert buf.sample_rate == SR and buf.channels == 2
+    g, proc = AudioProcessor.new(
+        0, 2, AudioProcessorOptions(block_size=64, sample_rate=SR)
+    )
+    g.edit(lambda gg: gg.push(BufferReader(buf)).to_graph_out())
+    audio = proc.render(frames=SR // 2)
+    assert np.abs(audio).max() > 0.2  # lossless: no encoder delay
 
 
 def test_wav_dispatch(tmp_path):
