@@ -351,7 +351,11 @@ def bench_galactic(block_size=64):
 
     def build(gg):
         src = gg.push(PinkNoise())
-        echo = gg.push(AllpassFeedbackDelay(0.25, feedback=0.5, long=True))
+        echo = gg.push(
+            AllpassFeedbackDelay(
+                0.25, feedback=0.5, long=True, min_delay_time=0.25
+            )
+        )
         verb = gg.push(Galactic(wet=0.5))
         src.to(echo)
         (echo.out([0, 0])).to(verb)

@@ -226,7 +226,21 @@ class CompiledGraph:
                 # per-entry set so superseded compiles stay collectable
                 while len(fns) > 8:
                     fns.pop(next(iter(fns)))
-            return fn(prev)
+            try:
+                return fn(prev)
+            except Exception:
+                # a prewarmed carry is AOT-compiled from default-init
+                # shapes (prewarm_carry); a live state whose shardings
+                # differ (e.g. mesh-sharded bank leaves) won't match its
+                # baked-in layout — fall back to a retracing jit
+                pc = prev_compiled
+
+                def carry(p):
+                    return self._build_state(p, pc)
+
+                fn = jax.jit(carry)
+                fns[key] = fn
+                return fn(prev)
         return self._build_state(prev, prev_compiled)
 
     def prewarm_carry(self, from_compiled: "CompiledGraph") -> bool:

@@ -53,12 +53,17 @@ class AudioProcessorOptions:
 
 
 
+_copy_state_jit = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
+
 def copy_state(state):
     """Sharding-preserving deep copy of a state pytree in ONE jitted
     dispatch. Eager per-leaf copies both cost a tunnel round-trip per leaf
     and (for mesh-sharded leaves) trip an XLA replicated-vs-NamedSharding
-    assertion in eager mode; under jit the input shardings propagate."""
-    return jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(state)
+    assertion in eager mode; under jit the input shardings propagate. The
+    jitted copy lives at module scope so repeated swaps/warms with the
+    same state structure hit the jit cache instead of re-tracing."""
+    return _copy_state_jit(state)
 
 
 class AudioProcessor:

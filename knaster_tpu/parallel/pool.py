@@ -146,12 +146,23 @@ class VoicePool:
     def _idle_vector(self) -> np.ndarray:
         proc = self.processor
         proc._ensure_compiled()
-        cg = proc.compiled
-        loc = cg._node_loc(self.node_id)
-        if loc is None or loc[0] != "single":
-            raise RuntimeError("VoiceBank node not found in the compiled plan")
-        leaf = proc.state["nodes"][loc[1]]["idle"]
-        return np.asarray(leaf)  # ONE device->host fetch
+        # render programs donate their state argument; when note_on/refresh
+        # runs on a control thread against a live stream, the leaf can be
+        # donated-deleted between reading proc.state and the fetch — retry
+        # against the fresh state (same hazard/fix as processor.probe_log)
+        for _ in range(3):
+            cg = proc.compiled
+            loc = cg._node_loc(self.node_id)
+            if loc is None or loc[0] != "single":
+                raise RuntimeError(
+                    "VoiceBank node not found in the compiled plan"
+                )
+            leaf = proc.state["nodes"][loc[1]]["idle"]
+            try:
+                return np.asarray(leaf)  # ONE device->host fetch
+            except RuntimeError:
+                continue  # donated under us by a concurrent render
+        return np.asarray(proc.state["nodes"][loc[1]]["idle"])
 
     def refresh(self) -> int:
         """Fetch the bank's idle latch (one device→host round-trip) and

@@ -74,25 +74,39 @@ class AllpassDelay(UGen):
     vectorize over the whole block and the interpolator becomes an affine
     scan — much faster on TPU. The effective delay is clamped to the block
     size in that mode. Leave ``long=False`` for flanger/chorus-length
-    delays."""
+    delays.
+
+    ``min_delay_time`` (long mode only) additionally declares a lower
+    bound the runtime delay will never cross; that bound becomes the
+    node's ``superblock_cap`` so event-free stretches can run multi-block
+    programs without the >=block clamp ever engaging. Without it a
+    long-mode delay keeps the graph out of superblocking entirely — the
+    clamp floor would otherwise grow with the program's block span and
+    superblocked audio would diverge from per-block audio."""
 
     inputs = 1
     outputs = 1
     params = (pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),)
 
-    def __init__(self, max_delay_time, long: bool = False):
+    def __init__(self, max_delay_time, long: bool = False, min_delay_time=None):
         self.max_delay_time = _as_seconds(max_delay_time)
         self.long = bool(long)
         # the long fast path clamps delays to >= one block: block-dependent
         self.block_invariant = not self.long
+        self.min_delay_time = (
+            None if min_delay_time is None else _as_seconds(min_delay_time)
+        )
 
     def init(self, ctx: AudioCtx):
         n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
         self._length = n
-        if self.long:
-            # long mode supports superblocks up to the buffer length (its
-            # documented >= block clamp coarsens with the block size)
-            self.superblock_cap = n
+        if self.long and self.min_delay_time is not None:
+            # superblocks are safe up to the declared minimum delay: the
+            # >=block clamp never engages below it, so k-block programs
+            # bit-match per-block rendering
+            self.superblock_cap = min(
+                n, int(self.min_delay_time.to_samples(ctx.sample_rate))
+            )
         return {
             "buf": jnp.zeros((n,), ctx.dtype),
             "wp": jnp.zeros((), jnp.int32),
@@ -180,10 +194,14 @@ class AllpassFeedbackDelay(UGen):
         pfloat("delay_time", 0.0, kind=ParameterKind.SECONDS),
     )
 
-    def __init__(self, max_delay_time, feedback: float = 0.0, long: bool = False):
+    def __init__(self, max_delay_time, feedback: float = 0.0,
+                 long: bool = False, min_delay_time=None):
         self.max_delay_time = _as_seconds(max_delay_time)
-        self.long = bool(long)  # see AllpassDelay.long
+        self.long = bool(long)  # see AllpassDelay.long / min_delay_time
         self.block_invariant = not self.long
+        self.min_delay_time = (
+            None if min_delay_time is None else _as_seconds(min_delay_time)
+        )
         self.pdefaults = {
             "feedback": float(feedback),
             # default delay = max (reference previous_delay_time init)
@@ -193,10 +211,13 @@ class AllpassFeedbackDelay(UGen):
     def init(self, ctx: AudioCtx):
         n = max(2, int(self.max_delay_time.to_samples(ctx.sample_rate)))
         self._length = n
-        if self.long:
-            # long mode supports superblocks up to the buffer length (its
-            # documented >= block clamp coarsens with the block size)
-            self.superblock_cap = n
+        if self.long and self.min_delay_time is not None:
+            # superblocks are safe up to the declared minimum delay: the
+            # >=block clamp never engages below it, so k-block programs
+            # bit-match per-block rendering
+            self.superblock_cap = min(
+                n, int(self.min_delay_time.to_samples(ctx.sample_rate))
+            )
         return {
             "buf": jnp.zeros((n,), ctx.dtype),
             "wp": jnp.zeros((), jnp.int32),

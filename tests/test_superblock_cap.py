@@ -25,7 +25,9 @@ from knaster_tpu.graph.compile import get_super_fn, superblock_eligible
 
 def _build_chain(gg):
     src = gg.push(PinkNoise(seed=11))
-    echo = gg.push(AllpassFeedbackDelay(0.25, feedback=0.5, long=True))
+    echo = gg.push(
+        AllpassFeedbackDelay(0.25, feedback=0.5, long=True, min_delay_time=0.25)
+    )
     verb = gg.push(Galactic(seed=4, wet=0.5))
     src.to(echo)
     echo.out([0, 0]).to(verb)
@@ -59,6 +61,62 @@ def test_galactic_chain_superblock_parity():
     st_a, oa, _ = cg.render_fast(st_a, jnp.zeros((0, 64), np.float32))
     st_b, ob, _ = cg.render_fast(st_b, jnp.zeros((0, 64), np.float32))
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-7)
+
+
+def test_long_delay_without_min_declared_blocks_superblocks():
+    """A long-mode delay whose runtime delay_time carries no declared lower
+    bound must keep the graph out of superblocking: the >=block clamp floor
+    grows with the program's block span, so a k-block program would stretch
+    short runtime delays and diverge from per-block rendering."""
+    g, proc = AudioProcessor.new(0, 2, AudioProcessorOptions(block_size=64))
+
+    def build(gg):
+        src = gg.push(WhiteNoise(seed=7))
+        echo = gg.push(AllpassFeedbackDelay(0.25, feedback=0.5, long=True))
+        src.to(echo)
+        echo.out([0, 0]).to_graph_out()
+
+    g.edit(build)
+    proc._ensure_compiled()
+    assert not superblock_eligible(proc.compiled)
+
+
+def test_long_delay_min_delay_caps_superblocks():
+    """min_delay_time declares the runtime floor; superblocks run up to it
+    and the k-block program bit-matches per-block rendering even when the
+    delay sits AT the declared minimum (well below the buffer length)."""
+    min_d = 1024 / 48000  # 1024 samples, buffer holds 12000
+    g, proc = AudioProcessor.new(0, 2, AudioProcessorOptions(block_size=64))
+
+    def build(gg):
+        src = gg.push(WhiteNoise(seed=7))
+        echo = gg.push(
+            AllpassFeedbackDelay(
+                0.25, feedback=0.5, long=True, min_delay_time=min_d
+            )
+        )
+        src.to(echo)
+        echo.param("delay_time").set(min_d)
+        echo.out([0, 0]).to_graph_out()
+
+    g.edit(build)
+    proc._ensure_compiled()
+    cg = proc.compiled
+    assert superblock_eligible(cg)
+    assert cg.superblock_max == 1024  # the declared minimum, not the buffer
+    assert get_super_fn(cg, 32) is None  # 2048 samples > declared floor
+    fn = get_super_fn(cg, 8)
+    proc.render(frames=64)  # flush the pending set event
+    st_a = jax.tree_util.tree_map(jnp.array, proc.state)
+    st_b = jax.tree_util.tree_map(jnp.array, proc.state)
+    st_a, out_s, _ = fn(st_a, jnp.zeros((0, 512), np.float32))
+    blocks = []
+    for _ in range(8):
+        st_b, o, _ = cg.render_fast(st_b, jnp.zeros((0, 64), np.float32))
+        blocks.append(np.asarray(o))
+    ref = np.concatenate(blocks, axis=1)
+    assert np.abs(ref).max() > 0.01
+    np.testing.assert_allclose(np.asarray(out_s), ref, atol=1e-7)
 
 
 def test_noise_streams_block_size_invariant():
