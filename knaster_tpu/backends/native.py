@@ -28,14 +28,16 @@ def load_native():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            proc = subprocess.run(
-                ["make", "-C", _NATIVE_DIR], capture_output=True, text=True
+        # always run make: its dependency tracking rebuilds when a source
+        # file is newer than the .so (a bare existence check silently loads
+        # a stale library after source edits) and is a fast no-op otherwise
+        proc = subprocess.run(
+            ["make", "-C", _NATIVE_DIR], capture_output=True, text=True
+        )
+        if proc.returncode != 0 and not os.path.exists(_LIB_PATH):
+            raise RuntimeError(
+                f"failed to build native/knaster_rt.cpp:\n{proc.stdout}\n{proc.stderr}"
             )
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"failed to build native/knaster_rt.cpp:\n{proc.stdout}\n{proc.stderr}"
-                )
         lib = ctypes.CDLL(_LIB_PATH)
         u32, u64, fp = ctypes.c_uint32, ctypes.c_uint64, ctypes.c_void_p
         lib.kn_ring_new.restype = fp

@@ -77,8 +77,10 @@ class StreamBackend(AudioBackend):
 
     consumer: callable(block [channels, frames]) invoked at the audio rate
     from the consumer thread (the 'device callback'). Defaults to a pacing
-    null sink. ``lookahead_blocks`` is how far the producer may render ahead
-    (the latency/robustness tradeoff).
+    null sink. ``lookahead_blocks`` is the ring capacity — the maximum the
+    producer renders ahead of the consumer, and therefore the worst-case
+    latency from an asap control change to audible output (the
+    latency/robustness tradeoff).
 
     ``chunk_blocks``: how many blocks the producer renders per device round
     trip. Device dispatch + fetch has fixed latency (tens of ms over this
@@ -92,13 +94,14 @@ class StreamBackend(AudioBackend):
         self,
         sample_rate: int = 48000,
         block_size: int = 64,
-        lookahead_blocks: int = 96,
+        lookahead_blocks: int = 192,
         consumer: Optional[Callable[[np.ndarray], None]] = None,
         chunk_blocks: int = 32,
     ):
         self._sr = sample_rate
         self._block = block_size
-        self.lookahead = max(int(lookahead_blocks), 2 * int(chunk_blocks))
+        # at least three chunks: one draining, one in flight, one margin
+        self.lookahead = max(int(lookahead_blocks), 3 * int(chunk_blocks))
         self.chunk_blocks = int(chunk_blocks)
         self.consumer = consumer
         self.processor: Optional[AudioProcessor] = None
@@ -120,7 +123,11 @@ class StreamBackend(AudioBackend):
 
         self.processor = processor
         channels = processor.graph.outputs
-        self.ring = NativeRing(self._block * max(self.lookahead * 2, 4), channels)
+        # ring capacity IS the lookahead: the producer can never buffer more
+        # audio than the knob says, so tuning lookahead_blocks actually
+        # bounds control latency (it used to be sized 2x, silently doubling
+        # the documented render-ahead)
+        self.ring = NativeRing(self._block * max(self.lookahead, 4), channels)
 
         # pre-warm BOTH block programs (fast + eventful) AND every
         # power-of-two scan length the producer can hit — live events segment
@@ -166,11 +173,16 @@ class StreamBackend(AudioBackend):
         import queue as _queue
 
         inflight: "_queue.Queue" = _queue.Queue(maxsize=2)
+        # chunks the fetcher has popped but not finished writing — they
+        # occupy neither inflight.qsize() nor the ring yet, and the
+        # producer's space gate must count them or it dispatches one chunk
+        # too many and the ring write comes up short
+        held = [0]
 
         def producer():
             while self._running.is_set():
                 if (self.ring.available_write()
-                        >= chunk_frames * (1 + inflight.qsize())
+                        >= chunk_frames * (1 + inflight.qsize() + held[0])
                         and not inflight.full()):
                     inflight.put(
                         processor.render(frames=chunk_frames, fetch=False)
@@ -184,7 +196,17 @@ class StreamBackend(AudioBackend):
                     dev = inflight.get(timeout=0.05)
                 except _queue.Empty:
                     continue
-                self.ring.write(np.asarray(dev))
+                held[0] = 1
+                arr = np.asarray(dev)
+                # never drop frames on a full ring: write what fits, then
+                # wait for the consumer to drain (backpressure, not loss —
+                # a silent drop would desync every later scheduled event
+                # from the audible stream)
+                written = self.ring.write(arr)
+                while written < arr.shape[1] and self._running.is_set():
+                    time.sleep(self._block / self._sr / 4)
+                    written += self.ring.write(arr[:, written:])
+                held[0] = 0
 
         def consume():
             period = self._block / self._sr

@@ -29,6 +29,7 @@ Feature parity map:
 from __future__ import annotations
 
 import enum
+import threading
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
@@ -129,6 +130,13 @@ class Graph:
         self.param_edges: Dict[Tuple[int, int], Edge] = {}
 
         self.event_queue: List[ScheduledEvent] = []
+        # guards event_queue swaps/appends AND the _event_order counter:
+        # the processor's drain swaps the list out while control threads
+        # append/extend, and a load-then-call (`q = root.event_queue;
+        # q.extend(...)`) can straddle the swap and land events on the
+        # abandoned list (CPython can switch threads between the attribute
+        # load and the method call — the GIL does not make that atomic)
+        self.event_lock = threading.Lock()
         self._event_order = 0
         self.revision = 0  # bumped on every structural change
         self.clock = parent.clock if parent else _FrameClock()
@@ -537,7 +545,8 @@ class Graph:
         if token is not None:
             token._hold(root, make)
             return
-        root.event_queue.append(make())
+        with root.event_lock:
+            root.event_queue.append(make())
 
     # ------------------------------------------------------------- inspection
     def all_entries(self) -> Dict[int, NodeEntry]:

@@ -289,12 +289,14 @@ class AudioProcessor:
         B = self.graph.block_size
         clock = self.graph.clock.frames
         end = clock + B * horizon_blocks
-        # atomic drain: swap the queue out FIRST, then re-append the keeps.
-        # With StreamBackend the control thread appends via _queue_event while
-        # the producer thread runs this; appends that land after the swap go
-        # into the fresh list and survive (list.append is atomic via the GIL).
-        pending = self.graph.event_queue
-        self.graph.event_queue = []
+        # atomic drain: swap the queue out under the graph's event lock.
+        # With StreamBackend the control thread appends via _queue_event /
+        # token activate while the producer thread runs this; both sides
+        # hold event_lock so an extend can never straddle the swap and land
+        # on the abandoned list.
+        with self.graph.event_lock:
+            pending = self.graph.event_queue
+            self.graph.event_queue = []
         due, keep = [], []
         for ev in pending:
             if ev.due_frame < end:
@@ -302,7 +304,8 @@ class AudioProcessor:
             else:
                 keep.append(ev)
         if keep:
-            self.graph.event_queue.extend(keep)
+            with self.graph.event_lock:
+                self.graph.event_queue.extend(keep)
 
         per_block: List[Tuple[list, list, list, dict]] = [
             ([], [], [], {}) for _ in range(horizon_blocks)

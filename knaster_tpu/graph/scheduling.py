@@ -109,6 +109,6 @@ class SchedulingToken:
         for root, queue_fn in self._held:
             by_root.setdefault(id(root), (root, []))[1].append(queue_fn)
         for root, fns in by_root.values():
-            events = [fn() for fn in fns]
-            root.event_queue.extend(events)  # single atomic append (GIL)
+            with root.event_lock:  # atomic vs the processor's drain swap
+                root.event_queue.extend([fn() for fn in fns])
         self._held.clear()

@@ -102,6 +102,7 @@ class ShardedVoiceBank:
     def _build_step(self):
         ctx = self.ctx
         local_bank = self._local
+        local_bank.track_idle = self.bank.track_idle
         axis = self.axis
         Vl = self.local_voices
 
@@ -263,6 +264,10 @@ class MeshVoiceBank(VoiceBank):
     def process(self, ctx: AudioCtx, state, inputs, params, events=None):
         specs = self._specs(ctx)
         local_bank = self._local
+        # VoicePool flips track_idle on THIS node after construction (then
+        # forces a recompile); the per-shard bank renders the voices, so the
+        # flag must reach it or the idle latch never engages
+        local_bank.track_idle = self.track_idle
         axis = self.axis
         Vl = self.local_voices
 

@@ -242,13 +242,15 @@ def _env_ar_free(stage, t, atk, rel):
 # host-side operand staging
 # --------------------------------------------------------------------------
 
-def _ramp_operands(bank, state, fstate, fframe, dtype):
+def _ramp_operands(bank, old_fstate, fstate, fframe, dtype):
     """Flat list of [R, LANES] ramp tiles, one group per float param in
     ``bank._float_names`` order: (v0, step, rem, tgt) from the post-event
     ramp state, plus (v0_old, step_old, rem_old, tgt_old, frame) from the
-    pre-event state when this block has events. ``rem``/``frame`` are cast
-    to the compute dtype so comparisons against the sample index are one
-    VPU select each."""
+    pre-set trajectory when this block has events (``old_fstate`` — the
+    block-start state with any smoothing-config freeze applied, see
+    VoiceBank._apply_events). ``rem``/``frame`` are cast to the compute
+    dtype so comparisons against the sample index are one VPU select
+    each."""
     R = bank.n_voices // LANES
 
     def g2(x):
@@ -260,9 +262,10 @@ def _ramp_operands(bank, state, fstate, fframe, dtype):
         ops += [g2(fvals[p]), g2(fstep[p]),
                 g2(frem[p].astype(dtype)), g2(ftgt[p])]
         if fframe is not None:
-            ops += [g2(state["fvals"][p]), g2(state["fstep"][p]),
-                    g2(state["frem"][p].astype(dtype)),
-                    g2(state["ftarget"][p]), g2(fframe[p].astype(dtype))]
+            ov, ot, os_, orm = old_fstate
+            ops += [g2(ov[p]), g2(os_[p]),
+                    g2(orm[p].astype(dtype)),
+                    g2(ot[p]), g2(fframe[p].astype(dtype))]
     return ops
 
 
@@ -285,10 +288,9 @@ def _bank_setup(bank, ctx, state, events):
     ``process`` needs. ``ng`` is the per-param ramp-group size."""
     dtype = ctx.dtype
     R = bank.n_voices // LANES
-    fstate, ivals, active, _, fframe, _iinfo, idle = bank._apply_events(
-        ctx, state, events, trig_tensor=False
-    )
-    ramp_ops = _ramp_operands(bank, state, fstate, fframe, dtype)
+    (fstate, ivals, active, _, fframe, _iinfo, idle,
+     old_fstate) = bank._apply_events(ctx, state, events, trig_tensor=False)
+    ramp_ops = _ramp_operands(bank, old_fstate, fstate, fframe, dtype)
     ng = N_EVENTFUL if fframe is not None else N_FAST
     atk = jnp.full((R, LANES), 1.0 / max(bank._attack * ctx.sample_rate, 1.0),
                    dtype)

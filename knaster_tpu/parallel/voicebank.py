@@ -13,7 +13,11 @@ smoothing-ramp starts are all sample-accurate per voice — samples before an
 event's frame follow the pre-event trajectory, samples at/after it the new
 one, and ramps anchor at their event frame starting from the old
 trajectory's value at that frame (WrPreciseTiming + WrSmoothParams
-semantics at bank scale, without block splitting). Retrigger int params
+semantics at bank scale, without block splitting). The one caveat: the
+bank applies at most ONE non-trigger event per (kind, param, voice) per
+block (the latest-frame one; see ``node_events_from_lists``) — the graph
+engine's sequential fold is the path that honors arbitrary same-block
+bursts on one parameter. Retrigger int params
 (e.g. Envelope.jump_to_segment) additionally receive a per-sample
 ``<name>_set`` mask so repeated sets of the same value re-apply, exactly as
 the graph engine's param_apply-per-event does.
@@ -87,9 +91,11 @@ class VoiceBank(UGen):
     def make_local(self, n_local: int) -> "VoiceBank":
         """A bank describing one mesh shard's voices (used by
         ShardedVoiceBank); subclasses with different constructors override."""
-        return VoiceBank(
+        local = VoiceBank(
             self.voice, n_local, mix="sum", event_capacity=self.event_capacity
         )
+        local.track_idle = self.track_idle
+        return local
 
     # ------------------------------------------------------------- indices
     def float_index(self, name: str) -> int:
@@ -162,9 +168,17 @@ class VoiceBank(UGen):
     def node_events_from_lists(self, events, dtype=np.float32):
         """events: list of (frame, voice, param_idx, kind, value), in order.
 
-        Block-rate kinds (float/int/active set) are deduplicated host-side —
-        last event per (kind, param, voice) wins — so the device can apply
-        them with one vectorized scatter. Triggers keep every event."""
+        Non-trigger kinds (float/int/active set, smoothing config) are
+        deduplicated host-side — the event with the LATEST frame per
+        (kind, param, voice) wins, list order breaking ties — so the device
+        can apply them with one vectorized scatter. Triggers keep every
+        event. This is the one documented divergence from the graph
+        engine's sequential event fold: when several same-kind events hit
+        the same (param, voice) inside one block, samples between the
+        earlier events' frames and the surviving event's frame follow the
+        pre-block trajectory instead of the intermediate values (a
+        sub-block window; schedule such bursts on the engine path or in
+        separate blocks if the intermediate samples matter)."""
         dedup = {}
         trigs = {}
         for e in events:
@@ -172,7 +186,9 @@ class VoiceBank(UGen):
             if k == 1:
                 trigs[(f, p, v)] = e  # same-frame duplicates are one trigger
             else:
-                dedup[(k, p, v)] = e
+                prev = dedup.get((k, p, v))
+                if prev is None or f >= prev[0]:
+                    dedup[(k, p, v)] = e
         flat = list(dedup.values()) + list(trigs.values())
         if len(flat) > self.event_capacity:
             raise ValueError(
@@ -224,13 +240,18 @@ class VoiceBank(UGen):
 
     def _apply_events(self, ctx: AudioCtx, state, events, trig_tensor=True):
         """Apply the bank event channel: returns (fstate, ivals, active,
-        trig [n_trig, V, B], fframe, iinfo) where fstate = (fvals, ftarget,
-        fstep, frem, fsdur) carrying per-(param, voice) linear smoothing
-        ramps, fframe is the per-(param, voice) float-event frame (ramps and
-        sets anchor there), and iinfo = (iframe [ni, V], iset [ni, V, B] or
-        None) carries the int-set frames and the retrigger set mask.
-        ``trig_tensor=False`` skips the [n_trig, V, B] boolean plane (the
-        Pallas banks read packed bitmasks via ``_packed_trigs`` instead)."""
+        trig [n_trig, V, B], fframe, iinfo, idle, old_fstate) where fstate =
+        (fvals, ftarget, fstep, frem, fsdur) carrying per-(param, voice)
+        linear smoothing ramps, fframe is the per-(param, voice) float-event
+        frame (ramps and sets anchor there), iinfo = (iframe [ni, V],
+        iset [ni, V, B] or None) carries the int-set frames and the
+        retrigger set mask, and old_fstate = (fvals, ftarget, fstep, frem)
+        is the PRE-set trajectory for the before-the-event-frame samples —
+        the block-start state with any smoothing-config freeze applied (a
+        cfg event at frame f stops an in-flight ramp there, engine
+        KIND_SMOOTH_CFG parity). ``trig_tensor=False`` skips the
+        [n_trig, V, B] boolean plane (the Pallas banks read packed bitmasks
+        via ``_packed_trigs`` instead)."""
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
@@ -245,7 +266,7 @@ class VoiceBank(UGen):
             trig = (jnp.zeros((max(n_trig_, 1), V, B), bool)
                     if trig_tensor else None)
             return (fstate, state["ivals"], state["active"], trig, None,
-                    (None, None), state["idle"])
+                    (None, None), state["idle"], None)
 
         fvals = state["fvals"]  # [nf, V] value at block start
         ftarget = state["ftarget"]
@@ -279,17 +300,54 @@ class VoiceBank(UGen):
 
         nf = fvals.shape[0]
         fframe = jnp.zeros((max(nf, 1), V), jnp.int32)
+        old_fstate = (fvals, ftarget, fstep, frem)
         if nf:
-            # smoothing config (kind 4): value = ramp duration in frames
+            old_fsdur = fsdur
+            # smoothing config (kind 4): value = ramp duration in frames.
+            # Engine parity (param_engine KIND_SMOOTH_CFG): a cfg event at
+            # frame f_c FREEZES an in-flight ramp at its value there. A
+            # ramp-then-hold trajectory expresses that exactly: clamp the
+            # slot's remaining ramp frames to f_c and retarget the frozen
+            # value, leaving v0/step untouched.
+            sel_c = valid & (kind == 4)
+            v_c = jnp.where(sel_c, voice, V)
+            p_c = jnp.clip(param, 0, nf - 1)
             fsdur = apply_set(fsdur, 4, value.astype(jnp.int32))
+            has_cfg = pad(jnp.zeros((nf, V), bool)).at[p_c, v_c].set(
+                sel_c
+            )[:, :V]
+            cfg_frame = pad(jnp.zeros((nf, V), jnp.int32)).at[p_c, v_c].set(
+                frame
+            )[:, :V]
+            frozen_rem = jnp.where(
+                has_cfg, jnp.minimum(frem, cfg_frame), frem
+            )
+            frozen_tgt = jnp.where(
+                has_cfg & (frem > cfg_frame),
+                fvals + fstep * cfg_frame.astype(dtype),
+                ftarget,
+            )
+            frem, ftarget = frozen_rem, frozen_tgt
+            old_fstate = (fvals, ftarget, fstep, frem)
             # float set (kind 0): jump, or start a linear ramp if configured
             sel = valid & (kind == 0)
             v_sel = jnp.where(sel, voice, V)
             p_sel = jnp.clip(param, 0, nf - 1)
-            dur = pad(fsdur)[p_sel, v_sel]
+            # frame order vs a same-block cfg on the same slot: a set AFTER
+            # the cfg uses the new duration; a set BEFORE it uses the old
+            # duration and the cfg then freezes the new ramp at its frame
+            e_cfg = pad(has_cfg)[p_sel, v_sel]
+            e_cfg_f = pad(cfg_frame)[p_sel, v_sel]
+            set_before_cfg = e_cfg & (frame < e_cfg_f)
+            dur = jnp.where(
+                set_before_cfg,
+                pad(old_fsdur)[p_sel, v_sel],
+                pad(fsdur)[p_sel, v_sel],
+            )
             # ramps anchor at the event frame and start from the OLD
             # trajectory's value AT that frame (the engine's c_f = row[f],
-            # param_engine._materialize_floats) — not the block-start value
+            # param_engine._materialize_floats) — the frozen-old state, so a
+            # cfg earlier in the block anchors the set at the frozen value
             old_v0 = pad(fvals)[p_sel, v_sel]
             old_step = pad(fstep)[p_sel, v_sel]
             old_rem = pad(frem)[p_sel, v_sel]
@@ -299,13 +357,24 @@ class VoiceBank(UGen):
                 old_v0 + old_step * frame.astype(dtype),
             )
             ramp = dur > 0
-            new_val = jnp.where(ramp, cur, value)
             new_step = jnp.where(
                 ramp, (value - cur) / jnp.maximum(dur, 1).astype(dtype), 0.0
             )
-            new_rem = jnp.where(ramp, dur, 0)
+            # a cfg AFTER the set freezes the set's ramp at the cfg frame:
+            # clamp its length and land on the value reached there
+            clamp = set_before_cfg & ramp
+            eff_dur = jnp.where(
+                clamp, jnp.minimum(dur, e_cfg_f - frame), dur
+            )
+            new_tgt = jnp.where(
+                clamp & (dur > eff_dur),
+                cur + new_step * eff_dur.astype(dtype),
+                value,
+            )
+            new_val = jnp.where(ramp, cur, value)
+            new_rem = jnp.where(ramp, eff_dur, 0)
             fvals = pad(fvals).at[p_sel, v_sel].set(new_val)[:, :V]
-            ftarget = apply_set(ftarget, 0, value)
+            ftarget = pad(ftarget).at[p_sel, v_sel].set(new_tgt)[:, :V]
             fstep = pad(fstep).at[p_sel, v_sel].set(new_step)[:, :V]
             frem = pad(frem).at[p_sel, v_sel].set(new_rem)[:, :V]
             # sample-accurate sets: remember the event frame per slot so the
@@ -357,7 +426,7 @@ class VoiceBank(UGen):
         else:
             trig = None
         return ((fvals, ftarget, fstep, frem, fsdur), ivals, active, trig,
-                fframe, (iframe, iset), idle)
+                fframe, (iframe, iset), idle, old_fstate)
 
     @staticmethod
     def _advance_ramps(fstate, B, dtype, fframe=None):
@@ -388,8 +457,8 @@ class VoiceBank(UGen):
         dtype = ctx.dtype
         if V >= self.WIDE_BATCH_VOICES and not ctx.wide_batch:
             ctx = dataclasses.replace(ctx, wide_batch=True)
-        fstate, ivals, active, trig, fframe, (iframe, iset), idle = \
-            self._apply_events(ctx, state, events)
+        (fstate, ivals, active, trig, fframe, (iframe, iset), idle,
+         old_fstate) = self._apply_events(ctx, state, events)
         fvals, ftarget, fstep, frem, fsdur = fstate
 
         # build per-voice param dict: [V, B] leaves for vmap axis 0.
@@ -421,9 +490,10 @@ class VoiceBank(UGen):
                 voice_params[name] = materialize(fvals, ftarget, fstep, frem, i)
                 continue
             new = materialize(fvals, ftarget, fstep, frem, i, anchor=fframe)
-            old = materialize(
-                state["fvals"], state["ftarget"], state["fstep"], state["frem"], i
-            )
+            # pre-set trajectory = block-start state WITH any same-block
+            # smoothing-config freeze applied (old_fstate), so a cfg event
+            # stops an in-flight ramp at its frame even before a later set
+            old = materialize(*old_fstate, i)
             voice_params[name] = jnp.where(
                 t_idx[None, :] >= fframe[i][:, None], new, old
             )

@@ -93,6 +93,9 @@ class _VP:
 
             self.vp.smooth(0, time_seconds, Time.at(at))
 
+    def smooth_at(self, time_seconds, at):
+        self.smooth(time_seconds, at=at)
+
 
 def test_mid_block_int_set_parity():
     """Int sets land at their exact frame in banks, like engine ints
@@ -165,6 +168,86 @@ def test_repeated_jump_to_segment_parity():
     np.testing.assert_allclose(b, a, atol=1e-6)
 
 
+def test_smooth_cfg_freezes_inflight_ramp_parity():
+    """A smoothing-config event FREEZES an in-flight ramp at its frame
+    (engine KIND_SMOOTH_CFG, param_engine frz_tail) — in banks too."""
+
+    def schedule(param):
+        p = param("level")
+        p.smooth(0.002)                      # 96-frame ramps
+        p.set_at(97.0, _samples(10))         # ramp 1->97, step 1/frame
+        p.smooth_at(0.0, _samples(70))       # freeze mid-ramp, mid-block
+
+    a = _engine_render(LevelVoice(), schedule)
+    b = _bank_render(LevelVoice(), schedule)
+    # ramp runs 1/frame from frame 10, freezes at frame 70 at value 61
+    assert abs(a[69] - 60.0) < 1e-4 and abs(a[70] - 61.0) < 1e-4
+    assert abs(a[200] - 61.0) < 1e-4  # held after the freeze
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_set_then_cfg_same_block_parity():
+    """Frame order inside one block: a set BEFORE a cfg starts its ramp
+    with the OLD duration, and the cfg then freezes that ramp at its own
+    frame; the new duration applies to later sets."""
+
+    def schedule(param):
+        p = param("level")
+        p.smooth(0.002)                       # 96-frame ramps
+        p.set_at(49.0, _samples(70))          # block 1: ramp 1->49, step 0.5
+        p.smooth_at(0.004, _samples(90))      # same block: freeze at 11
+        p.set_at(107.0, _samples(200))        # block 3: NEW 192-frame ramp
+
+    a = _engine_render(LevelVoice(), schedule)
+    b = _bank_render(LevelVoice(), schedule)
+    assert abs(a[89] - (1.0 + 0.5 * 19)) < 1e-4   # ramping before the cfg
+    assert abs(a[90] - 11.0) < 1e-4               # frozen at cfg frame
+    assert abs(a[150] - 11.0) < 1e-4              # held
+    # the later set ramps with the NEW duration: (107-11)/192 = 0.5/frame
+    assert abs(a[240] - (11.0 + 0.5 * 40)) < 1e-4
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_cfg_then_set_same_block_parity():
+    """A cfg BEFORE a set (same block) freezes the in-flight ramp first;
+    the set then anchors at the frozen value with the new duration."""
+
+    def schedule(param):
+        p = param("level")
+        p.smooth(0.002)                       # 96-frame ramps
+        p.set_at(97.0, _samples(10))          # ramp 1->97, step 1/frame
+        p.smooth_at(0.001, _samples(70))      # freeze at 61; 48-frame ramps
+        p.set_at(13.0, _samples(90))          # same block, after the cfg
+
+    a = _engine_render(LevelVoice(), schedule)
+    b = _bank_render(LevelVoice(), schedule)
+    assert abs(a[70] - 61.0) < 1e-4           # frozen
+    assert abs(a[89] - 61.0) < 1e-4           # held until the set
+    # ramp 61 -> 13 over 48 frames from frame 90: step -1
+    assert abs(a[100] - (61.0 - 10.0)) < 1e-4
+    assert abs(a[200] - 13.0) < 1e-4
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_bank_dedup_keeps_latest_frame():
+    """Same-block duplicate sets on one (param, voice): the LATEST-frame
+    event survives regardless of list order (node_events_from_lists)."""
+    ctx = AudioCtx(SR, 64, np.float32)
+    vb = VoiceBank(LevelVoice(), 1)
+    # scheduled out of order: frame 50 first in the list, then frame 10
+    ev = vb.node_events_from_lists([
+        (50, 0, 0, 0, 5.0),
+        (10, 0, 0, 0, 3.0),
+    ])
+    st = vb.init(ctx)
+    _, out = vb.process(ctx, st, np.zeros((0, 64), np.float32), {},
+                        events=ev)[:2]
+    out = np.asarray(out)[0]
+    assert abs(out[49] - 1.0) < 1e-6   # pre-block value before the survivor
+    assert abs(out[50] - 5.0) < 1e-6   # latest-frame event wins
+    assert abs(out[63] - 5.0) < 1e-6
+
+
 def test_pallas_bank_anchored_ramp():
     """The Pallas kernels materialize the frame-anchored ramp in-kernel
     (the _mat select): parity with the vmap bank for a mid-block smooth
@@ -190,12 +273,20 @@ def test_pallas_bank_anchored_ramp():
         (17, 3, fi, 0, 440.0),  # ramp starts at frame 17
         (41, 7, vb.float_index("amp"), 0, 0.002),  # plain set voice 7
     ]
+    # block 1: freeze voice 3's in-flight ramp mid-block (kernel-side
+    # KIND_SMOOTH_CFG parity), and a set-then-cfg pair on voice 9
+    events_blk1 = [
+        (22, 3, fi, 4, 0.0),     # cfg dur 0: freeze the ramp at frame 86
+        (5, 9, fi, 0, 620.0),    # jump (no smoothing configured yet)
+        (30, 9, fi, 4, 48.0),    # then configure 48-frame ramps
+    ]
     spb = pb.init(ctx)
     svb = vb.init(ctx)
     no_in = np.zeros((0, 64), np.float32)
     for blk in range(4):
-        ev_p = pb.node_events_from_lists(events) if blk == 0 else None
-        ev_v = vb.node_events_from_lists(events) if blk == 0 else None
+        evs = {0: events, 1: events_blk1}.get(blk)
+        ev_p = pb.node_events_from_lists(evs) if evs else None
+        ev_v = vb.node_events_from_lists(evs) if evs else None
         spb, op = pb.process(ctx, spb, no_in, {}, events=ev_p)[:2]
         svb, ov = vb.process(ctx, svb, no_in, {}, events=ev_v)[:2]
         np.testing.assert_allclose(

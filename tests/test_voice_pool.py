@@ -67,6 +67,43 @@ def test_thousand_note_ons_zero_recompiles():
     assert pool.free_count == pool.n_voices
 
 
+def test_pool_over_mesh_bank_auto_release():
+    """VoicePool flips track_idle AFTER the MeshVoiceBank is constructed;
+    the flag must reach the per-shard local bank or the idle latch never
+    engages and every voice leaks (regression: make_local / process sync)."""
+    import jax
+
+    from knaster_tpu import MeshVoiceBank
+
+    mesh = jax.make_mesh((len(jax.devices()),), ("voices",))
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+    bank = g.edit(
+        lambda gg: gg.push(
+            MeshVoiceBank(
+                VoiceBank(SineVoice(attack=0.001, release=0.004), 64,
+                          event_capacity=512),
+                mesh,
+            )
+        )
+    )
+    bank.to_graph_out()
+    g.commit()
+    pool = VoicePool(proc, bank)
+    proc.render(frames=64)
+
+    voices = [pool.note_on({"freq": 300.0 + 10 * i, "amp": 0.002})
+              for i in range(pool.n_voices)]
+    assert all(v is not None for v in voices)
+    proc.render(frames=64 * 2)
+    for v in voices:
+        pool.note_off(v)
+    proc.render(frames=64 * 8)  # envelopes run out
+    assert pool.refresh() == pool.n_voices  # idle latch engaged per shard
+    assert pool.free_count == pool.n_voices
+    # and the pool is usable again without stealing
+    assert pool.note_on({"freq": 440.0, "amp": 0.002}) is not None
+
+
 def test_exhaustion_policies():
     g, proc, bank, pool = _make(n_voices=8)
     proc.render(frames=64)
