@@ -415,6 +415,10 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
 class PallasSineVoiceBank(VoiceBank):
     """Drop-in VoiceBank for SineVoice with a fused Pallas kernel core."""
 
+    # kernels carry one trajectory breakpoint per (param, voice) slot:
+    # same-block bursts dedup to the latest-frame event (host-side)
+    burst_rounds = False
+
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.1, tile_rows: int = 128):
         tile_rows = _cap_tile_rows(tile_rows, n_voices)
@@ -591,6 +595,10 @@ class PallasFMVoiceBank(VoiceBank):
     """Drop-in VoiceBank for FMVoice with a fused Pallas kernel core.
     Sample-rate-agnostic (f2pi derived from the AudioCtx) and sample-accurate
     for per-voice float sets/ramps like the vmap path."""
+
+    # kernels carry one trajectory breakpoint per (param, voice) slot:
+    # same-block bursts dedup to the latest-frame event (host-side)
+    burst_rounds = False
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.005, release: float = 0.3,
@@ -793,6 +801,10 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 
     Caveat vs the vmap path: the oscillator is the plain polyBLEP saw without
     the >sr/4 sine fallback (keep fundamentals below sr/4)."""
+
+    # kernels carry one trajectory breakpoint per (param, voice) slot:
+    # same-block bursts dedup to the latest-frame event (host-side)
+    burst_rounds = False
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.2,
@@ -999,6 +1011,10 @@ class PallasWavetableVoiceBank(VoiceBank):
     re-synthesized gather-free with exact per-voice per-sample anti-aliasing
     (partials above Nyquist masked). Cost scales linearly with
     ``n_harmonics``."""
+
+    # kernels carry one trajectory breakpoint per (param, voice) slot:
+    # same-block bursts dedup to the latest-frame event (host-side)
+    burst_rounds = False
 
     def __init__(self, n_voices: int, table=None, harmonics=None,
                  n_harmonics: int = 16, voice_defaults=None,

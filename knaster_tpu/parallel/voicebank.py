@@ -13,11 +13,16 @@ smoothing-ramp starts are all sample-accurate per voice — samples before an
 event's frame follow the pre-event trajectory, samples at/after it the new
 one, and ramps anchor at their event frame starting from the old
 trajectory's value at that frame (WrPreciseTiming + WrSmoothParams
-semantics at bank scale, without block splitting). The one caveat: the
-bank applies at most ONE non-trigger event per (kind, param, voice) per
-block (the latest-frame one; see ``node_events_from_lists``) — the graph
-engine's sequential fold is the path that honors arbitrary same-block
-bursts on one parameter. Retrigger int params
+semantics at bank scale, without block splitting). Same-block BURSTS on
+one (param, voice) — several sets, smoothing configs, int sets, in any
+interleaving — are exact too: the host assigns each event a per-slot
+``round`` (frame order) and the device folds rounds sequentially
+(``_apply_events_rounds``), reproducing the graph engine's sequential
+event fold sample-for-sample. The Pallas kernel banks are the one path
+that keeps latest-frame-wins dedup per (kind, param, voice) per block
+(``burst_rounds = False`` — their in-kernel materialization carries one
+trajectory breakpoint per slot); bursts there collapse to the final
+event, a documented sub-block divergence. Retrigger int params
 (e.g. Envelope.jump_to_segment) additionally receive a per-sample
 ``<name>_set`` mask so repeated sets of the same value re-apply, exactly as
 the graph engine's param_apply-per-event does.
@@ -54,6 +59,11 @@ class VoiceBank(UGen):
     # [V, B] done computation, which costs real bandwidth at 100k voices.
     # VoicePool turns it on (and recompiles) when it attaches.
     track_idle = False
+    # exact same-block event bursts per (param, voice): events carry a
+    # per-slot ``round`` (frame order) and the device applies rounds
+    # sequentially. The Pallas banks set this False (their kernels carry
+    # one trajectory breakpoint per slot) and keep latest-frame dedup.
+    burst_rounds = True
 
     def __init__(
         self,
@@ -155,7 +165,7 @@ class VoiceBank(UGen):
     # --------------------------------------------------------------- events
     def empty_node_events(self, dtype=np.float32):
         E = self.event_capacity
-        return {
+        ev = {
             "frame": jnp.zeros((E,), jnp.int32),
             "voice": jnp.full((E,), -1, jnp.int32),
             "param": jnp.zeros((E,), jnp.int32),
@@ -164,32 +174,69 @@ class VoiceBank(UGen):
             "kind": jnp.zeros((E,), jnp.int32),
             "value": jnp.zeros((E,), dtype),
         }
+        if self.burst_rounds:
+            ev["round"] = jnp.zeros((E,), jnp.int32)
+        return ev
 
     def node_events_from_lists(self, events, dtype=np.float32):
         """events: list of (frame, voice, param_idx, kind, value), in order.
 
-        Non-trigger kinds (float/int/active set, smoothing config) are
-        deduplicated host-side — the event with the LATEST frame per
-        (kind, param, voice) wins, list order breaking ties — so the device
-        can apply them with one vectorized scatter. Triggers keep every
-        event. This is the one documented divergence from the graph
-        engine's sequential event fold: when several same-kind events hit
-        the same (param, voice) inside one block, samples between the
-        earlier events' frames and the surviving event's frame follow the
-        pre-block trajectory instead of the intermediate values (a
-        sub-block window; schedule such bursts on the engine path or in
-        separate blocks if the intermediate samples matter)."""
-        dedup = {}
+        With ``burst_rounds`` (the vmap bank) every float-set / smoothing-
+        config / int-set event is kept and assigned a per-slot ``round``:
+        float-family events (kinds 0 and 4) on one (param, voice) are
+        ordered jointly by frame (list order breaking ties — the engine's
+        queue order), int sets per (param, voice) likewise, and the device
+        applies rounds sequentially — exact graph-engine burst semantics.
+        Active/idle sets (kinds 3, 5) are block-rate flags; the latest-
+        frame event per (kind, voice) wins. Triggers keep every event.
+
+        Without ``burst_rounds`` (the Pallas kernel banks) non-trigger
+        kinds are deduplicated host-side — latest frame per (kind, param,
+        voice) wins — so the kernel can carry one trajectory breakpoint
+        per slot; same-block bursts on one slot collapse to their final
+        event (documented divergence; the vmap bank and the graph engine
+        are the exact paths)."""
         trigs = {}
-        for e in events:
-            f, v, p, k, val = e
-            if k == 1:
-                trigs[(f, p, v)] = e  # same-frame duplicates are one trigger
-            else:
-                prev = dedup.get((k, p, v))
-                if prev is None or f >= prev[0]:
-                    dedup[(k, p, v)] = e
-        flat = list(dedup.values()) + list(trigs.values())
+        if self.burst_rounds:
+            dedup = {}  # kinds 3/5 only: latest frame per (kind, voice)
+            fam = {}  # (family, param, voice) -> [events], frame-ordered
+            for e in events:
+                f, v, p, k, val = e
+                if k == 1:
+                    trigs[(f, p, v)] = e
+                elif k in (3, 5):
+                    prev = dedup.get((k, v))
+                    if prev is None or f >= prev[0]:
+                        dedup[(k, v)] = e
+                else:
+                    # kinds 0 and 4 share one round space per slot: a cfg
+                    # between two sets must fold between them
+                    key = (0 if k in (0, 4) else 2, p, v)
+                    fam.setdefault(key, []).append(e)
+            flat, rounds = [], []
+            for evs in fam.values():
+                evs.sort(key=lambda e: e[0])  # stable: list order on ties
+                for r, e in enumerate(evs):
+                    flat.append(e)
+                    rounds.append(r)
+            for e in dedup.values():
+                flat.append(e)
+                rounds.append(0)
+            for e in trigs.values():
+                flat.append(e)
+                rounds.append(0)
+        else:
+            dedup = {}
+            for e in events:
+                f, v, p, k, val = e
+                if k == 1:
+                    trigs[(f, p, v)] = e  # same-frame duplicates: one trigger
+                else:
+                    prev = dedup.get((k, p, v))
+                    if prev is None or f >= prev[0]:
+                        dedup[(k, p, v)] = e
+            flat = list(dedup.values()) + list(trigs.values())
+            rounds = None
         if len(flat) > self.event_capacity:
             raise ValueError(
                 f"more than {self.event_capacity} voice events in one block; "
@@ -205,12 +252,16 @@ class VoiceBank(UGen):
             "kind": np.zeros((E,), np.int32),
             "value": np.zeros((E,), dtype),
         }
+        if rounds is not None:
+            ev["round"] = np.zeros((E,), np.int32)
         for i, (f, v, p, k, val) in enumerate(flat):
             ev["frame"][i] = f
             ev["voice"][i] = v
             ev["param"][i] = p
             ev["kind"][i] = k
             ev["value"][i] = val
+            if rounds is not None:
+                ev["round"][i] = rounds[i]
         return ev  # numpy: uploaded by the consuming render call
 
     # -------------------------------------------------------------- process
@@ -428,6 +479,194 @@ class VoiceBank(UGen):
         return ((fvals, ftarget, fstep, frem, fsdur), ivals, active, trig,
                 fframe, (iframe, iset), idle, old_fstate)
 
+    def _apply_events_rounds(self, ctx: AudioCtx, state, events):
+        """Exact same-block burst semantics (graph-engine parity): apply
+        the event tensor round by round — round r holds each slot's r-th
+        event in frame order (host-assigned, ``node_events_from_lists``) —
+        folding the per-sample parameter planes as it goes. One
+        ``fori_loop`` iteration per round; a block whose slots each see at
+        most one event (the overwhelmingly common case) runs exactly one
+        iteration, the same scatter work as the single-round path.
+
+        Per round and slot there is at most ONE float-family event (set OR
+        smoothing cfg — they share a round space), so the single-round
+        path's set-vs-cfg frame-order special cases disappear: ordering IS
+        the round sequence. Trajectories carry a per-slot ``anchor`` frame
+        (the last event's frame) so each round's "value at frame f" reads
+        the true in-flight trajectory (the engine's c_f = row[f]).
+
+        Returns (planes_f [nf,V,B]|None, fstate, anchor, ivals,
+        planes_i [ni,V,B]|None, iset, trig, active, idle)."""
+        V = self.n_voices
+        B = ctx.block_size
+        dtype = ctx.dtype
+        nf = state["fvals"].shape[0]
+        ni = state["ivals"].shape[0]
+        n_trig = len(self._trig_names)
+
+        voice = events["voice"]
+        param = events["param"]
+        kind = events["kind"]
+        value = events["value"]
+        frame = events["frame"]
+        rnd = events["round"]
+        valid = voice >= 0
+        t_idx = jnp.arange(B, dtype=jnp.int32)
+
+        def pad(arr):
+            return jnp.concatenate(
+                [arr, jnp.zeros((arr.shape[0], 1), arr.dtype)], axis=1
+            )
+
+        def scat(arr, p_sel, v_sel, vals):
+            return pad(arr).at[p_sel, v_sel].set(vals)[:, :V]
+
+        def traj(fvals, ftarget, fstep, frem, anchor):
+            ln = t_idx[None, None, :] - anchor[:, :, None]
+            return jnp.where(
+                ln >= frem[:, :, None],
+                ftarget[:, :, None],
+                fvals[:, :, None] + fstep[:, :, None] * ln.astype(dtype),
+            )
+
+        anchor0 = jnp.zeros((max(nf, 1), V), jnp.int32)
+        carry = {
+            "fvals": state["fvals"], "ftarget": state["ftarget"],
+            "fstep": state["fstep"], "frem": state["frem"],
+            "fsdur": state["fsdur"], "ivals": state["ivals"],
+            "anchor": anchor0,
+        }
+        if nf:
+            carry["pf"] = traj(
+                state["fvals"], state["ftarget"], state["fstep"],
+                state["frem"], anchor0,
+            )
+        if ni:
+            carry["pi"] = jnp.broadcast_to(
+                state["ivals"][:, :, None], (ni, V, B)
+            )
+
+        def body(r, c):
+            if nf:
+                fvals, ftarget = c["fvals"], c["ftarget"]
+                fstep, frem = c["fstep"], c["frem"]
+                fsdur, anchor, pf = c["fsdur"], c["anchor"], c["pf"]
+                # smoothing config (kind 4) freezes the in-flight
+                # trajectory at its frame (engine KIND_SMOOTH_CFG): clamp
+                # the remaining ramp to the cfg frame and retarget the
+                # value reached there
+                sel_c = valid & (kind == 4) & (rnd == r)
+                v_c = jnp.where(sel_c, voice, V)
+                p_c = jnp.clip(param, 0, nf - 1)
+                fsdur = scat(fsdur, p_c, v_c, value.astype(jnp.int32))
+                has_cfg = scat(jnp.zeros((nf, V), bool), p_c, v_c, sel_c)
+                cfg_frame = scat(
+                    jnp.zeros((nf, V), jnp.int32), p_c, v_c, frame
+                )
+                ln_c = cfg_frame - anchor
+                cur_c = jnp.where(
+                    ln_c >= frem, ftarget,
+                    fvals + fstep * ln_c.astype(dtype),
+                )
+                cut = has_cfg & (frem > ln_c)
+                frem = jnp.where(cut, ln_c, frem)
+                ftarget = jnp.where(cut, cur_c, ftarget)
+                pf = jnp.where(
+                    has_cfg[:, :, None]
+                    & (t_idx[None, None, :] >= cfg_frame[:, :, None]),
+                    cur_c[:, :, None], pf,
+                )
+                # float set (kind 0): jump, or ramp anchored at the event
+                # frame starting from the trajectory's value there
+                sel_f = valid & (kind == 0) & (rnd == r)
+                v_s = jnp.where(sel_f, voice, V)
+                p_s = jnp.clip(param, 0, nf - 1)
+                ln_e = frame - pad(anchor)[p_s, v_s]
+                old_v0 = pad(fvals)[p_s, v_s]
+                old_step = pad(fstep)[p_s, v_s]
+                old_rem = pad(frem)[p_s, v_s]
+                old_tgt = pad(ftarget)[p_s, v_s]
+                cur = jnp.where(
+                    ln_e >= old_rem, old_tgt,
+                    old_v0 + old_step * ln_e.astype(dtype),
+                )
+                dur = pad(fsdur)[p_s, v_s]
+                ramp = dur > 0
+                new_step = jnp.where(
+                    ramp,
+                    (value - cur) / jnp.maximum(dur, 1).astype(dtype),
+                    0.0,
+                )
+                fvals = scat(fvals, p_s, v_s, jnp.where(ramp, cur, value))
+                ftarget = scat(ftarget, p_s, v_s, value)
+                fstep = scat(fstep, p_s, v_s, new_step)
+                frem = scat(frem, p_s, v_s, jnp.where(ramp, dur, 0))
+                anchor = scat(anchor, p_s, v_s, frame)
+                touched = scat(jnp.zeros((nf, V), bool), p_s, v_s, sel_f)
+                row = traj(fvals, ftarget, fstep, frem, anchor)
+                pf = jnp.where(
+                    touched[:, :, None]
+                    & (t_idx[None, None, :] >= anchor[:, :, None]),
+                    row, pf,
+                )
+                c = dict(c, fvals=fvals, ftarget=ftarget, fstep=fstep,
+                         frem=frem, fsdur=fsdur, anchor=anchor, pf=pf)
+            if ni:
+                sel_i = valid & (kind == 2) & (rnd == r)
+                v_i = jnp.where(sel_i, voice, V)
+                p_i = jnp.clip(param, 0, ni - 1)
+                ivals = scat(c["ivals"], p_i, v_i, value.astype(jnp.int32))
+                touched_i = scat(jnp.zeros((ni, V), bool), p_i, v_i, sel_i)
+                if_frame = scat(
+                    jnp.zeros((ni, V), jnp.int32), p_i, v_i, frame
+                )
+                pi = jnp.where(
+                    touched_i[:, :, None]
+                    & (t_idx[None, None, :] >= if_frame[:, :, None]),
+                    ivals[:, :, None], c["pi"],
+                )
+                c = dict(c, ivals=ivals, pi=pi)
+            return c
+
+        relevant = valid & ((kind == 0) | (kind == 2) | (kind == 4))
+        n_rounds = jnp.max(jnp.where(relevant, rnd, -1)) + 1
+        carry = jax.lax.fori_loop(0, n_rounds, body, carry)
+
+        # retrigger set masks, block-rate flags, triggers: round-free (a
+        # mask fires at every event's frame; flags were host-deduped)
+        iset = None
+        if ni and any(
+            getattr(p, "retrigger", False)
+            for p in self.voice.params
+            if p.ptype in ("integer", "bool")
+        ):
+            sel_i = valid & (kind == 2)
+            v_i = jnp.where(sel_i, voice, V)
+            p_i = jnp.clip(param, 0, ni - 1)
+            iset = jnp.zeros((ni, V + 1, B), dtype=bool)
+            iset = iset.at[p_i, v_i, frame].set(sel_i)[:, :V, :]
+        sel_a = valid & (kind == 3)
+        v_a = jnp.where(sel_a, voice, V)
+        active = jnp.concatenate(
+            [state["active"], jnp.zeros((1,), bool)]
+        ).at[v_a].set(value > 0.5)[:V]
+        sel_n = valid & (kind == 5)
+        v_n = jnp.where(sel_n, voice, V)
+        idle = jnp.concatenate(
+            [state["idle"], jnp.zeros((1,), bool)]
+        ).at[v_n].set(False)[:V]
+        trig = jnp.zeros((max(n_trig, 1), V + 1, B), dtype=bool)
+        sel_t = valid & (kind == 1)
+        v_t = jnp.where(sel_t, voice, V)
+        trig = trig.at[
+            jnp.clip(param, 0, trig.shape[0] - 1), v_t, frame
+        ].set(True)[:, :V, :]
+
+        fstate = (carry["fvals"], carry["ftarget"], carry["fstep"],
+                  carry["frem"], carry["fsdur"])
+        return (carry.get("pf"), fstate, carry["anchor"], carry["ivals"],
+                carry.get("pi"), iset, trig, active, idle)
+
     @staticmethod
     def _advance_ramps(fstate, B, dtype, fframe=None):
         """State after one block of per-sample ramping. ``fframe`` (when the
@@ -457,68 +696,93 @@ class VoiceBank(UGen):
         dtype = ctx.dtype
         if V >= self.WIDE_BATCH_VOICES and not ctx.wide_batch:
             ctx = dataclasses.replace(ctx, wide_batch=True)
-        (fstate, ivals, active, trig, fframe, (iframe, iset), idle,
-         old_fstate) = self._apply_events(ctx, state, events)
-        fvals, ftarget, fstep, frem, fsdur = fstate
 
-        # build per-voice param dict: [V, B] leaves for vmap axis 0.
-        # Floats ramp per sample toward their target (per-voice smoothing),
-        # snapping exactly to the target when the ramp completes. Float sets
-        # are sample-accurate: samples before the event frame follow the OLD
-        # trajectory (pre-event ramp state), samples at/after it the new one,
-        # and a ramp's progress counts from its event frame (knaster
-        # WrPreciseTiming + WrSmoothParams semantics at bank scale; with no
-        # event the two trajectories are identical, so the select is free).
-        t_idx = jnp.arange(B, dtype=jnp.int32)
-
-        def materialize(vals, target, step, rem, i, anchor=None):
-            ln = (
-                t_idx[None, :]
-                if anchor is None
-                else t_idx[None, :] - anchor[i][:, None]
-            )
-            ramp_done = ln >= rem[i][:, None]
-            return jnp.where(
-                ramp_done,
-                target[i][:, None],
-                vals[i][:, None] + step[i][:, None] * ln.astype(dtype),
-            )
-
-        voice_params = {}
-        for i, name in enumerate(self._float_names):
-            if fframe is None:  # no events this block: trajectories coincide
-                voice_params[name] = materialize(fvals, ftarget, fstep, frem, i)
-                continue
-            new = materialize(fvals, ftarget, fstep, frem, i, anchor=fframe)
-            # pre-set trajectory = block-start state WITH any same-block
-            # smoothing-config freeze applied (old_fstate), so a cfg event
-            # stops an in-flight ramp at its frame even before a later set
-            old = materialize(*old_fstate, i)
-            voice_params[name] = jnp.where(
-                t_idx[None, :] >= fframe[i][:, None], new, old
-            )
         int_specs = [
             p for p in self.voice.params if p.ptype in ("integer", "bool")
         ]
-        for i, name in enumerate(self._int_names):
-            new_row = jnp.broadcast_to(ivals[i][:, None], (V, B))
-            if iframe is None:
-                voice_params[name] = new_row
-            else:
-                # int sets apply at their exact frame (engine parity)
-                old_row = jnp.broadcast_to(
-                    state["ivals"][i][:, None], (V, B)
+        if events is not None and "round" in events:
+            # burst path (burst_rounds banks): the round fold already
+            # materialized exact per-sample planes for floats and ints —
+            # engine-parity for arbitrary same-block event bursts
+            (pf, fstate, anchor, ivals, pi, iset, trig, active, idle) = \
+                self._apply_events_rounds(ctx, state, events)
+            fframe = anchor  # ramp anchors for the end-of-block advance
+            voice_params = {}
+            for i, name in enumerate(self._float_names):
+                voice_params[name] = pf[i]
+            for i, name in enumerate(self._int_names):
+                voice_params[name] = pi[i]
+                if getattr(int_specs[i], "retrigger", False):
+                    voice_params[name + "_set"] = (
+                        iset[i] if iset is not None
+                        else jnp.zeros((V, B), dtype=bool)
+                    )
+            for i, name in enumerate(self._trig_names):
+                voice_params[name] = trig[i]
+        else:
+            (fstate, ivals, active, trig, fframe, (iframe, iset), idle,
+             old_fstate) = self._apply_events(ctx, state, events)
+            fvals, ftarget, fstep, frem, fsdur = fstate
+
+            # build per-voice param dict: [V, B] leaves for vmap axis 0.
+            # Floats ramp per sample toward their target (per-voice
+            # smoothing), snapping exactly to the target when the ramp
+            # completes. Float sets are sample-accurate: samples before the
+            # event frame follow the OLD trajectory (pre-event ramp state),
+            # samples at/after it the new one, and a ramp's progress counts
+            # from its event frame (knaster WrPreciseTiming +
+            # WrSmoothParams semantics at bank scale; with no event the two
+            # trajectories are identical, so the select is free).
+            t_idx = jnp.arange(B, dtype=jnp.int32)
+
+            def materialize(vals, target, step, rem, i, anchor=None):
+                ln = (
+                    t_idx[None, :]
+                    if anchor is None
+                    else t_idx[None, :] - anchor[i][:, None]
                 )
+                ramp_done = ln >= rem[i][:, None]
+                return jnp.where(
+                    ramp_done,
+                    target[i][:, None],
+                    vals[i][:, None] + step[i][:, None] * ln.astype(dtype),
+                )
+
+            voice_params = {}
+            for i, name in enumerate(self._float_names):
+                if fframe is None:  # no events: trajectories coincide
+                    voice_params[name] = materialize(
+                        fvals, ftarget, fstep, frem, i
+                    )
+                    continue
+                new = materialize(fvals, ftarget, fstep, frem, i, anchor=fframe)
+                # pre-set trajectory = block-start state WITH any same-block
+                # smoothing-config freeze applied (old_fstate), so a cfg
+                # event stops an in-flight ramp at its frame even before a
+                # later set
+                old = materialize(*old_fstate, i)
                 voice_params[name] = jnp.where(
-                    t_idx[None, :] >= iframe[i][:, None], new_row, old_row
+                    t_idx[None, :] >= fframe[i][:, None], new, old
                 )
-            if getattr(int_specs[i], "retrigger", False):
-                voice_params[name + "_set"] = (
-                    iset[i] if iset is not None
-                    else jnp.zeros((V, B), dtype=bool)
-                )
-        for i, name in enumerate(self._trig_names):
-            voice_params[name] = trig[i]
+            for i, name in enumerate(self._int_names):
+                new_row = jnp.broadcast_to(ivals[i][:, None], (V, B))
+                if iframe is None:
+                    voice_params[name] = new_row
+                else:
+                    # int sets apply at their exact frame (engine parity)
+                    old_row = jnp.broadcast_to(
+                        state["ivals"][i][:, None], (V, B)
+                    )
+                    voice_params[name] = jnp.where(
+                        t_idx[None, :] >= iframe[i][:, None], new_row, old_row
+                    )
+                if getattr(int_specs[i], "retrigger", False):
+                    voice_params[name + "_set"] = (
+                        iset[i] if iset is not None
+                        else jnp.zeros((V, B), dtype=bool)
+                    )
+            for i, name in enumerate(self._trig_names):
+                voice_params[name] = trig[i]
 
         zero_in = jnp.zeros((V, 0, B), dtype=dtype)
 

@@ -229,9 +229,10 @@ def test_cfg_then_set_same_block_parity():
     np.testing.assert_allclose(b, a, atol=1e-5)
 
 
-def test_bank_dedup_keeps_latest_frame():
-    """Same-block duplicate sets on one (param, voice): the LATEST-frame
-    event survives regardless of list order (node_events_from_lists)."""
+def test_bank_burst_two_sets_one_block():
+    """Same-block duplicate sets on one (param, voice): BOTH apply at
+    their exact frames, in frame order regardless of list order (the
+    round fold, node_events_from_lists burst_rounds)."""
     ctx = AudioCtx(SR, 64, np.float32)
     vb = VoiceBank(LevelVoice(), 1)
     # scheduled out of order: frame 50 first in the list, then frame 10
@@ -243,9 +244,66 @@ def test_bank_dedup_keeps_latest_frame():
     _, out = vb.process(ctx, st, np.zeros((0, 64), np.float32), {},
                         events=ev)[:2]
     out = np.asarray(out)[0]
-    assert abs(out[49] - 1.0) < 1e-6   # pre-block value before the survivor
-    assert abs(out[50] - 5.0) < 1e-6   # latest-frame event wins
+    assert abs(out[9] - 1.0) < 1e-6    # pre-block value
+    assert abs(out[10] - 3.0) < 1e-6   # earlier event at its frame
+    assert abs(out[49] - 3.0) < 1e-6
+    assert abs(out[50] - 5.0) < 1e-6   # later event at its frame
     assert abs(out[63] - 5.0) < 1e-6
+
+
+def test_burst_ramp_sets_parity():
+    """Two smoothed sets in ONE block: the second ramp anchors at its
+    frame starting from the FIRST ramp's value there (engine sequential
+    fold ≡ bank round fold)."""
+
+    def schedule(param):
+        p = param("level")
+        p.smooth(0.001)                      # 48-frame ramps
+        p.set_at(49.0, _samples(10))         # ramp 1->49, step 1/frame
+        p.set_at(0.0, _samples(34))          # mid-ramp: re-ramp from 25
+    a = _engine_render(LevelVoice(), schedule)
+    b = _bank_render(LevelVoice(), schedule)
+    assert abs(a[33] - 24.0) < 1e-4          # first ramp in flight
+    # second ramp: from value 25 at frame 34 toward 0 over 48 frames
+    assert abs(a[34] - 25.0) < 1e-4
+    assert abs(a[58] - (25.0 - 25.0 / 48.0 * 24)) < 1e-3
+    assert abs(a[82] - 0.0) < 1e-4
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_burst_set_set_cfg_interleave_parity():
+    """set@10, set@20, cfg@30 in ONE block: the cfg must freeze the
+    SECOND set's ramp (true frame order), not pair with the first — the
+    joint float-family round space (node_events_from_lists)."""
+
+    def schedule(param):
+        p = param("level")
+        p.smooth(0.002)                      # 96-frame ramps
+        p.set_at(97.0, _samples(10))         # ramp 1->97, step 1/frame
+        p.set_at(0.0, _samples(20))          # re-ramp from 11, step -11/96
+        p.smooth_at(0.0, _samples(30))       # freeze THAT ramp at frame 30
+    a = _engine_render(LevelVoice(), schedule)
+    b = _bank_render(LevelVoice(), schedule)
+    assert abs(a[19] - 10.0) < 1e-4              # first ramp
+    frozen = 11.0 - 11.0 / 96.0 * 10             # second ramp at frame 30
+    assert abs(a[29] - (11.0 - 11.0 / 96.0 * 9)) < 1e-4
+    assert abs(a[30] - frozen) < 1e-4            # frozen there
+    assert abs(a[200] - frozen) < 1e-4           # held
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_burst_int_sets_parity():
+    """Two int sets on one voice in ONE block: each lands at its exact
+    frame (engine _materialize_ints ≡ bank round fold)."""
+
+    def schedule(param):
+        p = param("sel")
+        p.set_at(3, _samples(10))
+        p.set_at(7, _samples(40))
+    a = _engine_render(IntLevelVoice(), schedule)
+    b = _bank_render(IntLevelVoice(), schedule)
+    assert (a[9], a[10], a[39], a[40]) == (1.0, 3.0, 3.0, 7.0)
+    np.testing.assert_allclose(b, a, atol=1e-6)
 
 
 def test_pallas_bank_anchored_ramp():
