@@ -149,10 +149,18 @@ class Galactic(UGen):
         B = drift.shape[0]
         cols = jnp.asarray(self._xorshift_columns(B))  # [B+1, 32] u32
         x0 = state["fpd"]  # [2] u32
-        seq = jnp.zeros((2, B + 1), jnp.uint32)
-        for j in range(32):
-            bit = ((x0 >> np.uint32(j)) & np.uint32(1)).astype(bool)
-            seq = seq ^ jnp.where(bit[:, None], cols[None, :, j], np.uint32(0))
+        # seq[c, t] = XOR over set bits j of cols[t, j]: mask each column by
+        # 0xFFFFFFFF/0 (two's-complement of the bit) and XOR-reduce the 32
+        # columns in 5 tree steps — ~10 ops instead of a 32-step serial loop
+        # (the loop was ~2000 HLO ops, the dominant cost of this program)
+        bits = (
+            x0[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]
+        ) & np.uint32(1)  # [2, 32]
+        masks = (np.uint32(0) - bits).astype(jnp.uint32)
+        v = cols[None, :, :] & masks[:, None, :]  # [2, B+1, 32]
+        for s in (16, 8, 4, 2, 1):
+            v = v[..., :s] ^ v[..., s:2 * s]
+        seq = v[..., 0]
         pre = seq[:, :B]       # carry fpd at step t (drives tiny + reset)
         fpd_seq = seq[:, 1:]   # advanced fpd at step t (drives the dither)
         fpd_out = seq[:, B]

@@ -9,13 +9,16 @@ per-sample loop is a register loop instead of an XLA scan.
 **Sample-accurate control, identical to the vmap path** (the reference's
 WrPreciseTiming semantics, wrappers_core/precise_timing.rs:65-114, at bank
 scale): per-voice float sets and smoothing ramps are materialized *per
-sample inside the kernel* — each float param arrives as its linear-ramp
-state (value/step/remaining/target per voice) plus, in eventful blocks, the
-pre-event trajectory and the event frame, and the kernel evaluates exactly
-the same select structure as ``VoiceBank.process``'s ``materialize``.
-Triggers are packed host→kernel as uint32 bitmasks (2 words per voice for
-block sizes up to 64), so the kernel reads one bit per sample instead of a
-[B, V] boolean array.
+sample inside the kernel* — each float param arrives as its block-start
+linear-ramp trajectory (value/step/remaining/target per voice) plus, in
+eventful blocks, ``kernel_burst_depth`` per-round trajectory breakpoints
+(``VoiceBank._apply_events_breakpoints``), and the kernel folds the same
+piecewise select structure as ``VoiceBank.process``'s round fold — exact
+graph-engine burst semantics (several sets / smoothing configs on one
+slot in one block, in frame order) up to that depth. Triggers are packed
+host→kernel as uint32 bitmasks (2 words per voice for block sizes up to
+64), so the kernel reads one bit per sample instead of a [B, V] boolean
+array.
 
 Oscillator parity: the u32 fixed-point phase is carried *through* the kernel
 (per-sample increments from the materialized per-sample frequency), and the
@@ -73,20 +76,23 @@ def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
 def _mat(i_f, g):
     """Materialize one float param at sample ``i`` from its ramp group.
 
-    Mirrors VoiceBank.process's ``materialize`` + pre/post-event select:
-    the new trajectory anchors at the event frame —
-    ``where(i-frame >= rem, target, v0 + step*(i-frame))`` — and eventful
-    blocks select ``where(i >= frame, new, old)`` against the pre-event
-    ramp state (engine-parity ramp anchoring). ``g`` is 4 refs (fast,
-    frame≡0) or 9 (eventful):
-    (v0, step, rem, tgt[, v0_old, step_old, rem_old, tgt_old, frame])."""
+    Mirrors VoiceBank.process's ``materialize`` + event-piece selects:
+    eventful blocks fold D per-round trajectory BREAKPOINTS (the device
+    round fold ``_apply_events_breakpoints`` — exact same-block burst
+    semantics up to D events per slot): piece r anchors at its event frame
+    — ``where(i-frame >= rem, target, v0 + step*(i-frame))`` — and wins
+    from that frame on (untouched rounds carry the ``frame = B`` sentinel,
+    so their select is a no-op). ``g`` is 4 refs (fast, block-start
+    trajectory anchored at 0) or 9 (eventful): (v0, step, rem, tgt) base
+    tiles plus (rv0, rstep, rrem, rtgt, rframe) round refs of block shape
+    [D, rows, LANES]."""
     if len(g) == N_EVENTFUL:
-        # new trajectory anchors at the event frame: progress = i - frame
-        # (irrelevant before the frame — the old-trajectory select wins)
-        ln = i_f - g[8][:]
-        v = jnp.where(ln >= g[2][:], g[3][:], g[0][:] + g[1][:] * ln)
-        o = jnp.where(i_f >= g[6][:], g[7][:], g[4][:] + g[5][:] * i_f)
-        return jnp.where(i_f >= g[8][:], v, o)
+        acc = jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
+        for r in range(g[4].shape[0]):
+            ln = i_f - g[8][r]
+            v = jnp.where(ln >= g[6][r], g[7][r], g[4][r] + g[5][r] * ln)
+            acc = jnp.where(i_f >= g[8][r], v, acc)
+        return acc
     return jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
 
 
@@ -242,15 +248,12 @@ def _env_ar_free(stage, t, atk, rel):
 # host-side operand staging
 # --------------------------------------------------------------------------
 
-def _ramp_operands(bank, old_fstate, fstate, fframe, dtype):
-    """Flat list of [R, LANES] ramp tiles, one group per float param in
-    ``bank._float_names`` order: (v0, step, rem, tgt) from the post-event
-    ramp state, plus (v0_old, step_old, rem_old, tgt_old, frame) from the
-    pre-set trajectory when this block has events (``old_fstate`` — the
-    block-start state with any smoothing-config freeze applied, see
-    VoiceBank._apply_events). ``rem``/``frame`` are cast to the compute
-    dtype so comparisons against the sample index are one VPU select
-    each."""
+def _ramp_operands(bank, fstate, dtype):
+    """Flat list of [R, LANES] ramp tiles for the event-free fast program,
+    one (v0, step, rem, tgt) group per float param in ``bank._float_names``
+    order (the block-start trajectory, anchored at sample 0). ``rem`` is
+    cast to the compute dtype so the ramp-done comparison against the
+    sample index is one VPU select."""
     R = bank.n_voices // LANES
 
     def g2(x):
@@ -261,11 +264,33 @@ def _ramp_operands(bank, old_fstate, fstate, fframe, dtype):
     for p in range(len(bank._float_names)):
         ops += [g2(fvals[p]), g2(fstep[p]),
                 g2(frem[p].astype(dtype)), g2(ftgt[p])]
-        if fframe is not None:
-            ov, ot, os_, orm = old_fstate
-            ops += [g2(ov[p]), g2(os_[p]),
-                    g2(orm[p].astype(dtype)),
-                    g2(ot[p]), g2(fframe[p].astype(dtype))]
+    return ops
+
+
+def _ramp_operands_bursts(bank, state, pieces, dtype):
+    """Eventful-block ramp operands: per float param, the 4 block-start
+    trajectory tiles ([R, LANES], pre-event state anchored at 0) plus the 5
+    round refs ([D, R, LANES]) from ``_apply_events_breakpoints`` — the
+    per-round trajectory breakpoints the kernel folds per sample (exact
+    same-block bursts up to D = ``kernel_burst_depth`` events per slot).
+    ``rem``/``frame`` components are cast to the compute dtype."""
+    R = bank.n_voices // LANES
+    bv0, bstep, brem, btgt, bframe = pieces
+    D = bv0.shape[0]
+
+    def g2(x):
+        return x.reshape(R, LANES)
+
+    def g3(x):
+        return x.reshape(D, R, LANES)
+
+    ops = []
+    for p in range(len(bank._float_names)):
+        ops += [g2(state["fvals"][p]), g2(state["fstep"][p]),
+                g2(state["frem"][p].astype(dtype)), g2(state["ftarget"][p]),
+                g3(bv0[:, p]), g3(bstep[:, p]),
+                g3(brem[:, p].astype(dtype)), g3(btgt[:, p]),
+                g3(bframe[:, p].astype(dtype))]
     return ops
 
 
@@ -285,19 +310,49 @@ def _fold_act(bank, ramp_ops, act):
 def _bank_setup(bank, ctx, state, events):
     """Common per-block staging for every kernel bank: apply the event
     channel, build ramp operands + env constants, return the bits each
-    ``process`` needs. ``ng`` is the per-param ramp-group size."""
+    ``process`` needs. ``ng`` is the per-param ramp-group size. Eventful
+    blocks run the breakpoint round fold (exact same-block bursts up to
+    ``kernel_burst_depth`` events per slot); event-free blocks skip every
+    scatter and ship the 4-tile block-start trajectories."""
     dtype = ctx.dtype
     R = bank.n_voices // LANES
-    (fstate, ivals, active, _, fframe, _iinfo, idle,
-     old_fstate) = bank._apply_events(ctx, state, events, trig_tensor=False)
-    ramp_ops = _ramp_operands(bank, old_fstate, fstate, fframe, dtype)
-    ng = N_EVENTFUL if fframe is not None else N_FAST
+    if events is None:
+        (fstate, ivals, active, _, fframe, _iinfo, idle,
+         _old) = bank._apply_events(ctx, state, events, trig_tensor=False)
+        ramp_ops = _ramp_operands(bank, fstate, dtype)
+        ng = N_FAST
+    else:
+        (fstate, anchor, pieces, ivals, active,
+         idle) = bank._apply_events_breakpoints(ctx, state, events)
+        ramp_ops = _ramp_operands_bursts(bank, state, pieces, dtype)
+        ng = N_EVENTFUL
+        fframe = anchor
     atk = jnp.full((R, LANES), 1.0 / max(bank._attack * ctx.sample_rate, 1.0),
                    dtype)
     rel = jnp.full((R, LANES), 1.0 / max(bank._release * ctx.sample_rate, 1.0),
                    dtype)
     act = active.astype(dtype).reshape(R, LANES)
     return fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, idle
+
+
+def _op_specs(pl, ops, TR):
+    """BlockSpecs matching a staged operand list: [R, LANES] tiles walk the
+    voice grid; [D, R, LANES] round refs carry their full round axis into
+    every tile."""
+    specs = []
+    for op in ops:
+        if op.ndim == 3:
+            D = op.shape[0]
+            specs.append(
+                pl.BlockSpec((D, TR, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        else:
+            specs.append(
+                pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+    return specs
 
 
 def _grid2(bank, x):
@@ -415,9 +470,10 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
 class PallasSineVoiceBank(VoiceBank):
     """Drop-in VoiceBank for SineVoice with a fused Pallas kernel core."""
 
-    # kernels carry one trajectory breakpoint per (param, voice) slot:
-    # same-block bursts dedup to the latest-frame event (host-side)
-    burst_rounds = False
+    # kernels fold kernel_burst_depth trajectory breakpoints per
+    # (param, voice) slot: same-block bursts are exact up to that depth
+    # (deeper bursts keep their last kernel_burst_depth events)
+    kernel_burst_depth = 3
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.1, tile_rows: int = 128):
@@ -478,11 +534,9 @@ class PallasSineVoiceBank(VoiceBank):
             ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(
                 self, fstate, dtype
             )
-            n_in = 2 * ng + N_PAN_FAST + 6
             extras = (state["stage"], state["t"], state["rscale"], atk, rel,
                       state["phase"])
         else:
-            n_in = 3 * ng + 11
             restart_lo, restart_hi = (
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
@@ -502,7 +556,7 @@ class PallasSineVoiceBank(VoiceBank):
         outs = pl.pallas_call(
             functools.partial(_sine_kernel, B, ng, f2pi, not interpret),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(n_in)],
+            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
@@ -596,9 +650,10 @@ class PallasFMVoiceBank(VoiceBank):
     Sample-rate-agnostic (f2pi derived from the AudioCtx) and sample-accurate
     for per-voice float sets/ramps like the vmap path."""
 
-    # kernels carry one trajectory breakpoint per (param, voice) slot:
-    # same-block bursts dedup to the latest-frame event (host-side)
-    burst_rounds = False
+    # kernels fold kernel_burst_depth trajectory breakpoints per
+    # (param, voice) slot: same-block bursts are exact up to that depth
+    # (deeper bursts keep their last kernel_burst_depth events)
+    kernel_burst_depth = 3
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.005, release: float = 0.3,
@@ -655,7 +710,6 @@ class PallasFMVoiceBank(VoiceBank):
 
         if ng == N_FAST:
             ramp_ops = _fold_act(self, ramp_ops, act)
-            n_in = 4 * ng + 6
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
                       atk, rel)
         else:
@@ -663,7 +717,6 @@ class PallasFMVoiceBank(VoiceBank):
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
             )
-            n_in = 4 * ng + 9
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
                       atk, rel, act, r_lo, r_hi)
 
@@ -673,7 +726,7 @@ class PallasFMVoiceBank(VoiceBank):
         outs = pl.pallas_call(
             functools.partial(_fm_kernel, B, ng, f2pi, not interpret),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(n_in)],
+            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
@@ -802,9 +855,10 @@ class PallasSubtractiveVoiceBank(VoiceBank):
     Caveat vs the vmap path: the oscillator is the plain polyBLEP saw without
     the >sr/4 sine fallback (keep fundamentals below sr/4)."""
 
-    # kernels carry one trajectory breakpoint per (param, voice) slot:
-    # same-block bursts dedup to the latest-frame event (host-side)
-    burst_rounds = False
+    # kernels fold kernel_burst_depth trajectory breakpoints per
+    # (param, voice) slot: same-block bursts are exact up to that depth
+    # (deeper bursts keep their last kernel_burst_depth events)
+    kernel_burst_depth = 3
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.2,
@@ -864,7 +918,6 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 
         if ng == N_FAST:
             ramp_ops = _fold_act(self, ramp_ops, act)
-            n_in = 4 * ng + 8
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"], atk, rel)
         else:
@@ -876,7 +929,6 @@ class PallasSubtractiveVoiceBank(VoiceBank):
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_release"))
             )
-            n_in = 4 * ng + 13
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"],
                       atk, rel, act, r_lo, r_hi, rel_lo, rel_hi)
@@ -887,7 +939,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         outs = pl.pallas_call(
             functools.partial(_sub_kernel, B, ng, inv_sr, not interpret),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(n_in)],
+            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
@@ -1012,9 +1064,10 @@ class PallasWavetableVoiceBank(VoiceBank):
     (partials above Nyquist masked). Cost scales linearly with
     ``n_harmonics``."""
 
-    # kernels carry one trajectory breakpoint per (param, voice) slot:
-    # same-block bursts dedup to the latest-frame event (host-side)
-    burst_rounds = False
+    # kernels fold kernel_burst_depth trajectory breakpoints per
+    # (param, voice) slot: same-block bursts are exact up to that depth
+    # (deeper bursts keep their last kernel_burst_depth events)
+    kernel_burst_depth = 3
 
     def __init__(self, n_voices: int, table=None, harmonics=None,
                  n_harmonics: int = 16, voice_defaults=None,
@@ -1085,11 +1138,9 @@ class PallasWavetableVoiceBank(VoiceBank):
             ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(
                 self, fstate, dtype
             )
-            n_in = 2 * ng + N_PAN_FAST + 6
             extras = (state["phase"], state["stage"], state["t"],
                       state["rscale"], atk, rel)
         else:
-            n_in = 3 * ng + 11
             restart_lo, restart_hi = (
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
@@ -1119,7 +1170,7 @@ class PallasWavetableVoiceBank(VoiceBank):
                 float(ctx.sample_rate / 2.0), False,
             ),
             grid=(n_tiles,),
-            in_specs=[tile() for _ in range(n_in)],
+            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),

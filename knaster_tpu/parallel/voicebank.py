@@ -18,11 +18,14 @@ one (param, voice) — several sets, smoothing configs, int sets, in any
 interleaving — are exact too: the host assigns each event a per-slot
 ``round`` (frame order) and the device folds rounds sequentially
 (``_apply_events_rounds``), reproducing the graph engine's sequential
-event fold sample-for-sample. The Pallas kernel banks are the one path
-that keeps latest-frame-wins dedup per (kind, param, voice) per block
-(``burst_rounds = False`` — their in-kernel materialization carries one
-trajectory breakpoint per slot); bursts there collapse to the final
-event, a documented sub-block divergence. Retrigger int params
+event fold sample-for-sample. The Pallas kernel banks use the same round
+machinery through per-round trajectory BREAKPOINTS
+(``_apply_events_breakpoints``): their in-kernel materialization folds up
+to ``kernel_burst_depth`` breakpoints per (param, voice) slot per block —
+exact for bursts up to that depth (default 3); deeper bursts keep the
+last ``kernel_burst_depth`` events (the earliest events of such a burst
+are dropped, a ≤1-block transient; the vmap bank and the graph engine
+remain exact at any depth). Retrigger int params
 (e.g. Envelope.jump_to_segment) additionally receive a per-sample
 ``<name>_set`` mask so repeated sets of the same value re-apply, exactly as
 the graph engine's param_apply-per-event does.
@@ -61,9 +64,11 @@ class VoiceBank(UGen):
     track_idle = False
     # exact same-block event bursts per (param, voice): events carry a
     # per-slot ``round`` (frame order) and the device applies rounds
-    # sequentially. The Pallas banks set this False (their kernels carry
-    # one trajectory breakpoint per slot) and keep latest-frame dedup.
+    # sequentially. The Pallas banks keep this True and additionally set
+    # ``kernel_burst_depth`` = D: host packing caps each slot's burst at
+    # its LAST D events (kernel operands carry D trajectory breakpoints).
     burst_rounds = True
+    kernel_burst_depth: Optional[int] = None
 
     def __init__(
         self,
@@ -190,12 +195,13 @@ class VoiceBank(UGen):
         Active/idle sets (kinds 3, 5) are block-rate flags; the latest-
         frame event per (kind, voice) wins. Triggers keep every event.
 
-        Without ``burst_rounds`` (the Pallas kernel banks) non-trigger
-        kinds are deduplicated host-side — latest frame per (kind, param,
-        voice) wins — so the kernel can carry one trajectory breakpoint
-        per slot; same-block bursts on one slot collapse to their final
-        event (documented divergence; the vmap bank and the graph engine
-        are the exact paths)."""
+        Banks with ``kernel_burst_depth`` = D (the Pallas kernel banks)
+        keep each slot's LAST D events of a family — the kernels fold D
+        trajectory breakpoints per slot; bursts up to depth D are exact,
+        deeper ones drop their earliest events (≤1-block transient,
+        documented). Without ``burst_rounds`` non-trigger kinds are
+        deduplicated host-side — latest frame per (kind, param, voice)
+        wins."""
         trigs = {}
         if self.burst_rounds:
             dedup = {}  # kinds 3/5 only: latest frame per (kind, voice)
@@ -216,6 +222,8 @@ class VoiceBank(UGen):
             flat, rounds = [], []
             for evs in fam.values():
                 evs.sort(key=lambda e: e[0])  # stable: list order on ties
+                if self.kernel_burst_depth is not None:
+                    evs = evs[-self.kernel_burst_depth:]
                 for r, e in enumerate(evs):
                     flat.append(e)
                     rounds.append(r)
@@ -666,6 +674,137 @@ class VoiceBank(UGen):
                   carry["frem"], carry["fsdur"])
         return (carry.get("pf"), fstate, carry["anchor"], carry["ivals"],
                 carry.get("pi"), iset, trig, active, idle)
+
+    def _apply_events_breakpoints(self, ctx: AudioCtx, state, events):
+        """Round fold for the Pallas kernel banks: same sequential burst
+        semantics as ``_apply_events_rounds`` but instead of materializing
+        [nf, V, B] per-sample planes (too much HBM traffic at 100k+ voices)
+        it emits D = ``kernel_burst_depth`` per-round trajectory
+        BREAKPOINTS per slot — (v0, step, rem, tgt, frame), each [D, nf, V]
+        — that the kernels fold per sample in VMEM (``_mat``): a piece is
+        live for ``i >= frame``; untouched rounds get the ``frame = B``
+        sentinel so their select is a no-op. D is static (kernel operand
+        shapes), so the fold is a D-step Python loop; host packing caps
+        each slot's burst at its last D events.
+
+        Returns (fstate, anchor, pieces, ivals, active, idle) with fstate =
+        (fvals, ftarget, fstep, frem, fsdur) the post-burst ramp state
+        anchored per-slot at ``anchor`` (the last event's frame), and
+        pieces = (bv0, bstep, brem, btgt, bframe)."""
+        V = self.n_voices
+        B = ctx.block_size
+        dtype = ctx.dtype
+        D = int(self.kernel_burst_depth or 1)
+        nf = state["fvals"].shape[0]
+        ni = state["ivals"].shape[0]
+
+        voice = events["voice"]
+        param = events["param"]
+        kind = events["kind"]
+        value = events["value"]
+        frame = events["frame"]
+        rnd = events["round"]
+        valid = voice >= 0
+
+        def pad(arr):
+            return jnp.concatenate(
+                [arr, jnp.zeros((arr.shape[0], 1), arr.dtype)], axis=1
+            )
+
+        def scat(arr, p_sel, v_sel, vals):
+            return pad(arr).at[p_sel, v_sel].set(vals)[:, :V]
+
+        fvals, ftarget = state["fvals"], state["ftarget"]
+        fstep, frem = state["fstep"], state["frem"]
+        fsdur, ivals = state["fsdur"], state["ivals"]
+        anchor = jnp.zeros((max(nf, 1), V), jnp.int32)
+        pieces = []
+        for r in range(D):
+            if nf:
+                # smoothing config (kind 4): freeze an in-flight ramp at its
+                # frame (engine KIND_SMOOTH_CFG; see _apply_events_rounds)
+                sel_c = valid & (kind == 4) & (rnd == r)
+                v_c = jnp.where(sel_c, voice, V)
+                p_c = jnp.clip(param, 0, nf - 1)
+                fsdur = scat(fsdur, p_c, v_c, value.astype(jnp.int32))
+                has_cfg = scat(jnp.zeros((nf, V), bool), p_c, v_c, sel_c)
+                cfg_frame = scat(
+                    jnp.zeros((nf, V), jnp.int32), p_c, v_c, frame
+                )
+                ln_c = cfg_frame - anchor
+                cur_c = jnp.where(
+                    ln_c >= frem, ftarget,
+                    fvals + fstep * ln_c.astype(dtype),
+                )
+                cut = has_cfg & (frem > ln_c)
+                frem = jnp.where(cut, ln_c, frem)
+                ftarget = jnp.where(cut, cur_c, ftarget)
+                # the cfg's visible piece: hold the frozen value from its
+                # frame on (a cfg that doesn't cut changes nothing visible)
+                pv0 = jnp.where(cut, cur_c, jnp.zeros((), dtype))
+                pstep = jnp.zeros((nf, V), dtype)
+                prem = jnp.zeros((nf, V), jnp.int32)
+                ptgt = pv0
+                pframe = jnp.where(cut, cfg_frame, B)
+                # float set (kind 0): ramp/jump anchored at the event frame
+                # from the current trajectory's value there
+                sel_f = valid & (kind == 0) & (rnd == r)
+                v_s = jnp.where(sel_f, voice, V)
+                p_s = jnp.clip(param, 0, nf - 1)
+                ln_e = frame - pad(anchor)[p_s, v_s]
+                old_v0 = pad(fvals)[p_s, v_s]
+                old_step = pad(fstep)[p_s, v_s]
+                old_rem = pad(frem)[p_s, v_s]
+                old_tgt = pad(ftarget)[p_s, v_s]
+                cur = jnp.where(
+                    ln_e >= old_rem, old_tgt,
+                    old_v0 + old_step * ln_e.astype(dtype),
+                )
+                dur = pad(fsdur)[p_s, v_s]
+                ramp = dur > 0
+                new_step = jnp.where(
+                    ramp,
+                    (value - cur) / jnp.maximum(dur, 1).astype(dtype),
+                    0.0,
+                )
+                new_v0 = jnp.where(ramp, cur, value)
+                new_rem = jnp.where(ramp, dur, 0)
+                fvals = scat(fvals, p_s, v_s, new_v0)
+                ftarget = scat(ftarget, p_s, v_s, value)
+                fstep = scat(fstep, p_s, v_s, new_step)
+                frem = scat(frem, p_s, v_s, new_rem)
+                anchor = scat(anchor, p_s, v_s, frame)
+                pv0 = scat(pv0, p_s, v_s, new_v0)
+                pstep = scat(pstep, p_s, v_s, new_step)
+                prem = scat(prem, p_s, v_s, new_rem)
+                ptgt = scat(ptgt, p_s, v_s, value)
+                pframe = scat(pframe, p_s, v_s, frame)
+                pieces.append((pv0, pstep, prem, ptgt, pframe))
+            if ni:
+                sel_i = valid & (kind == 2) & (rnd == r)
+                v_i = jnp.where(sel_i, voice, V)
+                p_i = jnp.clip(param, 0, ni - 1)
+                ivals = scat(ivals, p_i, v_i, value.astype(jnp.int32))
+        if nf:
+            stacked = tuple(
+                jnp.stack([p[j] for p in pieces]) for j in range(5)
+            )
+        else:
+            stacked = None
+
+        sel_a = valid & (kind == 3)
+        v_a = jnp.where(sel_a, voice, V)
+        active = jnp.concatenate(
+            [state["active"], jnp.zeros((1,), bool)]
+        ).at[v_a].set(value > 0.5)[:V]
+        sel_n = valid & (kind == 5)
+        v_n = jnp.where(sel_n, voice, V)
+        idle = jnp.concatenate(
+            [state["idle"], jnp.zeros((1,), bool)]
+        ).at[v_n].set(False)[:V]
+
+        fstate = (fvals, ftarget, fstep, frem, fsdur)
+        return fstate, anchor, stacked, ivals, active, idle
 
     @staticmethod
     def _advance_ramps(fstate, B, dtype, fframe=None):

@@ -110,25 +110,25 @@ class PinkNoise(_NoiseBase):
         idx = jax.lax.population_count(lsb - 1).astype(jnp.int32)  # [B]
 
         ti = jnp.arange(B, dtype=jnp.int32)
-        removed = jnp.zeros((B,), dtype)
-        new_whites = state["whites"]
-        for o in range(PINK_NOISE_OCTAVES):
-            m = idx == o
-            occ = jnp.where(m, ti, -1)
-            # index of the previous occurrence of octave o, exclusive
-            prev = jnp.concatenate(
-                [jnp.full((1,), -1, jnp.int32),
-                 jax.lax.cummax(occ)[:-1]]
-            )
-            val = jnp.where(
-                prev >= 0, x0[jnp.maximum(prev, 0)], state["whites"][o]
-            )
-            removed = jnp.where(m, val, removed)
-            last = jax.lax.cummax(occ)[-1]
-            new_whites = new_whites.at[o].set(
-                jnp.where(last >= 0, x0[jnp.maximum(last, 0)],
-                          state["whites"][o])
-            )
+        # all octaves at once ([O, B] planes): exactly one octave fires per
+        # sample, so `removed` is a sum of disjoint selects — one cummax and
+        # one gather for the whole block instead of one per octave
+        orange = jnp.arange(PINK_NOISE_OCTAVES, dtype=jnp.int32)
+        m = idx[None, :] == orange[:, None]  # [O, B]
+        occ = jnp.where(m, ti[None, :], -1)
+        cm = jax.lax.cummax(occ, axis=1)  # inclusive running max
+        prev = jnp.concatenate(
+            [jnp.full((PINK_NOISE_OCTAVES, 1), -1, jnp.int32), cm[:, :-1]],
+            axis=1,
+        )
+        val = jnp.where(
+            prev >= 0, x0[jnp.maximum(prev, 0)], state["whites"][:, None]
+        )
+        removed = jnp.sum(jnp.where(m, val, jnp.zeros((), dtype)), axis=0)
+        last = cm[:, -1]
+        new_whites = jnp.where(
+            last >= 0, x0[jnp.maximum(last, 0)], state["whites"]
+        )
         x1_prev = jnp.concatenate([state["always_on"][None], x1[:-1]])
         pink = state["pink"] + jnp.cumsum(x0 - removed + x1 - x1_prev)
         out = pink / (PINK_NOISE_OCTAVES + 1.0)

@@ -306,6 +306,95 @@ def test_burst_int_sets_parity():
     np.testing.assert_allclose(b, a, atol=1e-6)
 
 
+def _pallas_vs_vmap(events_by_block, n_blocks=4, V=1024):
+    """Render a PallasSineVoiceBank and the equivalent vmap VoiceBank over
+    the same per-block event lists; assert ≤2e-5 parity per block."""
+    pytest.importorskip("jax.numpy")
+    from knaster_tpu import PallasSineVoiceBank, SineVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    rng = np.random.default_rng(7)
+    defaults = {
+        "freq": rng.uniform(100, 900, V).astype(np.float32),
+        "amp": np.full(V, 0.001, np.float32),
+        "pan": rng.uniform(-1, 1, V).astype(np.float32),
+    }
+    pb = PallasSineVoiceBank(V, voice_defaults=defaults)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=defaults)
+    spb, svb = pb.init(ctx), vb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    for blk in range(n_blocks):
+        evs = events_by_block.get(blk)
+        ev_p = pb.node_events_from_lists(evs) if evs else None
+        ev_v = vb.node_events_from_lists(evs) if evs else None
+        spb, op = pb.process(ctx, spb, no_in, {}, events=ev_p)[:2]
+        svb, ov = vb.process(ctx, svb, no_in, {}, events=ev_v)[:2]
+        np.testing.assert_allclose(
+            np.asarray(op), np.asarray(ov), atol=2e-5,
+            err_msg=f"block {blk}",
+        )
+    return pb, vb
+
+
+def test_pallas_bank_same_block_set_burst():
+    """Two sets on ONE (param, voice) in one block apply at their exact
+    frames in the kernels too (per-round trajectory breakpoints, not
+    latest-frame dedup) — vmap round-fold parity."""
+    fi = 0  # freq is float param 0 of SineVoice
+    _pallas_vs_vmap({
+        # out of order in the list; frame order must win
+        1: [(50, 3, fi, 0, 880.0), (10, 3, fi, 0, 220.0)],
+    })
+
+
+def test_pallas_bank_burst_set_cfg_set():
+    """Three-round burst on one slot — set@10, cfg@22 (freeze), set@40
+    (ramps with the new duration) — exact in-kernel (depth 3 default)."""
+    fi, ai = 0, 1  # freq, amp float indices of SineVoice
+    _pallas_vs_vmap({
+        0: [(0, 5, fi, 4, 96.0)],          # configure 96-frame ramps
+        1: [
+            (10, 5, fi, 0, 700.0),         # ramp starts
+            (22, 5, fi, 4, 0.0),           # freeze it mid-flight
+            (40, 5, fi, 0, 300.0),         # jump (dur now 0)
+            (30, 9, ai, 0, 0.002),         # unrelated slot, one event
+        ],
+    })
+
+
+def test_pallas_bank_burst_deeper_than_depth():
+    """A burst deeper than kernel_burst_depth keeps its LAST D events: the
+    final trajectory (and all later blocks) match the vmap bank; only the
+    dropped earliest window inside the burst block may differ."""
+    pytest.importorskip("jax.numpy")
+    from knaster_tpu import PallasSineVoiceBank, SineVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 1024
+    defaults = {"freq": np.full(V, 440.0, np.float32),
+                "amp": np.full(V, 0.001, np.float32),
+                "pan": np.zeros(V, np.float32)}
+    pb = PallasSineVoiceBank(V, voice_defaults=defaults)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=defaults)
+    assert pb.kernel_burst_depth == 3
+    fi = 0
+    burst = [(5, 2, fi, 0, 200.0), (15, 2, fi, 0, 300.0),
+             (25, 2, fi, 0, 400.0), (35, 2, fi, 0, 500.0),
+             (45, 2, fi, 0, 600.0)]
+    spb, svb = pb.init(ctx), vb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    ev_p = pb.node_events_from_lists(burst)
+    ev_v = vb.node_events_from_lists(burst)
+    spb, _ = pb.process(ctx, spb, no_in, {}, events=ev_p)[:2]
+    svb, _ = vb.process(ctx, svb, no_in, {}, events=ev_v)[:2]
+    # post-burst state converges: later blocks are identical
+    for blk in range(3):
+        spb, op = pb.process(ctx, spb, no_in, {}, events=None)[:2]
+        svb, ov = vb.process(ctx, svb, no_in, {}, events=None)[:2]
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ov),
+                                   atol=2e-5, err_msg=f"block {blk}")
+
+
 def test_pallas_bank_anchored_ramp():
     """The Pallas kernels materialize the frame-anchored ramp in-kernel
     (the _mat select): parity with the vmap bank for a mid-block smooth
