@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_VOICES = int(os.environ.get("BENCH_VOICES", 131072))
 SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
-BLOCK = 64
+BLOCK = int(os.environ.get("BENCH_BLOCK", 64))
 SR = 48000
 BASELINE_VOICE_SAMPLES = 600 * 48000  # reference: 600 voices realtime @48k
 

@@ -697,8 +697,8 @@ def superblock_eligible(cg: CompiledGraph) -> bool:
     max_len = float("inf")
     if ok:
         for e in cg.entries.values():
+            cap = getattr(e.ugen, "superblock_cap", None)
             if not getattr(e.ugen, "block_invariant", True):
-                cap = getattr(e.ugen, "superblock_cap", None)
                 if cap is None:
                     # attribute may be assigned in init(); probe it
                     try:
@@ -707,7 +707,13 @@ def superblock_eligible(cg: CompiledGraph) -> bool:
                         ok = False
                         break
                     cap = getattr(e.ugen, "superblock_cap", None)
-                if cap is None or cap < 2 * cg.ctx.block_size:
+                if cap is None:
+                    ok = False
+                    break
+            # block-invariant nodes may still cap the program length (e.g.
+            # the Pallas banks' MAX_BLOCK kernel ceiling)
+            if cap is not None:
+                if cap < 2 * cg.ctx.block_size:
                     ok = False
                     break
                 max_len = min(max_len, int(cap))

@@ -16,9 +16,10 @@ eventful blocks, ``kernel_burst_depth`` per-round trajectory breakpoints
 piecewise select structure as ``VoiceBank.process``'s round fold — exact
 graph-engine burst semantics (several sets / smoothing configs on one
 slot in one block, in frame order) up to that depth. Triggers are packed
-host→kernel as uint32 bitmasks (2 words per voice for block sizes up to
-64), so the kernel reads one bit per sample instead of a [B, V] boolean
-array.
+host→kernel as uint32 bitmasks (``ceil(B/32)`` words per voice), so the
+kernel reads one bit per sample instead of a [B, V] boolean array; any
+block size up to ``MAX_BLOCK`` works, which lets superblocked programs
+drive the banks at multi-block sizes.
 
 Oscillator parity: the u32 fixed-point phase is carried *through* the kernel
 (per-sample increments from the materialized per-sample frequency), and the
@@ -53,6 +54,32 @@ _HALF_PI = np.float32(np.pi / 2.0)
 
 # ramp-operand group sizes (see _ramp_operands)
 N_FAST, N_EVENTFUL = 4, 9
+
+
+# generous block cap: the per-tile [1, B, LANES] out buffers and the
+# sample loop's VMEM footprint stay well under Mosaic limits through 1024
+MAX_BLOCK = 1024
+
+
+def _check_block(ctx, name: str) -> None:
+    if ctx.block_size > MAX_BLOCK:
+        raise ValueError(f"{name} supports block_size <= {MAX_BLOCK}")
+
+
+def _unroll(B: int, interpret: bool):
+    """Sample-loop unroll policy: full unroll through 64 samples on hardware
+    (Mosaic's loop overhead costs ~20% at these body sizes); for larger
+    blocks unroll the largest divisor <= 64 so program size stays bounded
+    while the loop overhead amortizes away. The CPU interpreter keeps the
+    rolled loop (cheap to trace)."""
+    if interpret:
+        return False
+    if B <= 64:
+        return True
+    u = 64
+    while B % u:
+        u -= 1
+    return u
 
 
 def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
@@ -96,12 +123,16 @@ def _mat(i_f, g):
     return jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
 
 
-def _trig_bit(i, lo_ref, hi_ref):
-    """Sample i's trigger bit from the packed 2×u32 per-voice words."""
+def _trig_bit(i, word_refs):
+    """Sample i's trigger bit from the packed per-voice u32 words
+    (``ceil(B/32)`` words; word w holds frames [32w, 32w+32)). The kernels
+    unroll the sample loop on hardware, so ``i`` is a compile-time constant
+    there and the word select folds to a single load."""
     iu = i.astype(jnp.uint32)
-    word = jnp.where(i < 32, lo_ref[:], hi_ref[:])
-    bit = jnp.where(i < 32, iu, iu - 32)
-    return ((word >> bit) & 1) == 1
+    word = word_refs[0][:]
+    for w in range(1, len(word_refs)):
+        word = jnp.where(i >= 32 * w, word_refs[w][:], word)
+    return ((word >> (iu & 31)) & 1) == 1
 
 
 def _to_inc(f_times_f2pi):
@@ -403,13 +434,13 @@ def _pan_gains(i_f, g, carry):
 # sine bank
 # --------------------------------------------------------------------------
 
-def _sine_kernel(B, ng, f2pi, unroll, *refs):
+def _sine_kernel(B, W, ng, f2pi, unroll, *refs):
     """Fused SineVoice: SinWt (u32 phase, table-quantized jnp.sin), EnvAsr,
     equal-power Pan2, stereo mix. refs: ramp groups for freq and amp (``ng``
     tiles each) and the pan group (9-tile ramp group when eventful, 7-tile
     rotation pack otherwise), then stage, t, rscale, atk, rel, active,
-    restart_lo/hi, release_lo/hi, phase; outs: partial mix [1, B, 2, LANES],
-    stage, t, rscale, phase."""
+    W restart words, W release words, phase; outs: partial mix
+    [1, B, 2, LANES], stage, t, rscale, phase."""
     np_ = N_EVENTFUL if ng == N_EVENTFUL else N_PAN_FAST
     trig_free = ng == N_FAST
     FREQ = refs[0:ng]
@@ -421,10 +452,12 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
          outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
             refs[2 * ng + np_:]
     else:
-        (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
-         rlo_ref, rhi_ref, qlo_ref, qhi_ref, phase_ref,
-         outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
-            refs[2 * ng + np_:]
+        base = refs[2 * ng + np_:]
+        (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref) = base[:6]
+        r_words = base[6:6 + W]
+        q_words = base[6 + W:6 + 2 * W]
+        (phase_ref, outl_ref, outr_ref, stage_out, t_out, rscale_out,
+         phase_out) = base[6 + 2 * W:]
 
     def body(i, carry):
         phase, stage, t, rscale, pan_c = carry
@@ -435,8 +468,8 @@ def _sine_kernel(B, ng, f2pi, unroll, *refs):
             )
             gain = env * _mat(i_f, AMP)
         else:
-            restart = _trig_bit(i, rlo_ref, rhi_ref)
-            release = _trig_bit(i, qlo_ref, qhi_ref)
+            restart = _trig_bit(i, r_words)
+            release = _trig_bit(i, q_words)
             env, stage, t_next, rscale = _env_asr(
                 stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
             )
@@ -474,6 +507,9 @@ class PallasSineVoiceBank(VoiceBank):
     # (param, voice) slot: same-block bursts are exact up to that depth
     # (deeper bursts keep their last kernel_burst_depth events)
     kernel_burst_depth = 3
+    # superblocked programs may drive the kernel at k*B samples up to
+    # this cap (compile.superblock_eligible honors it)
+    superblock_cap = MAX_BLOCK
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.1, tile_rows: int = 128):
@@ -503,8 +539,7 @@ class PallasSineVoiceBank(VoiceBank):
         )
 
     def init(self, ctx: AudioCtx):
-        if ctx.block_size > 64:
-            raise ValueError("PallasSineVoiceBank supports block_size <= 64")
+        _check_block(ctx, "PallasSineVoiceBank")
         base = super().init(ctx)
         R = self.n_voices // LANES
         base["phase"] = jnp.zeros((R, LANES), jnp.uint32)
@@ -537,24 +572,25 @@ class PallasSineVoiceBank(VoiceBank):
             extras = (state["stage"], state["t"], state["rscale"], atk, rel,
                       state["phase"])
         else:
-            restart_lo, restart_hi = (
+            restart_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            )
-            release_lo, release_hi = (
+            ]
+            release_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_release"))
-            )
+            ]
             extras = (state["stage"], state["t"], state["rscale"], atk, rel,
-                      act, restart_lo, restart_hi, release_lo, release_hi,
-                      state["phase"])
+                      act, *restart_w, *release_w, state["phase"])
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         # tests run on CPU: use the pallas interpreter there
         interpret = jax.devices()[0].platform == "cpu"
+        W = (B + 31) // 32
         outs = pl.pallas_call(
-            functools.partial(_sine_kernel, B, ng, f2pi, not interpret),
+            functools.partial(_sine_kernel, B, W, ng, f2pi,
+                              _unroll(B, interpret)),
             grid=(n_tiles,),
             in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
@@ -595,7 +631,7 @@ class PallasSineVoiceBank(VoiceBank):
 # FM bank
 # --------------------------------------------------------------------------
 
-def _fm_kernel(B, ng, f2pi, unroll, *refs):
+def _fm_kernel(B, W, ng, f2pi, unroll, *refs):
     """2-op FM voice (models.FMVoice): per-sample modulator AND carrier u32
     phases (the modulator's frequency is freq*ratio of the materialized
     per-sample params; the carrier's instantaneous frequency is audio-rate
@@ -609,9 +645,11 @@ def _fm_kernel(B, ng, f2pi, unroll, *refs):
         (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref,
          out_ref, phm_out, phc_out, stage_out, t_out) = refs[4 * ng:]
     else:
-        (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref, act_ref,
-         rlo_ref, rhi_ref,
-         out_ref, phm_out, phc_out, stage_out, t_out) = refs[4 * ng:]
+        base = refs[4 * ng:]
+        (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref,
+         act_ref) = base[:7]
+        r_words = base[7:7 + W]
+        (out_ref, phm_out, phc_out, stage_out, t_out) = base[7 + W:]
     one = np.float32(1.0)
 
     def body(i, carry):
@@ -621,7 +659,7 @@ def _fm_kernel(B, ng, f2pi, unroll, *refs):
             env, stage, t_next = _env_ar_free(stage, t, atk_ref[:], rel_ref[:])
             gain = env * _mat(i_f, AMP)
         else:
-            restart = _trig_bit(i, rlo_ref, rhi_ref)
+            restart = _trig_bit(i, r_words)
             env, stage, t_next = _env_ar(stage, t, restart,
                                          atk_ref[:], rel_ref[:])
             gain = env * _mat(i_f, AMP) * act_ref[:]
@@ -654,6 +692,9 @@ class PallasFMVoiceBank(VoiceBank):
     # (param, voice) slot: same-block bursts are exact up to that depth
     # (deeper bursts keep their last kernel_burst_depth events)
     kernel_burst_depth = 3
+    # superblocked programs may drive the kernel at k*B samples up to
+    # this cap (compile.superblock_eligible honors it)
+    superblock_cap = MAX_BLOCK
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.005, release: float = 0.3,
@@ -684,8 +725,7 @@ class PallasFMVoiceBank(VoiceBank):
         )
 
     def init(self, ctx: AudioCtx):
-        if ctx.block_size > 64:
-            raise ValueError("PallasFMVoiceBank supports block_size <= 64")
+        _check_block(ctx, "PallasFMVoiceBank")
         base = super().init(ctx)
         R = self.n_voices // LANES
         base["phm"] = jnp.zeros((R, LANES), jnp.uint32)
@@ -713,18 +753,20 @@ class PallasFMVoiceBank(VoiceBank):
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
                       atk, rel)
         else:
-            r_lo, r_hi = (
+            restart_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            )
+            ]
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
-                      atk, rel, act, r_lo, r_hi)
+                      atk, rel, act, *restart_w)
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
+        W = (B + 31) // 32
         outs = pl.pallas_call(
-            functools.partial(_fm_kernel, B, ng, f2pi, not interpret),
+            functools.partial(_fm_kernel, B, W, ng, f2pi,
+                              _unroll(B, interpret)),
             grid=(n_tiles,),
             in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
@@ -759,7 +801,7 @@ class PallasFMVoiceBank(VoiceBank):
 # subtractive bank
 # --------------------------------------------------------------------------
 
-def _sub_kernel(B, ng, inv_sr, unroll, *refs):
+def _sub_kernel(B, W, ng, inv_sr, unroll, *refs):
     """Subtractive voice: polyBLEP saw -> SVF lowpass -> ASR envelope.
 
     Per-sample parity with the vmap path: dt = freq/sr from the materialized
@@ -777,11 +819,13 @@ def _sub_kernel(B, ng, inv_sr, unroll, *refs):
          out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
             refs[4 * ng:]
     else:
+        base = refs[4 * ng:]
         (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
-         atk_ref, rel_ref, act_ref,
-         rlo_ref, rhi_ref, qlo_ref, qhi_ref,
-         out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
-            refs[4 * ng:]
+         atk_ref, rel_ref, act_ref) = base[:9]
+        r_words = base[9:9 + W]
+        q_words = base[9 + W:9 + 2 * W]
+        (out_ref, t_out, ic1_out, ic2_out, stage_out, et_out,
+         rscale_out) = base[9 + 2 * W:]
     one = np.float32(1.0)
     zero = np.float32(0.0)
     two = np.float32(2.0)
@@ -803,8 +847,8 @@ def _sub_kernel(B, ng, inv_sr, unroll, *refs):
                 stage, et, rscale, atk_ref[:], rel_ref[:]
             )
         else:
-            restart = _trig_bit(i, rlo_ref, rhi_ref)
-            release = _trig_bit(i, qlo_ref, qhi_ref)
+            restart = _trig_bit(i, r_words)
+            release = _trig_bit(i, q_words)
             env, stage, et_next, rscale = _env_asr(
                 stage, et, rscale, restart, release, atk_ref[:], rel_ref[:]
             )
@@ -859,6 +903,9 @@ class PallasSubtractiveVoiceBank(VoiceBank):
     # (param, voice) slot: same-block bursts are exact up to that depth
     # (deeper bursts keep their last kernel_burst_depth events)
     kernel_burst_depth = 3
+    # superblocked programs may drive the kernel at k*B samples up to
+    # this cap (compile.superblock_eligible honors it)
+    superblock_cap = MAX_BLOCK
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.2,
@@ -889,8 +936,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         )
 
     def init(self, ctx: AudioCtx):
-        if ctx.block_size > 64:
-            raise ValueError("PallasSubtractiveVoiceBank supports block_size <= 64")
+        _check_block(ctx, "PallasSubtractiveVoiceBank")
         base = super().init(ctx)
         R = self.n_voices // LANES
         z = lambda: jnp.zeros((R, LANES), ctx.dtype)
@@ -921,23 +967,25 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"], atk, rel)
         else:
-            r_lo, r_hi = (
+            restart_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            )
-            rel_lo, rel_hi = (
+            ]
+            release_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_release"))
-            )
+            ]
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"],
-                      atk, rel, act, r_lo, r_hi, rel_lo, rel_hi)
+                      atk, rel, act, *restart_w, *release_w)
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         interpret = jax.devices()[0].platform == "cpu"
+        W = (B + 31) // 32
         outs = pl.pallas_call(
-            functools.partial(_sub_kernel, B, ng, inv_sr, not interpret),
+            functools.partial(_sub_kernel, B, W, ng, inv_sr,
+                              _unroll(B, interpret)),
             grid=(n_tiles,),
             in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
             out_shape=(
@@ -975,7 +1023,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 # additive wavetable bank
 # --------------------------------------------------------------------------
 
-def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
+def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
     """Additive wavetable voice (models.AdditiveVoice): H partials per voice
     by phasor recurrence from the per-sample full-resolution fundamental
     angle, per-sample Nyquist masking, ASR envelope, equal-power pan, stereo
@@ -991,10 +1039,13 @@ def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
          outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
             refs[2 * ng + np_:]
     else:
-        (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref,
-         rlo_ref, rhi_ref, qlo_ref, qhi_ref,
-         outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
-            refs[2 * ng + np_:]
+        base = refs[2 * ng + np_:]
+        (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref,
+         act_ref) = base[:7]
+        r_words = base[7:7 + W]
+        q_words = base[7 + W:7 + 2 * W]
+        (outl_ref, outr_ref, phase_out, stage_out, t_out,
+         rscale_out) = base[7 + 2 * W:]
     H = len(acoef)
     zero = np.float32(0.0)
 
@@ -1006,8 +1057,8 @@ def _wt_kernel(B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
                 stage, t, rscale, atk_ref[:], rel_ref[:]
             )
         else:
-            restart = _trig_bit(i, rlo_ref, rhi_ref)
-            release = _trig_bit(i, qlo_ref, qhi_ref)
+            restart = _trig_bit(i, r_words)
+            release = _trig_bit(i, q_words)
             env, stage, t_next, rscale = _env_asr(
                 stage, t, rscale, restart, release, atk_ref[:], rel_ref[:]
             )
@@ -1068,6 +1119,9 @@ class PallasWavetableVoiceBank(VoiceBank):
     # (param, voice) slot: same-block bursts are exact up to that depth
     # (deeper bursts keep their last kernel_burst_depth events)
     kernel_burst_depth = 3
+    # superblocked programs may drive the kernel at k*B samples up to
+    # this cap (compile.superblock_eligible honors it)
+    superblock_cap = MAX_BLOCK
 
     def __init__(self, n_voices: int, table=None, harmonics=None,
                  n_harmonics: int = 16, voice_defaults=None,
@@ -1108,8 +1162,7 @@ class PallasWavetableVoiceBank(VoiceBank):
         )
 
     def init(self, ctx: AudioCtx):
-        if ctx.block_size > 64:
-            raise ValueError("PallasWavetableVoiceBank supports block_size <= 64")
+        _check_block(ctx, "PallasWavetableVoiceBank")
         base = super().init(ctx)
         R = self.n_voices // LANES
         base["phase"] = jnp.zeros((R, LANES), jnp.uint32)
@@ -1141,17 +1194,17 @@ class PallasWavetableVoiceBank(VoiceBank):
             extras = (state["phase"], state["stage"], state["t"],
                       state["rscale"], atk, rel)
         else:
-            restart_lo, restart_hi = (
+            restart_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            )
-            release_lo, release_hi = (
+            ]
+            release_w = [
                 _grid2(self, w) for w in
                 self._packed_trigs(ctx, events, self.trig_index("t_release"))
-            )
+            ]
             extras = (state["phase"], state["stage"], state["t"],
                       state["rscale"], atk, rel, act,
-                      restart_lo, restart_hi, release_lo, release_hi)
+                      *restart_w, *release_w)
 
         # per-harmonic A/B constants: table phases folded into static coeffs
         # (partial_h = A_h*sin(h*theta) + B_h*cos(h*theta))
@@ -1166,7 +1219,7 @@ class PallasWavetableVoiceBank(VoiceBank):
         interpret = jax.devices()[0].platform == "cpu"
         outs = pl.pallas_call(
             functools.partial(
-                _wt_kernel, B, ng, f2pi, acoef, bcoef,
+                _wt_kernel, B, (B + 31) // 32, ng, f2pi, acoef, bcoef,
                 float(ctx.sample_rate / 2.0), False,
             ),
             grid=(n_tiles,),

@@ -274,15 +274,17 @@ class VoiceBank(UGen):
 
     # -------------------------------------------------------------- process
     def _packed_trigs(self, ctx: AudioCtx, events, trig_idx: int):
-        """Sample-accurate triggers as two u32 bitmask words per voice
-        (what the Pallas kernels consume), built directly from the event
-        tensor — O(E) instead of materializing the [V, B] boolean plane.
-        Host dedup guarantees one event per (frame, param, voice), so a
-        scatter-add of single bits cannot collide."""
+        """Sample-accurate triggers as ``ceil(B/32)`` u32 bitmask words per
+        voice (what the Pallas kernels consume), built directly from the
+        event tensor — O(E) instead of materializing the [V, B] boolean
+        plane. Word w holds frames [32w, 32w+32). Host dedup guarantees one
+        event per (frame, param, voice), so a scatter-add of single bits
+        cannot collide."""
         V = self.n_voices
+        W = (ctx.block_size + 31) // 32
         if events is None:
             z = jnp.zeros((V,), jnp.uint32)
-            return z, z
+            return (z,) * W
         voice = events["voice"]
         kind = events["kind"]
         param = events["param"]
@@ -290,12 +292,12 @@ class VoiceBank(UGen):
         sel = (voice >= 0) & (kind == 1) & (param == trig_idx)
         v_sel = jnp.where(sel, voice, V)
         bit = jnp.asarray(1, jnp.uint32) << (frame.astype(jnp.uint32) & 31)
-        lo_bit = jnp.where(frame < 32, bit, 0)
-        hi_bit = jnp.where(frame >= 32, bit, 0)
+        word_idx = frame >> 5
         z = jnp.zeros((V + 1,), jnp.uint32)
-        lo = z.at[v_sel].add(lo_bit)[:V]
-        hi = z.at[v_sel].add(hi_bit)[:V]
-        return lo, hi
+        return tuple(
+            z.at[v_sel].add(jnp.where(word_idx == w, bit, 0))[:V]
+            for w in range(W)
+        )
 
     def _apply_events(self, ctx: AudioCtx, state, events, trig_tensor=True):
         """Apply the bank event channel: returns (fstate, ivals, active,

@@ -174,28 +174,35 @@ def test_evchunk_program_matches_per_block():
     assert p1.compiled.evchunk_fns, "evchunk program was not built"
 
 
-def test_evchunk_scan_tail_for_ineligible_graphs():
-    """Superblock-ineligible graphs (e.g. Pallas banks, which cap the block
-    size) still get the one-dispatch eventful-chunk program: its tail is an
-    in-program scan of the fast block program."""
+def _bank_build(gg):
     from knaster_tpu import PallasSineVoiceBank
-    from knaster_tpu.graph.compile import get_evchunk_fn, superblock_eligible
 
-    def build(gg):
-        bank = gg.push(PallasSineVoiceBank(
-            128, tile_rows=1, event_capacity=256,
-            voice_defaults={"freq": np.linspace(100, 900, 128).astype(np.float32),
-                            "amp": np.full(128, 0.01, np.float32)}))
-        bank.to_graph_out()
-        return bank
+    bank = gg.push(PallasSineVoiceBank(
+        128, tile_rows=1, event_capacity=256,
+        voice_defaults={"freq": np.linspace(100, 900, 128).astype(np.float32),
+                        "amp": np.full(128, 0.01, np.float32)}))
+    bank.to_graph_out()
+    return bank
+
+
+def test_evchunk_scan_tail_beyond_bank_cap():
+    """Graphs whose superblock length is capped (the Pallas banks' kernel
+    MAX_BLOCK ceiling) still get the one-dispatch eventful-chunk program at
+    chunk sizes beyond the cap: its tail is an in-program scan of the fast
+    block program."""
+    from knaster_tpu.graph.compile import get_evchunk_fn, superblock_eligible
+    from knaster_tpu.parallel.pallas_bank import MAX_BLOCK
 
     opts = AudioProcessorOptions(block_size=64)
     g1, p1 = AudioProcessor.new(0, 2, opts)
     g2, p2 = AudioProcessor.new(0, 2, opts)
-    b1, b2 = g1.edit(build), g2.edit(build)
+    b1, b2 = g1.edit(_bank_build), g2.edit(_bank_build)
     p1._ensure_compiled()
-    assert not superblock_eligible(p1.compiled)
-    n = 32
+    # bank graphs are superblock-eligible up to the kernel block cap
+    assert superblock_eligible(p1.compiled)
+    assert p1.compiled.superblock_max == MAX_BLOCK
+    n = 32  # (n-1)*64 = 1984 > MAX_BLOCK: the evchunk tail must scan
+    assert get_super_fn(p1.compiled, n) is None
     assert get_evchunk_fn(p1.compiled, n) is not None  # warm the fused path
     for b in (b1, b2):
         for v in range(0, 128, 2):
@@ -205,3 +212,26 @@ def test_evchunk_scan_tail_for_ineligible_graphs():
     assert np.abs(b).max() > 1e-3
     np.testing.assert_allclose(a, b, atol=1e-5)
     assert p1.compiled.evchunk_fns
+
+
+def test_bank_superblock_within_cap_matches_per_block():
+    """Within the kernel cap a Pallas-bank graph renders event-free runs as
+    one multi-block kernel launch; output matches the strict per-block path
+    (sample-accurate triggers land in block 0, then 8-block superblocks)."""
+    opts = AudioProcessorOptions(block_size=64)
+    g1, p1 = AudioProcessor.new(0, 2, opts)
+    g2, p2 = AudioProcessor.new(0, 2, opts)
+    b1, b2 = g1.edit(_bank_build), g2.edit(_bank_build)
+    p1._ensure_compiled()
+    assert get_super_fn(p1.compiled, 8) is not None
+    for b in (b1, b2):
+        for v in range(0, 128, 3):
+            b.voice_param("t_restart").trig(v)
+        b.voice_param("t_release").trig_at(5, _samples(700))
+    a = p1.render(frames=8 * 64 * 3)
+    b = p2.render(frames=8 * 64 * 3, check_done_every=1)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert any(
+        isinstance(k, int) and k > 1 for k in p1.compiled.super_fns
+    ), "bank superblock program did not engage"

@@ -887,3 +887,100 @@ def test_sharded_render_is_state_continuous():
     np.testing.assert_allclose(
         np.concatenate([np.asarray(a), b], axis=1), whole, atol=1e-6
     )
+
+
+# --------------------------------------------------------------------------
+# large-block kernels (block sizes beyond 64: ceil(B/32) trigger words)
+# --------------------------------------------------------------------------
+
+def _run_bank_pair_blocks(pb, vb, B, events, blocks=3):
+    """Step both banks over `blocks` blocks (events in block 0), return
+    (pallas_out, vmap_out) concatenated over time."""
+    ctx = AudioCtx(SR, B, np.float32)
+    no_in = np.zeros((0, B), np.float32)
+    sp, sv = pb.init(ctx), vb.init(ctx)
+    outs_p, outs_v = [], []
+    for i in range(blocks):
+        ep = pb.node_events_from_lists(events) if i == 0 else pb.empty_node_events()
+        ev = vb.node_events_from_lists(events) if i == 0 else vb.empty_node_events()
+        sp, op = pb.process(ctx, sp, no_in, {}, events=ep)
+        sv, ov, _ = vb.process(ctx, sv, no_in, {}, events=ev)
+        outs_p.append(np.asarray(op))
+        outs_v.append(np.asarray(ov))
+    return np.concatenate(outs_p, 1), np.concatenate(outs_v, 1)
+
+
+@pytest.mark.parametrize("B", [96, 128, 256])
+def test_pallas_sine_bank_large_blocks(B):
+    """Kernel banks accept any block size: trigger bitmasks generalize to
+    ceil(B/32) words, and events landing in frames >= 64 (the old cap) are
+    sample-accurate."""
+    from knaster_tpu import PallasSineVoiceBank
+
+    V = 256
+    rng = np.random.default_rng(3)
+    d = {"freq": rng.uniform(100, 4000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+    pb = PallasSineVoiceBank(V, voice_defaults=d, tile_rows=1,
+                             event_capacity=1024)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=d, event_capacity=1024)
+    tr, tq = pb.trig_index("t_restart"), pb.trig_index("t_release")
+    events = [(0, v, tr, 1, 0.0) for v in range(0, V, 5)]
+    # frames straddling every word boundary, incl. the last frame
+    events += [(33, 13, tr, 1, 0.0), (70, 5, tq, 1, 0.0),
+               (95, 11, tr, 1, 0.0), (B - 1, 9, tr, 1, 0.0),
+               (90, 7, pb.float_index("freq"), 0, 1234.0)]
+    a, b = _run_bank_pair_blocks(pb, vb, B, events)
+    assert np.abs(b).max() > 1e-4
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pallas_fm_and_sub_and_wt_banks_block_128():
+    """The other three kernel banks at a 2x-superblock-sized block."""
+    from knaster_tpu import (AdditiveVoice, NonAaWavetable, PallasFMVoiceBank,
+                             PallasSubtractiveVoiceBank,
+                             PallasWavetableVoiceBank)
+
+    B, V = 128, 256
+    rng = np.random.default_rng(5)
+
+    d = {"freq": rng.uniform(100, 2000, V).astype(np.float32)}
+    pb = PallasFMVoiceBank(V, voice_defaults=d, tile_rows=1,
+                           event_capacity=1024)
+    vb = VoiceBank(FMVoice(), V, voice_defaults=d, event_capacity=1024)
+    tr = pb.trig_index("t_restart")
+    ev = [(0, v, tr, 1, 0.0) for v in range(0, V, 3)] + [(100, 3, tr, 1, 0.0)]
+    a, b = _run_bank_pair_blocks(pb, vb, B, ev)
+    assert np.abs(b).max() > 1e-4
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+    d = {"freq": rng.uniform(60, 800, V).astype(np.float32),
+         "cutoff": rng.uniform(400, 4000, V).astype(np.float32),
+         "amp": np.full(V, 0.05, np.float32)}
+    pb = PallasSubtractiveVoiceBank(V, voice_defaults=d, tile_rows=1,
+                                    event_capacity=1024)
+    vb = VoiceBank(SubtractiveVoice(), V, voice_defaults=d,
+                   event_capacity=1024)
+    tr, tq = pb.trig_index("t_restart"), pb.trig_index("t_release")
+    ev = [(0, v, tr, 1, 0.0) for v in range(0, V, 2)]
+    ev += [(97, 4, tq, 1, 0.0), (110, 8, tr, 1, 0.0)]
+    a, b = _run_bank_pair_blocks(pb, vb, B, ev)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+    nb = NonAaWavetable()
+    nb.add_saw(1, 12, 1.0)
+    d = {"freq": rng.uniform(60, 3000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+    pb = PallasWavetableVoiceBank(V, table=nb.buffer, n_harmonics=12,
+                                  voice_defaults=d, tile_rows=1,
+                                  event_capacity=2048)
+    vb = VoiceBank(AdditiveVoice(table=nb.buffer, n_harmonics=12), V,
+                   voice_defaults=d, event_capacity=2048)
+    ev = [(0, v, pb.trig_index("t_restart"), 1, 0.0) for v in range(0, V, 2)]
+    ev += [(89, 7, pb.trig_index("t_release"), 1, 0.0)]
+    a, b = _run_bank_pair_blocks(pb, vb, B, ev)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
