@@ -124,6 +124,25 @@ class UGen:
     def process(self, ctx: AudioCtx, state, inputs, params):
         raise NotImplementedError
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Optional Mosaic-traceable stage body for the Pallas chain
+        executor (graph/chain_kernel.py), or None (default).
+
+        When a collapsed chain's every unit provides one, the event-free
+        fast program runs the whole stage loop inside ONE Pallas kernel
+        (block rows carried in VMEM) instead of a lax.scan of XLA ops.
+
+        Returns ``fn(inputs, state, params) -> (new_state, out)`` with
+        kernel-shaped values: ``inputs`` [in_ch, B]; ``state`` leaves
+        [1, n] (n = the leaf's flattened per-node size, scalars -> [1, 1]);
+        ``params`` maps each float/int param name to a [1, B] row; ``out``
+        [outputs, B]. The body must be bit-equivalent to ``process`` under
+        the fast program's guarantees (no events: triggers never fire,
+        int-set masks are all-false) and restricted to Mosaic-supported
+        ops (elementwise/VPU math, static shapes, no gathers). Only UGens
+        that never raise done flags may implement it."""
+        return None
+
     # ---- introspection ----------------------------------------------------
     def param_index(self, name_or_idx) -> int:
         if isinstance(name_or_idx, int):

@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from ..core.ugen import AudioCtx, normalize_process_result
+from . import chain_kernel
 from .graph import Done, Graph, GraphError, NodeEntry
 from .handles import K_GRAPH_IN
 from .param_engine import ParamLayout, PEngine, empty_events, init_state as pe_init_state
@@ -1607,6 +1608,35 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                     for (dj, c) in cp.carry_keys
                 }
                 xs = {"st": state["nodes"][ckey], "par": par}
+
+                # event-free fast program: try the single-kernel Pallas
+                # executor (stage loop in VMEM) before the lax.scan one
+                pallas_res = None
+                if fast and chain_kernel.enabled():
+                    ext = {
+                        d: read_source(d[1], d[2], d[3])
+                        for d in chain_kernel.ext_descs(cp)
+                    }
+                    pallas_res = chain_kernel.run(
+                        cp, reps, ctx, xs["st"], par, carry0, ext
+                    )
+                if pallas_res is not None:
+                    st_stack, outs_stack = pallas_res
+                    new_nodes[ckey] = st_stack
+                    chain_out[ckey] = {
+                        j: outs_stack[j] for j in range(p)
+                    }
+                    for k, stage in enumerate(cp.stages):
+                        for j, n in enumerate(stage):
+                            chain_loc[n] = (ckey, k, j)
+                            if n in top_free_parent:
+                                # mosaic_stage implementors never raise done
+                                # flags: the done frame is the B sentinel
+                                free_frames.append(
+                                    jnp.asarray(B, jnp.int32)
+                                )
+                    done_parts.append(jnp.zeros((K * p,), bool))
+                    continue
 
                 def chain_body(carry, x):
                     outs_local: Dict[int, jnp.ndarray] = {}

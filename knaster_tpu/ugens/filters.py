@@ -193,6 +193,27 @@ class _OnePoleBase(UGen):
         y = b1 * y_pre + a0 * x  # state after each step == filter output
         return y, y_final
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the same associative
+        affine scan as ``process`` on the kernel-shaped [1, B] rows, so a
+        serial one-pole chain (test_period1_filter_chain's shape) runs as
+        one Pallas stage loop."""
+        sr = float(ctx.sample_rate)
+
+        def fn(inputs, state, params):
+            x = inputs[0:1]
+            a0, b1 = onepole_lowpass_coeffs(
+                params["cutoff_freq"], jnp.asarray(sr, ctx.dtype), ctx.dtype
+            )
+            y_pre, y_final = affine_scan_1d(b1, a0 * x, state["last"][:, 0])
+            y = b1 * y_pre + a0 * x
+            return {"last": y_final.reshape(1, 1)}, self._mosaic_post(x, y)
+
+        return fn
+
+    def _mosaic_post(self, x, y):
+        return y
+
 
 class OnePoleLpf(_OnePoleBase):
     """One-pole lowpass, 6 dB/oct (onepole.rs:111-141 OnePoleLpf)."""
@@ -216,3 +237,6 @@ class OnePoleHpf(_OnePoleBase):
         x = inputs[0]
         y, y_final = self._lp(ctx, state, x, params["cutoff_freq"])
         return {"last": y_final}, (x - y)[None, :]
+
+    def _mosaic_post(self, x, y):
+        return x - y

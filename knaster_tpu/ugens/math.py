@@ -61,6 +61,16 @@ class MathUGen(UGen):
         c = self.channels
         return state, _BINOPS[self.op](inputs[:c], inputs[c:])
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        if self.op == "pow":
+            return None  # general powf lowering is not guaranteed in Mosaic
+        op, c = _BINOPS[self.op], self.channels
+
+        def fn(inputs, state, params):
+            return state, op(inputs[:c], inputs[c:])
+
+        return fn
+
 
 # free constructor functions (reference knaster/src/math_ugens.rs)
 def mul(channels: int = 1) -> "MathUGen":
@@ -100,3 +110,19 @@ class Math1UGen(UGen):
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         return state, _UNOPS[self.op](inputs)
+
+    # unary ops with known Mosaic lowerings (trunc/fract excluded)
+    _MOSAIC_UNOPS = frozenset(
+        {"ceil", "floor", "sqrt", "exp", "abs", "neg", "log", "sin", "cos",
+         "tanh"}
+    )
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        if self.op not in self._MOSAIC_UNOPS:
+            return None
+        op = _UNOPS[self.op]
+
+        def fn(inputs, state, params):
+            return state, op(inputs)
+
+        return fn

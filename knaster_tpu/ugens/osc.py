@@ -144,6 +144,37 @@ class SinWt(UGen):
             out = jnp.sin(idx.astype(ctx.dtype) * scale)
         return {"phase": carry}, out[None, :]
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the fast program's
+        no-reset path — u32 phase as a log-depth wrapping prefix sum
+        (exact: u32 addition is associative), quantized jnp.sin."""
+        if self.lookup:
+            return None  # table gather: not a Mosaic-supported chain op
+        B = ctx.block_size
+        f2pi = float(TABLE_SIZE) * float(FRACTIONAL_PART) / ctx.sample_rate
+        scale = 2.0 * np.pi / TABLE_SIZE
+
+        def fn(inputs, state, params):
+            inc = _freq_to_inc_u32(params["freq"], f2pi, ctx.dtype)  # [1, B]
+            # inclusive prefix sum by doubling (Hillis-Steele): wrapping
+            # u32 adds make any summation order exact
+            csum = inc
+            s = 1
+            while s < B:
+                csum = csum + jnp.concatenate(
+                    [jnp.zeros((1, s), jnp.uint32), csum[:, : B - s]], axis=1
+                )
+                s *= 2
+            phase0 = state["phase"]  # [1, 1] u32
+            phases = phase0 + (csum - inc)  # exclusive cumsum + carry-in
+            carry = phase0 + csum[:, B - 1 : B]
+            off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
+            idx = ((phases + off) >> 16) & TABLE_HIGH_MASK
+            out = jnp.sin(idx.astype(ctx.dtype) * jnp.asarray(scale, ctx.dtype))
+            return {"phase": carry}, out
+
+        return fn
+
 
 class OscWt(UGen):
     """Arbitrary anti-aliased wavetable oscillator (osc.rs:30-90 OscWt).

@@ -25,6 +25,12 @@ class Constant(UGen):
     def process(self, ctx: AudioCtx, state, inputs, params):
         return state, params["value"][None, :].astype(ctx.dtype)
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        def fn(inputs, state, params):
+            return state, params["value"].astype(ctx.dtype)  # already [1, B]
+
+        return fn
+
 
 class DoneOnTrig(UGen):
     """Sets the done flag when it receives a trigger (reference util.rs:8-34).
