@@ -34,6 +34,44 @@ def affine_scan_1d(a: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray):
     return s_pre, s_after[..., -1]
 
 
+def affine_scan_2x2_rows(m00, m01, m10, m11, c0, c1, s00, s01):
+    """Row-layout variant of :func:`affine_scan_2d` for the Pallas chain
+    kernel (graph/chain_kernel.py): the 2x2 matrix and the 2-vector are
+    passed as six separate ``[..., B]`` rows (time on the last axis) so the
+    whole scan stays on 2D vector tiles — no ``[B, 2, 2]`` intermediates,
+    which Mosaic has no good layout for. The combine uses the same
+    multiply-add order as affine_scan_2d's einsums over the same
+    associative_scan tree; results match it to the ULP (XLA's FMA-fusion
+    choices differ between the two lowerings, measured ~1.2e-7 max).
+
+    s00/s01 broadcast against a row (``[..., 1]``). Returns
+    ``(s_pre0, s_pre1, s_final0, s_final1)`` with s_pre* shaped like m00
+    and s_final* shaped ``[..., 1]``.
+    """
+
+    def combine(l, r):
+        l00, l01, l10, l11, lc0, lc1 = l
+        r00, r01, r10, r11, rc0, rc1 = r
+        return (
+            r00 * l00 + r01 * l10,
+            r00 * l01 + r01 * l11,
+            r10 * l00 + r11 * l10,
+            r10 * l01 + r11 * l11,
+            r00 * lc0 + r01 * lc1 + rc0,
+            r10 * lc0 + r11 * lc1 + rc1,
+        )
+
+    A00, A01, A10, A11, C0, C1 = jax.lax.associative_scan(
+        combine, (m00, m01, m10, m11, c0, c1), axis=-1
+    )
+    s_after0 = A00 * s00 + A01 * s01 + C0
+    s_after1 = A10 * s00 + A11 * s01 + C1
+    ones = jnp.ones_like(s_after0[..., :1])
+    s_pre0 = jnp.concatenate([s00 * ones, s_after0[..., :-1]], axis=-1)
+    s_pre1 = jnp.concatenate([s01 * ones, s_after1[..., :-1]], axis=-1)
+    return s_pre0, s_pre1, s_after0[..., -1:], s_after1[..., -1:]
+
+
 def affine_scan_2d(M: jnp.ndarray, c: jnp.ndarray, s0: jnp.ndarray):
     """2-state linear recurrence ``s[t+1] = M[t] @ s[t] + c[t]``.
 

@@ -22,7 +22,7 @@ import enum
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dsp import affine_scan_1d, affine_scan_2d
+from ..core.dsp import affine_scan_1d, affine_scan_2d, affine_scan_2x2_rows
 from ..core.ugen import AudioCtx, UGen
 from ..primitives.params import ParameterKind, pfloat, pinteger, ptrigger
 
@@ -166,6 +166,35 @@ class SvfFilter(UGen):
         v2 = ic2 + a2 * ic1 + a3 * v3
         y = m0 * x + m1 * v1 + m2 * v2
         return {"ic": s_final}, y[None, :]
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the same cytomic
+        state-space recurrence on row-layout [1, B] tiles via
+        affine_scan_2x2_rows (ULP-matched to affine_scan_2d), so serial EQ
+        stacks of SvfFilters run as one Pallas stage loop. The reference
+        runs the same stack as sequential per-sample loops
+        (svf.rs:270-300)."""
+        sr = float(ctx.sample_rate)
+
+        def fn(inputs, state, params):
+            dtype = ctx.dtype
+            a1, a2, a3, m0, m1, m2 = svf_coefficients(
+                params["filter"], params["cutoff_freq"], params["q"],
+                params["gain"], jnp.asarray(sr, dtype), dtype,
+            )
+            x = inputs[0:1]
+            ic = state["ic"]  # [1, 2]
+            s_pre0, s_pre1, sf0, sf1 = affine_scan_2x2_rows(
+                2.0 * a1 - 1.0, -2.0 * a2, 2.0 * a2, 1.0 - 2.0 * a3,
+                2.0 * a2 * x, 2.0 * a3 * x, ic[:, 0:1], ic[:, 1:2],
+            )
+            v3 = x - s_pre1
+            v1 = a1 * s_pre0 + a2 * v3
+            v2 = s_pre1 + a2 * s_pre0 + a3 * v3
+            y = m0 * x + m1 * v1 + m2 * v2
+            return {"ic": jnp.concatenate([sf0, sf1], axis=1)}, y
+
+        return fn
 
 
 def onepole_lowpass_coeffs(freq, sample_rate, dtype):

@@ -285,3 +285,24 @@ class Phasor(UGen):
         carry = state["phase"] + ecs[B]
         carry = carry - jnp.floor(carry)
         return {"phase": carry}, out[None, :]
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): ``process`` verbatim on
+        the kernel-shaped [1, B] rows (same lax.cumsum over the same length,
+        so bit-equal to the scan executor)."""
+        sr = float(ctx.sample_rate)
+
+        def fn(inputs, state, params):
+            step = params["freq"] / jnp.asarray(sr, ctx.dtype)  # [1, B]
+            B = step.shape[-1]
+            csum = jnp.cumsum(step, axis=-1)
+            ecs = jnp.concatenate(
+                [jnp.zeros((1, 1), ctx.dtype), csum], axis=-1
+            )
+            phases = state["phase"] + ecs[:, :B]  # state["phase"] is [1, 1]
+            out = phases - jnp.floor(phases)
+            carry = state["phase"] + ecs[:, B : B + 1]
+            carry = carry - jnp.floor(carry)
+            return {"phase": carry}, out
+
+        return fn

@@ -167,6 +167,67 @@ def test_period1_onepole_chain_kernel(monkeypatch):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_period1_svf_chain_kernel(monkeypatch):
+    """Serial EQ stacks (noise -> 10 Bell SvfFilters) run in the kernel:
+    the 2x2 state-space scan traces in-kernel via affine_scan_2x2_rows —
+    same tree and multiply-add order as affine_scan_2d, but XLA's FMA
+    fusion choices differ between the two lowerings (ULP-level, measured
+    1.2e-7 on the raw scans), so parity is allclose not array_equal."""
+    from knaster_tpu import SvfFilter, WhiteNoise
+    from knaster_tpu.ugens.filters import SvfFilterType
+
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        node = gg.push(WhiteNoise(seed=11))
+        for i in range(10):
+            f = gg.push(
+                SvfFilter(
+                    SvfFilterType.Bell,
+                    400.0 * (i + 1),
+                    q=1.2,
+                    gain_db=3.0 if i % 2 == 0 else -2.0,
+                )
+            )
+            node.to(f)
+            node = f
+            hs.append(f)
+        node.to_graph_out()
+
+    a, proc = _render("1", builder, 96, monkeypatch, bs=32)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 96, monkeypatch, bs=32)
+    assert np.abs(b).max() > 1e-4
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_phasor_cascade_kernel(monkeypatch):
+    """A Phasor LFO cascade (each phasor's output scales the next one's
+    freq) collapses and runs in the kernel — same lax.cumsum, bit-exact."""
+    from knaster_tpu import Phasor
+
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        prev = None
+        for i in range(12):
+            ph = gg.push(Phasor(0.5 + 0.25 * i))
+            if prev is not None:
+                mod = (prev * 40.0) + 60.0
+                gg.connect_param(gg.handle(mod.channels[0][1]), 0, ph, "freq")
+            prev = ph
+            hs.append(ph)
+        (prev * 0.2).to_graph_out()
+
+    a, proc = _render("1", builder, 96, monkeypatch)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 96, monkeypatch)
+    assert np.abs(b).max() > 1e-4
+    np.testing.assert_array_equal(a, b)
+
+
 def test_superblock_program_uses_kernel_at_multi_block(monkeypatch):
     """The k-block superblock program traces the chain at k*B: the kernel
     builds there too (B is a trace-time constant) and matches per-block."""
