@@ -95,6 +95,11 @@ class UGen:
     # modes that read the previous block's buffer); such nodes exclude their
     # graph from the multi-block superblock fast path (compile.build_super).
     block_invariant: bool = True
+    # True when ``process`` can return a done mask (envelopes, buffer
+    # readers, DoneOnTrig, user closures). The Pallas chain executor
+    # (graph/chain_kernel.py) hard-codes done=all-false, so it refuses any
+    # unit with this set even if it has a mosaic_stage.
+    may_set_done: bool = False
 
     def empty_node_events(self, dtype=np.float32):
         raise NotImplementedError
@@ -140,7 +145,8 @@ class UGen:
         the fast program's guarantees (no events: triggers never fire,
         int-set masks are all-false) and restricted to Mosaic-supported
         ops (elementwise/VPU math, static shapes, no gathers). Only UGens
-        that never raise done flags may implement it."""
+        that never raise done flags may implement it (the chain executor
+        refuses units with ``may_set_done`` set)."""
         return None
 
     # ---- introspection ----------------------------------------------------

@@ -34,17 +34,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_MODE = os.environ.get("KNASTER_CHAIN_PALLAS", "0")
-_UNROLL = int(os.environ.get("KNASTER_CHAIN_PALLAS_UNROLL", "8"))
+# when not None, overrides the env var (tests monkeypatch this); the env
+# vars themselves are read per call, not at import — setting them after
+# `import knaster_tpu` works (the JAX_PLATFORMS-after-import trap doesn't
+# apply here)
+_MODE: Optional[str] = None
+_UNROLL: Optional[int] = None
+
+
+def _mode() -> str:
+    if _MODE is not None:
+        return _MODE
+    return os.environ.get("KNASTER_CHAIN_PALLAS", "0")
+
+
+def _unroll() -> int:
+    if _UNROLL is not None:
+        return _UNROLL
+    return int(os.environ.get("KNASTER_CHAIN_PALLAS_UNROLL", "8"))
 # whole-kernel operand budget: stacked params + states + per-stage outputs
 # must fit VMEM comfortably (16M on v5e; leave headroom for Mosaic's stack)
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def enabled() -> bool:
-    if _MODE == "0":
+    mode = _mode()
+    if mode == "0":
         return False
-    if _MODE == "auto":
+    if mode == "auto":
         return jax.devices()[0].platform != "cpu"
     return True
 
@@ -65,7 +82,38 @@ def ext_descs(cp) -> List[Tuple]:
     return list(seen)
 
 
-def run(cp, reps, ctx, state_stack, par, carry0, ext_rows):
+def needed_outputs(cg, cp) -> set:
+    """The (stage-offset j, channel c) pairs of a chain plan that anything
+    OUTSIDE the chain reads — graph outputs, feedback taps, param edges, or
+    other nodes' inputs. The scan executor stacks every stage output and
+    lets XLA dead-code-eliminate the unread ones; a pallas_call's outputs
+    are opaque to XLA, so the kernel only materializes these planes (the
+    rest never leave VMEM registers and don't count against the budget)."""
+    members = {
+        n: j for stage in cp.stages for j, n in enumerate(stage)
+    }
+    needed = set()
+    for nid, per_ch in cg.resolved_in.items():
+        if nid in members:
+            continue  # intra-chain reads are rel/carry, never planes
+        for ch_srcs in per_ch:
+            for (kind, s, c) in ch_srcs:
+                if kind == "node" and s in members:
+                    needed.add((members[s], c))
+    for (dst, _pidx), (src, ch) in cg.resolved_param_edges.items():
+        if dst not in members and src in members:
+            needed.add((members[src], ch))
+    for (s, c) in cg.fb_sources:
+        if s in members:
+            needed.add((members[s], c))
+    for srcs in cg.resolved_out:
+        for (kind, s, c) in srcs:
+            if kind == "node" and s in members:
+                needed.add((members[s], c))
+    return needed
+
+
+def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
     """Execute the chain plan as one Pallas kernel.
 
     state_stack: {"j{j}": leaf pytree stacked [K, ...]}; par: {"j{j}":
@@ -83,6 +131,11 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows):
     K, p, B = len(cp.stages), cp.period, ctx.block_size
     fns = []
     for rep in reps:
+        # structural guard for the documented convention: the kernel emits
+        # done=all-false, so done-capable UGens must never enter it even if
+        # someone gives one a mosaic_stage
+        if getattr(rep, "may_set_done", False):
+            return None
         fn = rep.mosaic_stage(ctx)
         if fn is None:
             return None
@@ -130,8 +183,15 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows):
         out_shapes.append(jax.ShapeDtypeStruct(shape, dtype))
         return len(out_shapes) - 1
 
+    # out planes only for externally-read channels (None ⇒ nothing outside
+    # the chain reads it: skip the store, return zeros — XLA folds them)
     out_entries = [
-        [add_out((K, B), ctx.dtype) for _c in range(reps[j].outputs)]
+        [
+            add_out((K, B), ctx.dtype)
+            if needed is None or (j, c) in needed
+            else None
+            for c in range(reps[j].outputs)
+        ]
         for j in range(p)
     ]
     state_out_entries = [
@@ -196,7 +256,8 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows):
                 new_st, out = fns[j](inp, st, prm)
                 outs_local[j] = out
                 for c, oi in enumerate(out_entries[j]):
-                    out_refs[oi][pl.ds(k, 1), :] = out[c : c + 1, :]
+                    if oi is not None:
+                        out_refs[oi][pl.ds(k, 1), :] = out[c : c + 1, :]
                 for (oi, leaf) in zip(
                     state_out_entries[j], jax.tree_util.tree_leaves(new_st)
                 ):
@@ -206,7 +267,7 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows):
             )
 
         carry0_vals = tuple(refs[i][:] for i in carry_idx)
-        jax.lax.fori_loop(0, K, body, carry0_vals, unroll=min(_UNROLL, K))
+        jax.lax.fori_loop(0, K, body, carry0_vals, unroll=min(_unroll(), K))
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     results = pl.pallas_call(
@@ -217,10 +278,22 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows):
         interpret=interpret,
     )(*operands)
 
-    outs = {
-        j: jnp.stack([results[oi] for oi in out_entries[j]], axis=1)
-        for j in range(p)
-    }
+    zero_plane = None
+    outs = {}
+    for j in range(p):
+        planes = []
+        for oi in out_entries[j]:
+            if oi is None:
+                if zero_plane is None:
+                    zero_plane = jnp.zeros((K, B), ctx.dtype)
+                planes.append(zero_plane)
+            else:
+                planes.append(results[oi])
+        outs[j] = (
+            jnp.stack(planes, axis=1)
+            if planes
+            else jnp.zeros((K, 0, B), ctx.dtype)
+        )
     new_state_stack = {}
     for j, (treedef, items) in enumerate(state_entries):
         leaves = [

@@ -1618,7 +1618,8 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                         for d in chain_kernel.ext_descs(cp)
                     }
                     pallas_res = chain_kernel.run(
-                        cp, reps, ctx, xs["st"], par, carry0, ext
+                        cp, reps, ctx, xs["st"], par, carry0, ext,
+                        needed=chain_kernel.needed_outputs(cg, cp),
                     )
                 if pallas_res is not None:
                     st_stack, outs_stack = pallas_res

@@ -123,15 +123,16 @@ def _mat(i_f, g):
     return jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
 
 
-def _trig_bit(i, word_refs):
-    """Sample i's trigger bit from the packed per-voice u32 words
-    (``ceil(B/32)`` words; word w holds frames [32w, 32w+32)). The kernels
-    unroll the sample loop on hardware, so ``i`` is a compile-time constant
-    there and the word select folds to a single load."""
+def _trig_bit(i, words_ref):
+    """Sample i's trigger bit from the packed per-voice u32 words, ONE ref
+    stacked [W, rows, LANES] (word w holds frames [32w, 32w+32)). One
+    dynamic row slice per sample — O(1) in W, unlike the old W separate
+    refs whose select chain cost W-1 vector selects per sample whenever the
+    loop was only partially unrolled (B > 64). Fully unrolled loops
+    (B <= 64 on hardware) have ``i`` as a compile-time constant, where the
+    slice folds to a static load just like before."""
     iu = i.astype(jnp.uint32)
-    word = word_refs[0][:]
-    for w in range(1, len(word_refs)):
-        word = jnp.where(i >= 32 * w, word_refs[w][:], word)
+    word = words_ref[i >> 5]
     return ((word >> (iu & 31)) & 1) == 1
 
 
@@ -390,6 +391,24 @@ def _grid2(bank, x):
     return x.reshape(bank.n_voices // LANES, LANES)
 
 
+def _grid3(bank, x):
+    """[W, V] stacked trigger words -> [W, rows, LANES]."""
+    return x.reshape(x.shape[0], bank.n_voices // LANES, LANES)
+
+
+def _extra_specs(pl, extras, TR):
+    """BlockSpecs for the extras tuple: [TR, LANES] voice tiles, plus the
+    whole-W window of any [W, rows, LANES] stacked trigger words."""
+    return [
+        pl.BlockSpec((e.shape[0], TR, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM)
+        if e.ndim == 3
+        else pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+        for e in extras
+    ]
+
+
 def _pan_fast_operands(bank, fstate, dtype):
     """Event-free blocks avoid per-sample pan transcendentals: the pan ramp
     is linear, so its equal-power angle is linear too, and cos/sin of a
@@ -454,10 +473,9 @@ def _sine_kernel(B, W, ng, f2pi, unroll, *refs):
     else:
         base = refs[2 * ng + np_:]
         (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, act_ref) = base[:6]
-        r_words = base[6:6 + W]
-        q_words = base[6 + W:6 + 2 * W]
+        r_words, q_words = base[6], base[7]
         (phase_ref, outl_ref, outr_ref, stage_out, t_out, rscale_out,
-         phase_out) = base[6 + 2 * W:]
+         phase_out) = base[8:]
 
     def body(i, carry):
         phase, stage, t, rscale, pan_c = carry
@@ -572,16 +590,16 @@ class PallasSineVoiceBank(VoiceBank):
             extras = (state["stage"], state["t"], state["rscale"], atk, rel,
                       state["phase"])
         else:
-            restart_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            ]
-            release_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_release"))
-            ]
+            restart_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_restart")),
+            )
+            release_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_release")),
+            )
             extras = (state["stage"], state["t"], state["rscale"], atk, rel,
-                      act, *restart_w, *release_w, state["phase"])
+                      act, restart_w, release_w, state["phase"])
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -592,7 +610,7 @@ class PallasSineVoiceBank(VoiceBank):
             functools.partial(_sine_kernel, B, W, ng, f2pi,
                               _unroll(B, interpret)),
             grid=(n_tiles,),
-            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
+            in_specs=_op_specs(pl, ramp_ops, TR) + _extra_specs(pl, extras, TR),
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
@@ -648,8 +666,8 @@ def _fm_kernel(B, W, ng, f2pi, unroll, *refs):
         base = refs[4 * ng:]
         (phm_ref, phc_ref, stage_ref, t_ref, atk_ref, rel_ref,
          act_ref) = base[:7]
-        r_words = base[7:7 + W]
-        (out_ref, phm_out, phc_out, stage_out, t_out) = base[7 + W:]
+        r_words = base[7]
+        (out_ref, phm_out, phc_out, stage_out, t_out) = base[8:]
     one = np.float32(1.0)
 
     def body(i, carry):
@@ -753,12 +771,12 @@ class PallasFMVoiceBank(VoiceBank):
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
                       atk, rel)
         else:
-            restart_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            ]
+            restart_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_restart")),
+            )
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
-                      atk, rel, act, *restart_w)
+                      atk, rel, act, restart_w)
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -768,7 +786,7 @@ class PallasFMVoiceBank(VoiceBank):
             functools.partial(_fm_kernel, B, W, ng, f2pi,
                               _unroll(B, interpret)),
             grid=(n_tiles,),
-            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
+            in_specs=_op_specs(pl, ramp_ops, TR) + _extra_specs(pl, extras, TR),
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
@@ -822,10 +840,9 @@ def _sub_kernel(B, W, ng, inv_sr, unroll, *refs):
         base = refs[4 * ng:]
         (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
          atk_ref, rel_ref, act_ref) = base[:9]
-        r_words = base[9:9 + W]
-        q_words = base[9 + W:9 + 2 * W]
+        r_words, q_words = base[9], base[10]
         (out_ref, t_out, ic1_out, ic2_out, stage_out, et_out,
-         rscale_out) = base[9 + 2 * W:]
+         rscale_out) = base[11:]
     one = np.float32(1.0)
     zero = np.float32(0.0)
     two = np.float32(2.0)
@@ -967,17 +984,17 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"], atk, rel)
         else:
-            restart_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            ]
-            release_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_release"))
-            ]
+            restart_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_restart")),
+            )
+            release_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_release")),
+            )
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"],
-                      atk, rel, act, *restart_w, *release_w)
+                      atk, rel, act, restart_w, release_w)
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -987,7 +1004,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             functools.partial(_sub_kernel, B, W, ng, inv_sr,
                               _unroll(B, interpret)),
             grid=(n_tiles,),
-            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
+            in_specs=_op_specs(pl, ramp_ops, TR) + _extra_specs(pl, extras, TR),
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((R, LANES), dtype),
@@ -1042,10 +1059,9 @@ def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
         base = refs[2 * ng + np_:]
         (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref,
          act_ref) = base[:7]
-        r_words = base[7:7 + W]
-        q_words = base[7 + W:7 + 2 * W]
+        r_words, q_words = base[7], base[8]
         (outl_ref, outr_ref, phase_out, stage_out, t_out,
-         rscale_out) = base[7 + 2 * W:]
+         rscale_out) = base[9:]
     H = len(acoef)
     zero = np.float32(0.0)
 
@@ -1194,17 +1210,17 @@ class PallasWavetableVoiceBank(VoiceBank):
             extras = (state["phase"], state["stage"], state["t"],
                       state["rscale"], atk, rel)
         else:
-            restart_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_restart"))
-            ]
-            release_w = [
-                _grid2(self, w) for w in
-                self._packed_trigs(ctx, events, self.trig_index("t_release"))
-            ]
+            restart_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_restart")),
+            )
+            release_w = _grid3(
+                self,
+                self._packed_trigs(ctx, events, self.trig_index("t_release")),
+            )
             extras = (state["phase"], state["stage"], state["t"],
                       state["rscale"], atk, rel, act,
-                      *restart_w, *release_w)
+                      restart_w, release_w)
 
         # per-harmonic A/B constants: table phases folded into static coeffs
         # (partial_h = A_h*sin(h*theta) + B_h*cos(h*theta))
@@ -1223,7 +1239,7 @@ class PallasWavetableVoiceBank(VoiceBank):
                 float(ctx.sample_rate / 2.0), False,
             ),
             grid=(n_tiles,),
-            in_specs=_op_specs(pl, ramp_ops, TR) + [tile() for _ in extras],
+            in_specs=_op_specs(pl, ramp_ops, TR) + _extra_specs(pl, extras, TR),
             out_shape=(
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
                 jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),

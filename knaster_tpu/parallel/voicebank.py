@@ -275,16 +275,16 @@ class VoiceBank(UGen):
     # -------------------------------------------------------------- process
     def _packed_trigs(self, ctx: AudioCtx, events, trig_idx: int):
         """Sample-accurate triggers as ``ceil(B/32)`` u32 bitmask words per
-        voice (what the Pallas kernels consume), built directly from the
-        event tensor — O(E) instead of materializing the [V, B] boolean
-        plane. Word w holds frames [32w, 32w+32). Host dedup guarantees one
-        event per (frame, param, voice), so a scatter-add of single bits
-        cannot collide."""
+        voice, stacked ``[W, V]`` (what the Pallas kernels consume — one
+        dynamic row slice per sample, see pallas_bank._trig_bit), built
+        directly from the event tensor — O(E) instead of materializing the
+        [V, B] boolean plane. Word w holds frames [32w, 32w+32). Host dedup
+        guarantees one event per (frame, param, voice), so a scatter-add of
+        single bits cannot collide."""
         V = self.n_voices
         W = (ctx.block_size + 31) // 32
         if events is None:
-            z = jnp.zeros((V,), jnp.uint32)
-            return (z,) * W
+            return jnp.zeros((W, V), jnp.uint32)
         voice = events["voice"]
         kind = events["kind"]
         param = events["param"]
@@ -293,11 +293,8 @@ class VoiceBank(UGen):
         v_sel = jnp.where(sel, voice, V)
         bit = jnp.asarray(1, jnp.uint32) << (frame.astype(jnp.uint32) & 31)
         word_idx = frame >> 5
-        z = jnp.zeros((V + 1,), jnp.uint32)
-        return tuple(
-            z.at[v_sel].add(jnp.where(word_idx == w, bit, 0))[:V]
-            for w in range(W)
-        )
+        z = jnp.zeros((W, V + 1), jnp.uint32)
+        return z.at[word_idx, v_sel].add(bit)[:, :V]
 
     def _apply_events(self, ctx: AudioCtx, state, events, trig_tensor=True):
         """Apply the bank event channel: returns (fstate, ivals, active,

@@ -69,6 +69,8 @@ class BufferReader(UGen):
     buffers don't lose precision in f32 (the reference uses an f64 pointer).
     """
 
+    may_set_done = True
+
     params = (
         pfloat("rate", 1.0),
         pbool("looping", False),

@@ -22,6 +22,8 @@ class ClosureUGen(UGen):
     ``fn`` may return ``out``, ``(state, out)`` or ``(state, out, done)``;
     ``inputs`` is ``[inputs, block]``, out must be ``[outputs, block]``."""
 
+    may_set_done = True
+
     def __init__(
         self,
         fn: Callable,

@@ -43,6 +43,8 @@ class EnvAsr(UGen):
     """Attack-Sustain-Release envelope: linear attack, cubic release
     (envelopes.rs:19-163 EnvAsr). Marks done at the frame the release ends."""
 
+    may_set_done = True
+
     inputs = 0
     outputs = 1
     params = (
@@ -181,6 +183,8 @@ class EnvAsr(UGen):
 
 class EnvAr(UGen):
     """Attack-Release one-shot envelope (envelopes.rs:174-315 EnvAr)."""
+
+    may_set_done = True
 
     inputs = 0
     outputs = 1
@@ -399,6 +403,8 @@ class Envelope(UGen):
     jump_to_segment is a *retrigger* integer param: every set event re-jumps,
     even to the currently-active segment index (reference param_apply runs
     per event, envelopes.rs:488-508)."""
+
+    may_set_done = True
 
     inputs = 0
     outputs = 1

@@ -39,6 +39,8 @@ class DoneOnTrig(UGen):
     more than the current node.
     """
 
+    may_set_done = True
+
     inputs = 0
     outputs = 0
     params = (ptrigger("t_done"),)

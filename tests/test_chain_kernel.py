@@ -139,18 +139,21 @@ def test_unsupported_stage_falls_back_silently(monkeypatch):
 
 
 def test_period1_onepole_chain_kernel(monkeypatch):
-    """Homogeneous period-1 filter chains (noise -> 12 one-poles) run in
-    the kernel too: the per-stage affine scan traces inside the stage
-    loop. Same associative-scan structure -> same arithmetic -> exact."""
+    """Alternating Lpf/Hpf filter chains (noise -> 16 one-poles, 8 units
+    of period 2 — MIN_CHAIN_STAGES) run in the kernel, exercising BOTH
+    one-pole mosaic bodies (OnePoleHpf's x - y post). Same associative-
+    scan structure -> same arithmetic -> exact."""
     from knaster_tpu import OnePoleHpf, OnePoleLpf, WhiteNoise
 
     calls = _spy(monkeypatch)
 
     def builder(gg, hs):
         node = gg.push(WhiteNoise(seed=7))
-        for i in range(12):
+        for i in range(16):
             f = gg.push(
-                (OnePoleLpf if i % 2 == 0 else OnePoleLpf)(2000.0 + 100.0 * i)
+                OnePoleLpf(8000.0 + 100.0 * i)
+                if i % 2 == 0
+                else OnePoleHpf(40.0 + 5.0 * i)
             )
             node.to(f)
             node = f
