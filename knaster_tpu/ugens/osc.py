@@ -258,6 +258,30 @@ class SinNumeric(UGen):
         carry = carry - jnp.floor(carry)
         return {"phase": carry}, out[None, :]
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the fast program's
+        no-resets path (plain lax.cumsum — triggers never fire there) on
+        the kernel-shaped [1, B] rows, bit-equal to ``process``."""
+        sr = float(ctx.sample_rate)
+
+        def fn(inputs, state, params):
+            inc = params["freq"] / jnp.asarray(sr, ctx.dtype)  # [1, B]
+            B = inc.shape[-1]
+            csum = jnp.cumsum(inc.astype(ctx.dtype), axis=-1)
+            ecs = jnp.concatenate(
+                [jnp.zeros((1, 1), ctx.dtype), csum], axis=-1
+            )
+            phases = state["phase"] + ecs[:, :B]  # state["phase"] is [1, 1]
+            out = jnp.sin(
+                (phases + params["phase_offset"])
+                * jnp.asarray(2.0 * np.pi, ctx.dtype)
+            )
+            carry = state["phase"] + ecs[:, B : B + 1]
+            carry = carry - jnp.floor(carry)
+            return {"phase": carry}, out
+
+        return fn
+
 
 class Phasor(UGen):
     """0→1 ramp at a given frequency; aliasing (osc.rs:172-218 Phasor)."""

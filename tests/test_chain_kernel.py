@@ -231,6 +231,32 @@ def test_phasor_cascade_kernel(monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+def test_sin_numeric_cascade_kernel(monkeypatch):
+    """A SinNumeric FM cascade runs in the kernel (the fast program's
+    no-resets plain-cumsum path, traced in-kernel) — bit-exact."""
+    from knaster_tpu import SinNumeric
+
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        prev = None
+        for i in range(12):
+            s = gg.push(SinNumeric(100.0 + 7.0 * i))
+            if prev is not None:
+                mod = (prev * 50.0) + 150.0
+                gg.connect_param(gg.handle(mod.channels[0][1]), 0, s, "freq")
+            prev = s
+            hs.append(s)
+        (prev * 0.1).to_graph_out()
+
+    a, proc = _render("1", builder, 96, monkeypatch)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 96, monkeypatch)
+    assert np.abs(b).max() > 1e-4
+    np.testing.assert_array_equal(a, b)
+
+
 def test_superblock_program_uses_kernel_at_multi_block(monkeypatch):
     """The k-block superblock program traces the chain at k*B: the kernel
     builds there too (B is a trace-time constant) and matches per-block."""
