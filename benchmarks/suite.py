@@ -592,8 +592,56 @@ def bench_voicebank():
             print(ln)
 
 
+def bench_chain_kernel(n_nodes=256, block_sizes=(16, 64)):
+    """A/B the Pallas chain executor (graph/chain_kernel.py) against the
+    lax.scan executor on the generic fm_cascade graph — the measurement
+    that decides KNASTER_CHAIN_PALLAS's default. Run explicitly:
+    `python benchmarks/suite.py chain_kernel` (not in the default set;
+    the scan leg duplicates fm_cascade's numbers)."""
+    import knaster_tpu.graph.chain_kernel as ck
+    import knaster_tpu.graph.compile as C
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions, SinWt
+
+    def build(gg):
+        prev = None
+        for i in range(n_nodes):
+            s = gg.push(SinWt(100.0 + i))
+            if prev is not None:
+                mod = (prev * 100.0) + 200.0
+                gg.connect_param(gg.handle(mod.channels[0][1]), 0, s, "freq")
+            prev = s
+        (prev * 0.1).to_graph_out()
+
+    for bs in block_sizes:
+        rates = {}
+        try:
+            for mode in ("0", "1"):
+                ck._MODE = mode
+                C.clear_program_cache()
+                g, proc = AudioProcessor.new(
+                    0, 1, AudioProcessorOptions(block_size=bs)
+                )
+                g.edit(build)
+                rates[mode] = _program_rate(proc)
+        finally:
+            ck._MODE = None
+            C.clear_program_cache()
+        emit(
+            {
+                "bench": "chain_kernel_ab",
+                "config": f"{n_nodes}nodes_block{bs}",
+                "value": round(rates["1"]),
+                "unit": "samples/s",
+                "pallas_realtime_x": round(rates["1"] / 48000, 1),
+                "scan_realtime_x": round(rates["0"] / 48000, 1),
+                "speedup": round(rates["1"] / max(rates["0"], 1e-9), 2),
+            }
+        )
+
+
 ALL = {
     "sines_const": bench_sines_const,
+    "chain_kernel": bench_chain_kernel,
     "edit_latency": bench_edit_latency,
     "fm_cascade": bench_fm_cascade,
     "wrappers": bench_wrappers,
