@@ -257,6 +257,35 @@ def test_sin_numeric_cascade_kernel(monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+def _cascade16(gg, hs):
+    build_cascade(gg, 16, hs)
+
+
+def test_done_capable_unit_refused(monkeypatch):
+    """may_set_done structurally bars a unit from the kernel even when it
+    provides a mosaic_stage (the kernel hard-codes done=all-false)."""
+    from knaster_tpu.ugens.osc import SinWt as _S
+
+    calls = _spy(monkeypatch)
+    monkeypatch.setattr(_S, "may_set_done", True, raising=False)
+    a, proc = _render("1", _cascade16, 64, monkeypatch)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["run"] >= 1 and calls["ok"] == 0  # refused -> scan executor
+    assert np.all(np.isfinite(a)) and np.abs(a).max() > 1e-4
+
+
+def test_vmem_budget_overflow_falls_back(monkeypatch):
+    """Plans whose operands exceed the VMEM budget fall back to the scan
+    executor with identical output."""
+    calls = _spy(monkeypatch)
+    monkeypatch.setattr(ck, "_VMEM_BUDGET", 1024)
+    a, proc = _render("1", _cascade16, 64, monkeypatch)
+    assert calls["run"] >= 1 and calls["ok"] == 0
+    monkeypatch.setattr(ck, "_VMEM_BUDGET", 10 * 1024 * 1024)
+    b, _ = _render("0", _cascade16, 64, monkeypatch)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_superblock_program_uses_kernel_at_multi_block(monkeypatch):
     """The k-block superblock program traces the chain at k*B: the kernel
     builds there too (B is a trace-time constant) and matches per-block."""
