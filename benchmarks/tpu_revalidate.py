@@ -1,0 +1,89 @@
+"""Post-outage TPU revalidation — run when the tunnel returns.
+
+One command covers everything that landed while the TPU service was down
+(multi-hour UNAVAILABLE window, round 3):
+
+1. Eventful-bank smoke on hardware: the stacked [W, rows, LANES] trigger
+   words' dynamic row slice (`pallas_bank._trig_bit`) must lower in Mosaic
+   and match the vmap bank at B=64 (fully-unrolled loop) and B=256
+   (partially-unrolled, traced word index).
+2. chain_kernel A/B (`suite.bench_chain_kernel`): the measurement that
+   decides KNASTER_CHAIN_PALLAS's default.
+3. The standard baseline check (`suite --baseline
+   benchmarks/baseline_tpu.json`; unknown benches are skipped by the
+   comparator, so the A/B records don't trip it).
+
+Usage: python benchmarks/tpu_revalidate.py [--skip-baseline]
+"""
+
+import importlib.util
+import sys
+import time
+
+import numpy as np
+
+
+def eventful_bank_smoke():
+    import jax
+
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions, Seconds
+    from knaster_tpu.models.voices import SineVoice
+    from knaster_tpu.parallel import PallasSineVoiceBank, VoiceBank
+
+    print(f"# devices: {jax.devices()}", flush=True)
+    for bs in (64, 256):
+        outs = {}
+        for cls in ("pallas", "vmap"):
+            g, proc = AudioProcessor.new(
+                0, 2, AudioProcessorOptions(block_size=bs)
+            )
+            if cls == "pallas":
+                bank = g.edit(lambda gg: gg.push(
+                    PallasSineVoiceBank(256, attack=0.002, release=0.05)
+                ))
+            else:
+                bank = g.edit(lambda gg: gg.push(
+                    VoiceBank(SineVoice(attack=0.002, release=0.05), 256)
+                ))
+            bank.to_graph_out()
+            g.commit()
+            for v in range(6):
+                bank.voice_param("freq").set(v, 200.0 + 50.0 * v)
+                bank.voice_param("amp").set(v, 0.05)
+                bank.voice_param("t_restart").trig(v)
+            # mid-block triggers exercising every trigger word at this B
+            for w in range(max(bs // 32, 1)):
+                voice = 10 + w
+                bank.voice_param("amp").set(voice, 0.03)
+                bank.voice_param("t_restart").trig_after(
+                    voice, Seconds.from_samples(32 * w + 7, 48000)
+                )
+            t0 = time.time()
+            outs[cls] = np.asarray(proc.render(frames=bs * 8))
+            print(f"# B={bs} {cls}: peak {np.abs(outs[cls]).max():.4f} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        err = float(np.abs(outs["pallas"] - outs["vmap"]).max())
+        print(f"# B={bs} pallas-vs-vmap max err: {err:.2e}", flush=True)
+        assert err < 1e-5, f"eventful bank parity broke on hardware: {err}"
+    print("# eventful-bank smoke OK", flush=True)
+
+
+if __name__ == "__main__":
+    eventful_bank_smoke()
+
+    spec = importlib.util.spec_from_file_location(
+        "suite", "benchmarks/suite.py"
+    )
+    suite = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(suite)
+    suite.bench_chain_kernel()
+    if "--skip-baseline" not in sys.argv:
+        regs = suite.compare_to_baseline(
+            suite.RECORDS, "benchmarks/baseline_tpu.json"
+        )
+        if regs:
+            print("PERF REGRESSIONS:", file=sys.stderr)
+            for r in regs:
+                print("  " + r, file=sys.stderr)
+            sys.exit(1)
+    print("# tpu_revalidate OK", flush=True)
