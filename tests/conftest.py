@@ -33,3 +33,15 @@ if not os.environ.get("KNASTER_TEST_TPU"):
     except Exception:
         pass
     assert jax.devices()[0].platform == "cpu"
+
+    # persistent compilation cache: the suite is dominated by CPU jit
+    # compiles of programs that are identical across runs
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
