@@ -40,15 +40,21 @@ from .scheduling import ScheduledEvent, Time
 
 
 class GraphError(Exception):
-    pass
+    """Base class for control-side graph errors (reference
+    knaster_graph GraphError, graph.rs:533). Raised on the editing
+    thread; the render path itself never throws."""
 
 
 class CircularConnection(GraphError):
-    pass
+    """Connecting here would create a cycle without a feedback edge
+    (reference GraphError::CircularConnection). Use ``to_feedback`` for
+    intentional loops — it inserts the one-block feedback delay."""
 
 
 class NodeFreed(GraphError):
-    pass
+    """A handle's node no longer exists (reference: abandoned-channel
+    detection, handle.rs:56-60). Raised when scheduling on, connecting,
+    or inspecting a freed node."""
 
 
 class Done(enum.Enum):

@@ -22,6 +22,8 @@ _DEFAULT_DTYPE = np.float32
 
 
 def default_dtype():
+    """The engine-wide sample dtype (float32 unless ``enable_f64()``) —
+    the reference's ``F: Float`` genericity as a global config."""
     return _DEFAULT_DTYPE
 
 

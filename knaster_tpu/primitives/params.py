@@ -112,6 +112,8 @@ class Param:
 
 
 def ptrigger(name: Optional[str] = None) -> Param:
+    """Declare a trigger parameter (reference ParameterType::Trigger):
+    fired sample-accurately with ``Parameter.trig*``; carries no value."""
     return Param(name, ptype="trigger")
 
 
@@ -168,6 +170,10 @@ def pfloat(name=None, default: float = _UNSET,
 def pinteger(name=None, default: int = _UNSET, enum: Any = None,
              range: Optional[Tuple[int, int]] = None,
              hint: Optional[IntegerHint] = None, retrigger: bool = False) -> Param:
+    """Declare an integer parameter; ``enum=`` an IntEnum derives hints and
+    value descriptions (the #[derive(KnasterIntegerParameter)] analog).
+    ``retrigger=True`` re-applies repeated same-value sets (Envelope's
+    jump_to_segment semantics)."""
     name, default = _shift_name_default(name, default, 0)
     if enum is not None and not isinstance(default, int):
         default = int(default.value)
@@ -186,6 +192,7 @@ def pinteger(name=None, default: int = _UNSET, enum: Any = None,
 
 
 def pbool(name=None, default: bool = _UNSET) -> Param:
+    """Declare a boolean parameter (reference ParameterType::Bool)."""
     name, default = _shift_name_default(name, default, False)
     return Param(name, ptype="bool", default=int(default))
 
