@@ -98,10 +98,20 @@ def ugen_signature(ugen: Any) -> Optional[Any]:
         except _Unfreezable:
             return None
     try:
+        attrs = dict(vars(ugen))
+        # A pushed node's own param defaults are engine DATA, not trace
+        # config: they seed ParamLayout defaults → param-engine init_state,
+        # and every declared param reaches process() as engine rows. Two
+        # graphs differing only in top-level defaults share one program, so
+        # excluding them turns "push the same voice shape at a new freq"
+        # into a program-cache hit. Nested UGen attributes keep their
+        # pdefaults frozen — composites (e.g. SineVoice's inner EnvAsr) may
+        # read inner defaults at trace time.
+        attrs.pop("pdefaults", None)
         return (
             type(ugen).__module__,
             type(ugen).__qualname__,
-            _freeze(vars(ugen)),
+            _freeze(attrs),
         )
     except _Unfreezable:
         return None

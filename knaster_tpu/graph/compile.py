@@ -215,11 +215,16 @@ class CompiledGraph:
                 fn = fns.get(key)
                 if isinstance(fn, _PendingCarry):
                     fn = None
+            # the fresh default-init state is DATA into the carry, never a
+            # trace constant: carry programs are shared across graphs that
+            # differ only in param defaults / init-derived state values
+            # (the program cache ignores pdefaults, core/signature.py)
+            fresh = self._build_state(None, None)
             if fn is None:
                 pc = prev_compiled
 
-                def carry(p):
-                    return self._build_state(p, pc)
+                def carry(p, f):
+                    return self._build_state(p, pc, fresh=f)
 
                 fn = jax.jit(carry)
                 fns[key] = fn
@@ -228,7 +233,7 @@ class CompiledGraph:
                 while len(fns) > 8:
                     fns.pop(next(iter(fns)))
             try:
-                return fn(prev)
+                return fn(prev, fresh)
             except Exception:
                 # a prewarmed carry is AOT-compiled from default-init
                 # shapes (prewarm_carry); a live state whose shardings
@@ -236,12 +241,12 @@ class CompiledGraph:
                 # baked-in layout — fall back to a retracing jit
                 pc = prev_compiled
 
-                def carry(p):
-                    return self._build_state(p, pc)
+                def carry(p, f):
+                    return self._build_state(p, pc, fresh=f)
 
                 fn = jax.jit(carry)
                 fns[key] = fn
-                return fn(prev)
+                return fn(prev, fresh)
         return self._build_state(prev, prev_compiled)
 
     def prewarm_carry(self, from_compiled: "CompiledGraph") -> bool:
@@ -263,12 +268,15 @@ class CompiledGraph:
         try:
             fc = from_compiled
 
-            def carry(p):
-                return self._build_state(p, fc)
+            def carry(p, f):
+                return self._build_state(p, fc, fresh=f)
 
             shapes = jax.eval_shape(lambda: fc._build_state(None, None))
+            fresh_shapes = jax.eval_shape(
+                lambda: self._build_state(None, None)
+            )
             fn = jax.jit(carry)
-            fns[key] = fn.lower(shapes).compile()
+            fns[key] = fn.lower(shapes, fresh_shapes).compile()
             while len(fns) > 8:
                 fns.pop(next(iter(fns)))
             return True
@@ -308,15 +316,26 @@ class CompiledGraph:
         return (prev_compiled.signature, node_map, pe_map, fb_map)
 
     def _build_state(self, prev: Optional[dict],
-                     prev_compiled: Optional["CompiledGraph"]) -> dict:
+                     prev_compiled: Optional["CompiledGraph"],
+                     fresh: Optional[dict] = None) -> dict:
+        """``fresh``, when given, is this topology's default-init state (from
+        a prior ``_build_state(None, None)``) passed in as runtime DATA — the
+        jitted carry programs use it so node-init values and param defaults
+        never become trace constants (they'd otherwise pin cached carries to
+        one set of defaults)."""
         ctx = self.ctx
+
+        def fresh_node(nid):
+            if fresh is not None:
+                return self._extract_node_state(fresh, nid)
+            return self.entries[nid].ugen.init(ctx)
 
         def node_state(nid):
             if prev is not None and prev_compiled is not None:
                 old = prev_compiled._extract_node_state(prev, nid)
                 if old is not None:
                     return old
-            return self.entries[nid].ugen.init(ctx)
+            return fresh_node(nid)
 
         def _prev_stack_source(loc):
             """(stacked_pytree, row_index) the previous compile stored this
@@ -383,7 +402,11 @@ class CompiledGraph:
                     f"j{j}": stacked_state([s[j] for s in item.stages])
                     for j in range(item.period)
                 }
-        pe = pe_init_state(self.layout, dtype=ctx.dtype)
+        pe = (
+            dict(fresh["pe"])
+            if fresh is not None
+            else pe_init_state(self.layout, dtype=ctx.dtype)
+        )
         if prev is not None and prev_compiled is not None:
             pe = dict(pe)
             old = prev.get("pe", {})

@@ -260,3 +260,42 @@ def test_carry_from_single_slot_into_batch():
     after = proc.compiled._extract_node_state(proc.state, f3.node_id)
     after = {k: float(np.asarray(v)) for k, v in after.items()}
     assert before == after, (before, after)
+
+
+def test_cache_hit_uses_new_push_defaults():
+    """Program-cache hits must NOT resurrect the previous push's param
+    defaults: pdefaults are excluded from the structural signature
+    (core/signature.py), so push/free/push of the same voice shape at a NEW
+    default frequency is a cache hit — and the carry program receives the
+    fresh default-init state as runtime data, not baked trace constants
+    (regression: a cached carry once replayed the earlier 440 Hz default
+    onto a 523 Hz re-push)."""
+    import knaster_tpu.graph.compile as C
+
+    C.clear_program_cache()
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def push(freq):
+        def build(gg):
+            s = gg.push(SinWt(freq))
+            (s * 0.1).to_graph_out()
+            return s
+        return g.edit(build)
+
+    def zc_tail(audio, n):
+        ch = np.asarray(audio)[0][-n:]
+        return int(np.sum((ch[:-1] < 0) & (ch[1:] >= 0)))
+
+    h = push(440.0)
+    assert abs(zc_tail(proc.render(seconds=0.2), 9600) - 88) <= 2
+    n1 = len(C._PROGRAM_CACHE)
+    g.edit(lambda gg: gg.free_node(h))
+    proc.render(frames=32)
+    push(523.25)
+    out = proc.render(seconds=0.2)
+    assert abs(zc_tail(out, 4800) - 52) <= 3, (
+        "re-pushed voice played the previous push's default frequency"
+    )
+    # same shape at a new default: program-cache hit (only the freed
+    # interim topology is a new entry)
+    assert len(C._PROGRAM_CACHE) == n1 + 1
