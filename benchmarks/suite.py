@@ -557,6 +557,19 @@ def bench_edit_latency(n_nodes=256, block_size=16):
         p = edit_to_audible(lambda gg: handles.append(add_sine(gg)))
         cycle.append((f, p))
     hot_free, hot_push = cycle[-1]
+
+    # the many_sines idiom: play a NEW NOTE by pushing the same voice shape
+    # at a fresh default frequency — pdefaults are excluded from the
+    # structural signature, so this must be a cache hit too
+    def new_note(gg):
+        s = gg.push(SinWt(float(100.0 + len(handles))))
+        (s * 0.001).to_graph_out()
+        return s
+
+    edit_to_audible(lambda gg: handles.pop().free())
+    new_default_push = edit_to_audible(
+        lambda gg: handles.append(new_note(gg))
+    )
     emit(
         (
             {
@@ -568,6 +581,7 @@ def bench_edit_latency(n_nodes=256, block_size=16):
                 "first_cycle_ms": [round(x * 1e3, 1) for x in cycle[0]],
                 "cache_hit_free_ms": round(hot_free * 1e3, 2),
                 "cache_hit_push_ms": round(hot_push * 1e3, 2),
+                "new_default_push_ms": round(new_default_push * 1e3, 2),
             }
         )
     )
