@@ -99,15 +99,16 @@ def ugen_signature(ugen: Any) -> Optional[Any]:
             return None
     try:
         attrs = dict(vars(ugen))
-        # A pushed node's own param defaults are engine DATA, not trace
-        # config: they seed ParamLayout defaults → param-engine init_state,
-        # and every declared param reaches process() as engine rows. Two
-        # graphs differing only in top-level defaults share one program, so
-        # excluding them turns "push the same voice shape at a new freq"
-        # into a program-cache hit. Nested UGen attributes keep their
-        # pdefaults frozen — composites (e.g. SineVoice's inner EnvAsr) may
-        # read inner defaults at trace time.
-        attrs.pop("pdefaults", None)
+        # A pushed node's own runtime-data attributes are excluded
+        # (UGen.signature_exclude, default: pdefaults): param defaults seed
+        # ParamLayout → param-engine init_state, and every declared param
+        # reaches process() as engine rows, so two graphs differing only in
+        # them share one program — "push the same voice shape at a new
+        # freq" becomes a program-cache hit. Nested UGen attributes keep
+        # their pdefaults frozen — composites (e.g. SineVoice's inner
+        # EnvAsr) may read inner defaults at trace time.
+        for k in getattr(ugen, "signature_exclude", ("pdefaults",)):
+            attrs.pop(k, None)
         return (
             type(ugen).__module__,
             type(ugen).__qualname__,

@@ -100,6 +100,12 @@ class UGen:
     # (graph/chain_kernel.py) hard-codes done=all-false, so it refuses any
     # unit with this set even if it has a mosaic_stage.
     may_set_done: bool = False
+    # Instance attributes that are runtime DATA, not trace config: excluded
+    # from the structural signature (core/signature.py) so graphs differing
+    # only in them share cached programs. Only safe for values consumed
+    # exclusively as state/parameter data (``init()`` outputs, param-engine
+    # defaults) — anything ``process`` reads at trace time must stay in.
+    signature_exclude: Tuple[str, ...] = ("pdefaults",)
 
     def empty_node_events(self, dtype=np.float32):
         raise NotImplementedError

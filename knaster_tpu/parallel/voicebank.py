@@ -69,6 +69,10 @@ class VoiceBank(UGen):
     # its LAST D events (kernel operands carry D trajectory breakpoints).
     burst_rounds = True
     kernel_burst_depth: Optional[int] = None
+    # voice_defaults arrays are consumed only by init() (per-voice initial
+    # fvals/ivals — state data): banks differing only in their detune
+    # tables share cached programs
+    signature_exclude = ("pdefaults", "voice_defaults")
 
     def __init__(
         self,

@@ -299,3 +299,43 @@ def test_cache_hit_uses_new_push_defaults():
     # same shape at a new default: program-cache hit (only the freed
     # interim topology is a new entry)
     assert len(C._PROGRAM_CACHE) == n1 + 1
+
+
+def test_cache_hit_uses_new_bank_voice_defaults():
+    """voice_defaults arrays are in VoiceBank.signature_exclude: re-pushing
+    a bank with a different detune table is a cache hit AND the new table
+    takes effect (state flows through the carry's fresh-data argument)."""
+    import knaster_tpu.graph.compile as C
+    from knaster_tpu.models.voices import SineVoice
+    from knaster_tpu.parallel import VoiceBank
+
+    C.clear_program_cache()
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def push(freq):
+        def build(gg):
+            b = gg.push(VoiceBank(SineVoice(amp=0.1, attack=0.0), 4,
+                                  voice_defaults={
+                                      "freq": np.full(4, freq, np.float32)
+                                  }))
+            b.to_graph_out()
+            return b
+        return g.edit(build)
+
+    def freq_of(audio, n):
+        ch = np.asarray(audio)[0][-n:]
+        return np.sum((ch[:-1] < 0) & (ch[1:] >= 0)) / (n / 48000.0)
+
+    b = push(440.0)
+    b.voice_param("t_restart").trig(0)
+    assert abs(freq_of(proc.render(seconds=0.2), 4800) - 440) < 15
+    n1 = len(C._PROGRAM_CACHE)
+    g.edit(lambda gg: gg.free_node(b))
+    proc.render(frames=32)
+    b2 = push(660.0)
+    b2.voice_param("t_restart").trig(0)
+    out = proc.render(seconds=0.2)
+    assert abs(freq_of(out, 4800) - 660) < 20, (
+        "re-pushed bank played the previous bank's detune table"
+    )
+    assert len(C._PROGRAM_CACHE) == n1 + 1  # new-table re-push = cache hit
