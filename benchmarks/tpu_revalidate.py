@@ -9,18 +9,23 @@ One command covers everything that landed while the TPU service was down
    (partially-unrolled, traced word index).
 2. chain_kernel A/B (`suite.bench_chain_kernel`): the measurement that
    decides KNASTER_CHAIN_PALLAS's default.
-3. The standard baseline check (`suite --baseline
-   benchmarks/baseline_tpu.json`; unknown benches are skipped by the
-   comparator, so the A/B records don't trip it).
+3. The standard baseline check: the suite's DEFAULT bench set actually
+   runs, then compares against benchmarks/baseline_tpu.json (>10% drops
+   fail; benches absent from the baseline — the A/B records — are
+   skipped by the comparator).
 
 Usage: python benchmarks/tpu_revalidate.py [--skip-baseline]
 """
 
 import importlib.util
+import os
 import sys
 import time
 
 import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_DIR))
 
 
 def eventful_bank_smoke():
@@ -72,14 +77,18 @@ if __name__ == "__main__":
     eventful_bank_smoke()
 
     spec = importlib.util.spec_from_file_location(
-        "suite", "benchmarks/suite.py"
+        "suite", os.path.join(_DIR, "suite.py")
     )
     suite = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(suite)
     suite.bench_chain_kernel()
     if "--skip-baseline" not in sys.argv:
+        # the comparison is only meaningful if the baseline workloads RUN
+        for name in ["sines_const", "wrappers", "galactic", "fm_bank",
+                     "fm_cascade_model", "wavetable_bank"]:
+            suite.ALL[name]()
         regs = suite.compare_to_baseline(
-            suite.RECORDS, "benchmarks/baseline_tpu.json"
+            suite.RECORDS, os.path.join(_DIR, "baseline_tpu.json")
         )
         if regs:
             print("PERF REGRESSIONS:", file=sys.stderr)

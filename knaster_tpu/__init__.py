@@ -46,7 +46,7 @@ from .primitives import (
 from .core.decorator import TRIG, ugen
 from .core.log import ArLogReceiver, ArLogSender, rt_log
 from .core.ugen import AudioCtx, UGen, sample_scan
-from .graph.graph import Done, Graph, GraphError, CircularConnection
+from .graph.graph import Done, Graph, GraphError, CircularConnection, NodeFreed
 from .graph.handles import Handle, Parameter, Source
 from .graph.processor import AudioProcessor, AudioProcessorOptions
 from .graph.scheduling import SchedulingToken, Time
@@ -145,6 +145,7 @@ __all__ = [
     "FloatHint",
     "Graph",
     "GraphError",
+    "NodeFreed",
     "Handle",
     "IntegerHint",
     "LogProbe",

@@ -34,6 +34,11 @@ class _Unfreezable(Exception):
 _SCALARS = (bool, int, float, str, bytes, type(None))
 _MAX_DEPTH = 12
 
+# the one source of truth for which instance attributes are runtime data by
+# default; UGen.signature_exclude references this (core/ugen.py) and
+# subclasses extend it (VoiceBank adds voice_defaults)
+DEFAULT_SIGNATURE_EXCLUDE = ("pdefaults",)
+
 
 def _freeze(v: Any, depth: int = 0) -> Any:
     if depth > _MAX_DEPTH:
@@ -107,7 +112,7 @@ def ugen_signature(ugen: Any) -> Optional[Any]:
         # freq" becomes a program-cache hit. Nested UGen attributes keep
         # their pdefaults frozen — composites (e.g. SineVoice's inner
         # EnvAsr) may read inner defaults at trace time.
-        for k in getattr(ugen, "signature_exclude", ("pdefaults",)):
+        for k in getattr(ugen, "signature_exclude", DEFAULT_SIGNATURE_EXCLUDE):
             attrs.pop(k, None)
         return (
             type(ugen).__module__,

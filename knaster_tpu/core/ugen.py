@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..primitives.params import Param
+from .signature import DEFAULT_SIGNATURE_EXCLUDE
 
 
 @dataclass(frozen=True)
@@ -105,7 +106,7 @@ class UGen:
     # only in them share cached programs. Only safe for values consumed
     # exclusively as state/parameter data (``init()`` outputs, param-engine
     # defaults) — anything ``process`` reads at trace time must stay in.
-    signature_exclude: Tuple[str, ...] = ("pdefaults",)
+    signature_exclude: Tuple[str, ...] = DEFAULT_SIGNATURE_EXCLUDE
 
     def empty_node_events(self, dtype=np.float32):
         raise NotImplementedError

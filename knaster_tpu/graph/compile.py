@@ -218,8 +218,12 @@ class CompiledGraph:
             # the fresh default-init state is DATA into the carry, never a
             # trace constant: carry programs are shared across graphs that
             # differ only in param defaults / init-derived state values
-            # (the program cache ignores pdefaults, core/signature.py)
-            fresh = self._build_state(None, None)
+            # (the program cache ignores pdefaults, core/signature.py).
+            # Only what the carry can't take from prev is built: the pe
+            # default arrays + init states of NEW nodes — not the whole
+            # graph's init pytree (a cache-hit edit on a graph holding a
+            # 100k-voice bank must not re-init the bank per edit).
+            fresh = self._build_fresh(prev_compiled)
             if fn is None:
                 pc = prev_compiled
 
@@ -272,9 +276,7 @@ class CompiledGraph:
                 return self._build_state(p, fc, fresh=f)
 
             shapes = jax.eval_shape(lambda: fc._build_state(None, None))
-            fresh_shapes = jax.eval_shape(
-                lambda: self._build_state(None, None)
-            )
+            fresh_shapes = jax.eval_shape(lambda: self._build_fresh(fc))
             fn = jax.jit(carry)
             fns[key] = fn.lower(shapes, fresh_shapes).compile()
             while len(fns) > 8:
@@ -315,19 +317,35 @@ class CompiledGraph:
         )
         return (prev_compiled.signature, node_map, pe_map, fb_map)
 
+    def _build_fresh(self, prev_compiled: "CompiledGraph") -> dict:
+        """The default-init data a carry FROM ``prev_compiled`` needs: the
+        param-engine default arrays plus init states of nodes the previous
+        topology cannot supply (its ``_node_loc`` is None). Passed into the
+        jitted carry as runtime DATA so node-init values and param defaults
+        never become trace constants (they'd otherwise pin cached carries
+        to one set of defaults)."""
+        ctx = self.ctx
+        return {
+            "pe": pe_init_state(self.layout, dtype=ctx.dtype),
+            "nodes": {
+                self.state_key(nid): self.entries[nid].ugen.init(ctx)
+                for nid in self.order
+                if prev_compiled._node_loc(nid) is None
+            },
+        }
+
     def _build_state(self, prev: Optional[dict],
                      prev_compiled: Optional["CompiledGraph"],
                      fresh: Optional[dict] = None) -> dict:
-        """``fresh``, when given, is this topology's default-init state (from
-        a prior ``_build_state(None, None)``) passed in as runtime DATA — the
-        jitted carry programs use it so node-init values and param defaults
-        never become trace constants (they'd otherwise pin cached carries to
-        one set of defaults)."""
+        """``fresh``, when given, is the runtime-data pytree from
+        ``_build_fresh`` — the jitted carry programs read defaults and
+        new-node init values from it instead of baking them in as trace
+        constants."""
         ctx = self.ctx
 
         def fresh_node(nid):
             if fresh is not None:
-                return self._extract_node_state(fresh, nid)
+                return fresh["nodes"][self.state_key(nid)]
             return self.entries[nid].ugen.init(ctx)
 
         def node_state(nid):

@@ -11,7 +11,7 @@ from . import knaster  # noqa: F401
 from .core.log import ArLogReceiver, ArLogSender, rt_log  # noqa: F401
 from .core.decorator import TRIG, ugen  # noqa: F401
 from .core.ugen import AudioCtx, UGen, sample_scan  # noqa: F401
-from .graph.graph import CircularConnection, Done, Graph, GraphError  # noqa: F401
+from .graph.graph import CircularConnection, Done, Graph, GraphError, NodeFreed  # noqa: F401
 from .graph.handles import Handle, Parameter, Source, VoiceParameter  # noqa: F401
 from .graph.inspection import (inspect, node_handles,  # noqa: F401
                                show_dot_svg, to_dot)
