@@ -40,6 +40,8 @@ import numpy as np
 # apply here)
 _MODE: Optional[str] = None
 _UNROLL: Optional[int] = None
+# tests force False to exercise the Mosaic-validation valve on CPU
+_INTERPRET: Optional[bool] = None
 
 
 def _mode() -> str:
@@ -111,6 +113,37 @@ def needed_outputs(cg, cp) -> set:
             if kind == "node" and s in members:
                 needed.add((members[s], c))
     return needed
+
+
+# Mosaic-validation verdicts per kernel structure: mosaic_stage bodies are
+# restricted to a documented op subset, but whether a given composition
+# lowers on the current backend is only knowable by compiling it — a
+# lowering failure inside the GRAPH program would kill the whole compile,
+# so the kernel is compiled STANDALONE once per structure and the chain
+# falls back to the scan executor if Mosaic rejects it. This is what makes
+# an eventual default-on safe.
+_VALIDATED: Dict[Tuple, bool] = {}
+
+
+def _validated(kernel_call, reps, operands, B) -> bool:
+    key = (
+        tuple(type(r).__qualname__ for r in reps),
+        tuple((tuple(x.shape), str(x.dtype)) for x in operands),
+        B,
+        _unroll(),
+    )
+    ok = _VALIDATED.get(key)
+    if ok is None:
+        try:
+            shapes = [
+                jax.ShapeDtypeStruct(x.shape, x.dtype) for x in operands
+            ]
+            jax.jit(kernel_call).lower(*shapes).compile()
+            ok = True
+        except Exception:
+            ok = False
+        _VALIDATED[key] = ok
+    return ok
 
 
 def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
@@ -210,7 +243,11 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
     n_in = len(operands)
     carry_keys = list(cp.carry_keys)
     in_pattern, pe_pattern = cp.in_pattern, cp.pe_pattern
-    interpret = jax.devices()[0].platform == "cpu"
+    interpret = (
+        _INTERPRET
+        if _INTERPRET is not None
+        else jax.devices()[0].platform == "cpu"
+    )
 
     def kernel(*refs):
         in_refs, out_refs = refs[:n_in], refs[n_in:]
@@ -270,13 +307,16 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
         jax.lax.fori_loop(0, K, body, carry0_vals, unroll=min(_unroll(), K))
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    results = pl.pallas_call(
+    kernel_call = pl.pallas_call(
         kernel,
         in_specs=[vmem() for _ in operands],
         out_specs=[vmem() for _ in out_shapes],
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(*operands)
+    )
+    if not interpret and not _validated(kernel_call, reps, operands, B):
+        return None  # Mosaic rejected this kernel: scan executor instead
+    results = kernel_call(*operands)
 
     zero_plane = None
     outs = {}

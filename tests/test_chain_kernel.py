@@ -274,6 +274,24 @@ def test_done_capable_unit_refused(monkeypatch):
     assert np.all(np.isfinite(a)) and np.abs(a).max() > 1e-4
 
 
+def test_mosaic_rejection_falls_back_via_validation_valve(monkeypatch):
+    """The kernel is compiled STANDALONE once per structure before being
+    embedded; if Mosaic rejects it, the chain silently keeps the scan
+    executor instead of killing the whole graph compile (what makes a
+    default-on flip safe). Forcing interpret=False on the CPU backend
+    makes the TPU lowering fail, exercising the real valve path."""
+    calls = _spy(monkeypatch)
+    monkeypatch.setattr(ck, "_INTERPRET", False)
+    monkeypatch.setattr(ck, "_VALIDATED", {})
+    a, proc = _render("1", _cascade16, 64, monkeypatch)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["run"] >= 1 and calls["ok"] == 0  # rejected -> scan
+    assert ck._VALIDATED and not any(ck._VALIDATED.values())
+    monkeypatch.setattr(ck, "_INTERPRET", None)
+    b, _ = _render("0", _cascade16, 64, monkeypatch)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_vmem_budget_overflow_falls_back(monkeypatch):
     """Plans whose operands exceed the VMEM budget fall back to the scan
     executor with identical output."""
