@@ -191,15 +191,26 @@ class OscWt(UGen):
         ptrigger("reset_phase"),
     )
 
+    # the table data lives in STATE (fixed [17, TABLE_SIZE] shapes), not as
+    # trace constants: graphs differing only in wavetable content share
+    # cached programs (live wavetable swap = push/free at cache-hit cost),
+    # and programs don't embed a megabyte of table constants per node
+    signature_exclude = ("pdefaults", "wavetable")
+
     def __init__(self, wavetable: Wavetable, freq: float = 440.0, interpolate: bool = False):
         self.pdefaults = {"freq": float(freq)}
         self.wavetable = wavetable
         self.interpolate = bool(interpolate)
 
     def init(self, ctx: AudioCtx):
-        # bake the table data once (host numpy); uploaded as constants at trace
-        self._tables, self._diffs = self.wavetable.stacked(ctx.dtype)
-        return {"phase": jnp.zeros((), dtype=jnp.uint32)}
+        tables, diffs = self.wavetable.stacked(ctx.dtype)
+        st = {
+            "phase": jnp.zeros((), dtype=jnp.uint32),
+            "tables": jnp.asarray(tables),
+        }
+        if self.interpolate:
+            st["diffs"] = jnp.asarray(diffs)
+        return st
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         B = ctx.block_size
@@ -216,13 +227,15 @@ class OscWt(UGen):
         ti = jnp.searchsorted(
             jnp.asarray(AA_FREQ_THRESHOLDS), freq.astype(jnp.float32), side="left"
         )
-        out = jnp.asarray(self._tables)[ti, idx]
+        out = state["tables"][ti, idx]
         if self.interpolate:
             frac = (ph & jnp.uint32(0xFFFF)).astype(ctx.dtype) / jnp.asarray(
                 65535.0, ctx.dtype
             )
-            out = out + jnp.asarray(self._diffs)[ti, idx] * frac
-        return {"phase": carry}, out[None, :]
+            out = out + state["diffs"][ti, idx] * frac
+        new_state = dict(state)
+        new_state["phase"] = carry
+        return new_state, out[None, :]
 
 
 class SinNumeric(UGen):

@@ -339,3 +339,41 @@ def test_cache_hit_uses_new_bank_voice_defaults():
         "re-pushed bank played the previous bank's detune table"
     )
     assert len(C._PROGRAM_CACHE) == n1 + 1  # new-table re-push = cache hit
+
+
+def test_cache_hit_on_different_wavetable_content():
+    """OscWt keeps its mip chain in STATE and excludes the wavetable from
+    its signature: re-pushing with different table content is a cache hit
+    and the new table is what renders (live wavetable swap idiom)."""
+    import knaster_tpu.graph.compile as C
+    from knaster_tpu import OscWt, Wavetable
+
+    C.clear_program_cache()
+    g, proc = AudioProcessor.new(0, 1, OPTS)
+
+    def push(wt):
+        def build(gg):
+            o = gg.push(OscWt(wt, 440.0))
+            (o * 0.5).to_graph_out()
+            return o
+        return g.edit(build)
+
+    h = push(Wavetable.sine())
+    a = np.asarray(proc.render(seconds=0.05))
+    n1 = len(C._PROGRAM_CACHE)
+    g.edit(lambda gg: gg.free_node(h))
+    proc.render(frames=32)
+    push(Wavetable.saw())  # different spectrum
+    b = np.asarray(proc.render(seconds=0.05))
+    assert len(C._PROGRAM_CACHE) == n1 + 1  # re-push = cache hit
+    # the NEW table renders: a pure-sine fit leaves clear residual on b
+    t = np.arange(a.shape[1]) / 48000.0
+
+    def sine_resid(x):
+        ph = 2 * np.pi * 440.0 * t
+        basis = np.stack([np.sin(ph), np.cos(ph)])
+        coef, *_ = np.linalg.lstsq(basis.T, x, rcond=None)
+        return float(np.sqrt(np.mean((x - basis.T @ coef) ** 2)))
+
+    assert sine_resid(a[0]) < 0.01
+    assert sine_resid(b[0]) > 0.05, "re-push still playing the old table"
