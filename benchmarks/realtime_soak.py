@@ -41,6 +41,7 @@ def main():
         AudioProcessor,
         AudioProcessorOptions,
         PallasSineVoiceBank,
+        SinWt,
         StreamBackend,
     )
 
@@ -49,6 +50,30 @@ def main():
     graph, proc = AudioProcessor.new(0, 2, opts)
     with_fx = os.environ.get("SOAK_FX", "0") == "1"
     with_probe = os.environ.get("SOAK_PROBE", "0") == "1"
+    # SOAK_SCENARIO=cascade: stream the generic 256-node FM cascade (the
+    # chain-collapsed graph, Pallas chain kernel on accelerators) with live
+    # mid-chain param changes — the role of the reference's fm_bench JACK
+    # binaries (knaster_benchmarks/src/bin/fm_bench*.rs: the same cascade
+    # run live against an audio server). Default scenario: the voice bank.
+    scenario = os.environ.get("SOAK_SCENARIO", "bank")
+    n_casc = int(os.environ.get("SOAK_CASCADE_NODES", 256))
+
+    def build_cascade(g):
+        prev = None
+        sines = []
+        for i in range(n_casc):
+            s = g.push(SinWt(100.0 + i))
+            sines.append(s)
+            if prev is not None:
+                mod = (prev * 100.0) + 200.0
+                g.connect_param(
+                    g.handle(mod.channels[0][1]), 0, s, "freq"
+                )
+            prev = s
+        sig = prev * 0.1
+        sig.to_graph_out()                      # left
+        sig.to_graph_out_channels([1])          # right (same mono bus)
+        return sines
 
     def build(g):
         bank = g.push(PallasSineVoiceBank(
@@ -78,7 +103,7 @@ def main():
             bank.out([0]).to(probe)
         return bank
 
-    bank = graph.edit(build)
+    bank = graph.edit(build_cascade if scenario == "cascade" else build)
 
     consumed = [0]
     peak = [0.0]
@@ -94,38 +119,55 @@ def main():
     backend.start_processing(proc)
     setup_s = time.time() - t_setup
 
-    trig = bank.voice_param("t_restart")
-    rel = bank.voice_param("t_release")
-    freqp = bank.voice_param("freq")
     t_end = time.time() + SOAK_SECONDS
     n_events = 0
     group = 0
     probe_reads = [0]
-    while time.time() < t_end:
-        # live control at ~10 Hz: start a 64-voice cluster, release the one
-        # from two rounds ago, detune a few voices
-        base = (group * 64) % V
-        for v in range(base, base + 64):
-            trig.trig(v)
-        old = ((group - 2) * 64) % V
-        if group >= 2:
-            for v in range(old, old + 64):
-                rel.trig(v)
-        for v in range(base, base + 8):
-            freqp.set(v, float(rng.uniform(200, 2000)))
-        n_events += 64 + (64 if group >= 2 else 0) + 8
-        group += 1
-        if with_probe:
-            caps = proc.probe_log()
-            probe_reads[0] += len(caps)
-        time.sleep(0.1)
+    if scenario == "cascade":
+        sines = bank  # build() returned the chain's node handles
+        while time.time() < t_end:
+            # live control at ~10 Hz: retune the cascade root and reset the
+            # phase of a rotating mid-chain node (eventful blocks take the
+            # full program; event-free chunks stay on the chain kernel)
+            sines[0].param("freq").set(float(rng.uniform(80, 160)))
+            sines[(group * 17) % len(sines)].param("reset_phase").trig()
+            n_events += 2
+            group += 1
+            time.sleep(0.1)
+    else:
+        trig = bank.voice_param("t_restart")
+        rel = bank.voice_param("t_release")
+        freqp = bank.voice_param("freq")
+        while time.time() < t_end:
+            # live control at ~10 Hz: start a 64-voice cluster, release the
+            # one from two rounds ago, detune a few voices
+            base = (group * 64) % V
+            for v in range(base, base + 64):
+                trig.trig(v)
+            old = ((group - 2) * 64) % V
+            if group >= 2:
+                for v in range(old, old + 64):
+                    rel.trig(v)
+            for v in range(base, base + 8):
+                freqp.set(v, float(rng.uniform(200, 2000)))
+            n_events += 64 + (64 if group >= 2 else 0) + 8
+            group += 1
+            if with_probe:
+                caps = proc.probe_log()
+                probe_reads[0] += len(caps)
+            time.sleep(0.1)
 
     backend.stop()
     wall = SOAK_SECONDS
     audio_s = consumed[0] / SR
     print(json.dumps({
         "bench": "realtime_soak",
-        "config": f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}" + ("_galactic" if with_fx else ""),
+        "config": (
+            f"{n_casc}node_cascade_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
+            if scenario == "cascade"
+            else f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
+            + ("_galactic" if with_fx else "")
+        ),
         "value": backend.underruns,
         "unit": "underruns",
         "wall_s": round(wall, 1),

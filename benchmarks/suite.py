@@ -609,9 +609,10 @@ def bench_voicebank():
 def bench_chain_kernel(n_nodes=256, block_sizes=(16, 64)):
     """A/B the Pallas chain executor (graph/chain_kernel.py) against the
     lax.scan executor on the generic fm_cascade graph — the measurement
-    that decides KNASTER_CHAIN_PALLAS's default. Run explicitly:
-    `python benchmarks/suite.py chain_kernel` (not in the default set;
-    the scan leg duplicates fm_cascade's numbers)."""
+    behind KNASTER_CHAIN_PALLAS's `auto` default (v5e: 4.0-4.4x, see
+    DESIGN_NOTES). Run explicitly: `python benchmarks/suite.py
+    chain_kernel` (not in the default set; the scan leg duplicates
+    fm_cascade's numbers)."""
     import knaster_tpu.graph.chain_kernel as ck
     import knaster_tpu.graph.compile as C
     from knaster_tpu import AudioProcessor, AudioProcessorOptions, SinWt

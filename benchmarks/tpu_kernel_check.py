@@ -1,0 +1,145 @@
+"""Hardware validation sweep for the Pallas kernels (one real chip).
+
+CPU interpret mode accepts kernel structures Mosaic rejects (partial
+unrolls, f32<->u32 converts), so every kernel family x block-size x
+event-path combination must compile and match the vmap bank ON HARDWARE.
+This script is the one-command check; it exists because two Mosaic-invalid
+structures (chain-kernel partial unroll, bank sample-loop partial unroll at
+B > 64) landed during a multi-hour tunnel outage and passed every CPU test.
+
+Usage: python benchmarks/tpu_kernel_check.py [--quick]
+Prints one PASS/FAIL line per check and a final JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _defaults(V, rng, extra=()):
+    d = {
+        "freq": rng.uniform(100, 900, V).astype(np.float32),
+        "amp": np.full(V, 0.001, np.float32),
+    }
+    for name in extra:
+        if name == "pan":
+            d["pan"] = rng.uniform(-1, 1, V).astype(np.float32)
+        elif name == "ratio":
+            d["ratio"] = np.full(V, 2.0, np.float32)
+        elif name == "index":
+            d["index"] = np.full(V, 1.5, np.float32)
+        elif name == "cutoff":
+            d["cutoff"] = rng.uniform(400, 4000, V).astype(np.float32)
+    return d
+
+
+def main():
+    from knaster_tpu.core.ugen import AudioCtx
+    from knaster_tpu import (
+        PallasFMVoiceBank,
+        PallasSineVoiceBank,
+        PallasSubtractiveVoiceBank,
+        PallasWavetableVoiceBank,
+        VoiceBank,
+    )
+
+    quick = "--quick" in sys.argv
+    V = 1024
+    rng = np.random.default_rng(3)
+    results = []
+    blocks = (64, 128) if quick else (64, 128, 256, 1024)
+
+    def check(name, fn):
+        try:
+            fn()
+            print(f"PASS {name}")
+            results.append({"check": name, "ok": True})
+        except Exception as e:
+            msg = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"FAIL {name}: {msg}")
+            results.append({"check": name, "ok": False, "error": msg})
+
+    def pairs():
+        yield (
+            "sine",
+            lambda: PallasSineVoiceBank(
+                V, voice_defaults=_defaults(V, rng, ("pan",))
+            ),
+            ("pan",),
+        )
+        yield (
+            "fm",
+            lambda: PallasFMVoiceBank(
+                V, voice_defaults=_defaults(V, rng, ("ratio", "index"))
+            ),
+            ("ratio", "index"),
+        )
+        yield (
+            "subtractive",
+            lambda: PallasSubtractiveVoiceBank(
+                V, voice_defaults=_defaults(V, rng, ("cutoff",))
+            ),
+            ("cutoff",),
+        )
+        yield (
+            "wavetable",
+            lambda: PallasWavetableVoiceBank(
+                V, harmonics=np.array([1.0, 0.5, 0.25, 0.12], np.float32),
+                voice_defaults=_defaults(V, rng, ("pan",)),
+            ),
+            ("pan",),
+        )
+
+    for fam, make, extra in pairs():
+        for B in blocks:
+            ctx = AudioCtx(48000, B, np.float32)
+
+            def run(fam=fam, make=make, B=B, ctx=ctx):
+                pb = make()
+                vb = VoiceBank(
+                    pb.voice, V, voice_defaults=pb.voice_defaults
+                )
+                spb, svb = pb.init(ctx), vb.init(ctx)
+                no_in = np.zeros((0, B), np.float32)
+                fi = pb.float_index("freq")
+                for blk in range(3):
+                    evs = None
+                    if blk == 1:
+                        # same-block burst on one slot + a trigger: the
+                        # in-kernel breakpoint fold and bitmask read
+                        evs = [
+                            (min(5, B - 3), 2, fi, 0, 300.0),
+                            (min(20, B - 2), 2, fi, 0, 500.0),
+                            (min(40, B - 1), 2, fi, 0, 700.0),
+                        ]
+                    ep = pb.node_events_from_lists(evs) if evs else None
+                    ev = vb.node_events_from_lists(evs) if evs else None
+                    spb, op = pb.process(ctx, spb, no_in, {}, events=ep)[:2]
+                    svb, ov = vb.process(ctx, svb, no_in, {}, events=ev)[:2]
+                    d = float(
+                        np.abs(np.asarray(op) - np.asarray(ov)).max()
+                    )
+                    assert d < 5e-5, f"block {blk} maxdiff {d}"
+
+            check(f"{fam}_B{B}", run)
+
+    ok = all(r["ok"] for r in results)
+    print(json.dumps({
+        "bench": "tpu_kernel_check",
+        "config": "quick" if quick else "full",
+        "value": sum(1 for r in results if not r["ok"]),
+        "unit": "failures",
+        "checks": len(results),
+        "ok": ok,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,13 @@ One command covers everything that landed while the TPU service was down
    skipped by the comparator).
 
 Usage: python benchmarks/tpu_revalidate.py [--skip-baseline]
+
+See also benchmarks/tpu_kernel_check.py — the wider kernel-structure
+sweep (all four bank families x block sizes x event paths vs the vmap
+bank). Running it after the round-3 outage found two Mosaic-invalid
+structures CPU interpret had accepted (partial sample-loop unrolls at
+B > 64; non-multiple-of-8 tile rows for small banks) — run BOTH after
+any outage window.
 """
 
 import importlib.util

@@ -19,10 +19,15 @@ lax.scan executor, so trigger/event machinery never enters the kernel. The
 reference runs the equivalent cascade as a plain sequential node walk
 (knaster_graph/src/graph_gen.rs task run loop); this is its TPU shape.
 
-Selection: KNASTER_CHAIN_PALLAS = "auto" (real TPU only), "1" (always,
-interpret-mode on CPU — what the parity tests use), "0" (off, the current
-default until the hardware A/B in benchmarks/RESULTS.md is re-validated
-on a healthy tunnel — the TPU service was down when this landed).
+Selection: KNASTER_CHAIN_PALLAS = "auto" (the default: on for real
+accelerators, off on CPU where the interpreter would be slower than the
+scan executor), "1" (always, interpret-mode on CPU — what the parity
+tests use), "0" (off). The v5e A/B (benchmarks/RESULTS.md) measured the
+kernel at 4.0-4.4x the scan executor on the generic 256-stage FM cascade
+— block 16 goes 0.7x -> 2.9x realtime, block 64 2.3x -> 9.2x — which is
+what made "auto" the default. The Mosaic-validation valve (below) keeps
+default-on safe: structures the backend rejects fall back to the scan
+executor instead of failing the graph compile.
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ _INTERPRET: Optional[bool] = None
 def _mode() -> str:
     if _MODE is not None:
         return _MODE
-    return os.environ.get("KNASTER_CHAIN_PALLAS", "0")
+    return os.environ.get("KNASTER_CHAIN_PALLAS", "auto")
 
 
 def _unroll() -> int:
@@ -304,7 +309,13 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
             )
 
         carry0_vals = tuple(refs[i][:] for i in carry_idx)
-        jax.lax.fori_loop(0, K, body, carry0_vals, unroll=min(_unroll(), K))
+        # Mosaic's for-loop lowering accepts only unroll=1 or a full
+        # unroll (unroll == num_steps); partial unrolls are rejected at
+        # compile time, so round the requested factor down to legal
+        u = _unroll()
+        jax.lax.fori_loop(
+            0, K, body, carry0_vals, unroll=K if u >= K else 1
+        )
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel_call = pl.pallas_call(

@@ -967,9 +967,10 @@ def _structural_signature(cg: CompiledGraph, auto_batch: bool):
         cg.graph.outputs,
         cg.event_capacity,
         auto_batch,
-        # chain-collapse config is part of the plan, so of the programs
+        # chain-collapse config is part of the plan, so of the programs —
+        # including the Pallas-executor mode (consulted at trace time)
         (_CHAIN_COLLAPSE_ON, MIN_CHAIN_STAGES, MAX_CHAIN_PERIOD,
-         CHAIN_UNROLL),
+         CHAIN_UNROLL, chain_kernel._mode(), chain_kernel._unroll()),
         tuple(node_rows),
         pe_rows,
         out_rows,

@@ -82,18 +82,45 @@ def _unroll(B: int, interpret: bool):
     return u
 
 
+def _sample_loop(B: int, body, carry, unroll):
+    """fori_loop over B samples with Mosaic-legal unrolling. Mosaic's
+    for-loop lowering accepts only unroll=1 or a FULL unroll; a partial
+    factor U is expressed as an outer ROLLED loop of B/U steps whose body
+    runs U statically-offset sample steps (same instruction stream as the
+    partial unroll the lowering rejects)."""
+    if unroll is True or unroll == B:
+        return jax.lax.fori_loop(0, B, body, carry, unroll=True)
+    if not unroll or unroll == 1:
+        return jax.lax.fori_loop(0, B, body, carry)
+    U = int(unroll)
+    assert B % U == 0, (B, U)
+
+    def outer(k, c):
+        i0 = k * U
+        for j in range(U):
+            c = body(i0 + j, c)
+        return c
+
+    return jax.lax.fori_loop(0, B // U, outer, carry)
+
+
 def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
-    """Cap tiles at 64x128 voices and keep the grid at >= 2 tiles: the
-    unrolled sample loop's scoped-VMEM stack exceeds Mosaic's 16M limit with
-    128-row tiles (observed 20.5-20.7M in several surrounding-program
-    contexts; 64-row tiles fit everywhere measured)."""
+    """Cap tiles at 64x128 voices: the unrolled sample loop's scoped-VMEM
+    stack exceeds Mosaic's 16M limit with 128-row tiles (observed
+    20.5-20.7M in several surrounding-program contexts; 64-row tiles fit
+    everywhere measured). Mosaic additionally requires a block's sublane
+    dim to be a multiple of 8 OR equal to the full array dim, so partial
+    tiles are rounded to the largest multiple-of-8 divisor of R; small
+    banks (R <= cap) use one full-array tile (always legal)."""
     R = max(n_voices // LANES, 1)
-    tr = min(int(tile_rows), R, 64)
-    if tr >= R and R > 1:
-        tr = R // 2
-    while tr > 1 and R % tr:
-        tr -= 1
-    return max(tr, 1)
+    cap = min(int(tile_rows), R, 64)
+    if R <= cap or R <= 8:
+        return R  # single tile: block shape == array shape
+    best = 0
+    for tr in range(8, cap + 1, 8):
+        if R % tr == 0:
+            best = tr
+    return best or R
 
 
 # --------------------------------------------------------------------------
@@ -138,10 +165,12 @@ def _trig_bit(i, words_ref):
 
 def _to_inc(f_times_f2pi):
     """freq*f2pi -> u32 phase increment, Rust `as u32` saturation semantics
-    (osc.rs; same clamp as _freq_to_inc_u32 — int32 cast then bitcast is
-    bit-identical for values in [0, 2^31-1] and lowers on Mosaic)."""
+    (osc.rs; the same 2^31-128 clamp as osc._f32_to_u32 — the largest f32
+    below 2^31, so the int32 cast is exact on every backend — then a
+    Mosaic-lowerable bitcast)."""
     return pltpu.bitcast(
-        jnp.clip(f_times_f2pi, 0.0, 2.0**31 - 1).astype(jnp.int32), jnp.uint32
+        jnp.clip(f_times_f2pi, 0.0, 2.0**31 - 128).astype(jnp.int32),
+        jnp.uint32,
     )
 
 
@@ -510,8 +539,7 @@ def _sine_kernel(B, W, ng, f2pi, unroll, *refs):
     carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
     # fully unrolled on hardware: Mosaic's loop overhead costs ~20% at this
     # body size (the CPU interpreter keeps the rolled loop: cheap to trace)
-    phase, stage, t, rscale, _ = jax.lax.fori_loop(0, B, body, carry,
-                                                   unroll=unroll)
+    phase, stage, t, rscale, _ = _sample_loop(B, body, carry, unroll)
     phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
@@ -523,14 +551,17 @@ class PallasSineVoiceBank(VoiceBank):
 
     # kernels fold kernel_burst_depth trajectory breakpoints per
     # (param, voice) slot: same-block bursts are exact up to that depth
-    # (deeper bursts keep their last kernel_burst_depth events)
+    # (deeper bursts keep their last kernel_burst_depth events and the
+    # host warns once). Constructor-configurable: deeper-burst workloads
+    # pass kernel_burst_depth=N for exactness at N events per slot/block
     kernel_burst_depth = 3
     # superblocked programs may drive the kernel at k*B samples up to
     # this cap (compile.superblock_eligible honors it)
     superblock_cap = MAX_BLOCK
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
-                 attack: float = 0.01, release: float = 0.1, tile_rows: int = 128):
+                 attack: float = 0.01, release: float = 0.1, tile_rows: int = 128,
+                 kernel_burst_depth: int = 3):
         tile_rows = _cap_tile_rows(tile_rows, n_voices)
         if n_voices % (tile_rows * LANES):
             raise ValueError(f"n_voices must be a multiple of {tile_rows * LANES}")
@@ -541,6 +572,9 @@ class PallasSineVoiceBank(VoiceBank):
             event_capacity=event_capacity,
         )
         self.tile_rows = int(tile_rows)
+        if int(kernel_burst_depth) < 1:
+            raise ValueError("kernel_burst_depth must be >= 1")
+        self.kernel_burst_depth = int(kernel_burst_depth)
         self._attack = float(attack)
         self._release = float(release)
 
@@ -554,6 +588,7 @@ class PallasSineVoiceBank(VoiceBank):
             attack=self._attack,
             release=self._release,
             tile_rows=min(self.tile_rows, n_local // LANES),
+            kernel_burst_depth=self.kernel_burst_depth,
         )
 
     def init(self, ctx: AudioCtx):
@@ -694,7 +729,7 @@ def _fm_kernel(B, W, ng, f2pi, unroll, *refs):
         return phm, phc, stage, t_next
 
     carry = (phm_ref[:], phc_ref[:], stage_ref[:], t_ref[:])
-    phm, phc, stage, t = jax.lax.fori_loop(0, B, body, carry, unroll=unroll)
+    phm, phc, stage, t = _sample_loop(B, body, carry, unroll)
     phm_out[:] = phm
     phc_out[:] = phc
     stage_out[:] = stage
@@ -708,7 +743,9 @@ class PallasFMVoiceBank(VoiceBank):
 
     # kernels fold kernel_burst_depth trajectory breakpoints per
     # (param, voice) slot: same-block bursts are exact up to that depth
-    # (deeper bursts keep their last kernel_burst_depth events)
+    # (deeper bursts keep their last kernel_burst_depth events and the
+    # host warns once). Constructor-configurable: deeper-burst workloads
+    # pass kernel_burst_depth=N for exactness at N events per slot/block
     kernel_burst_depth = 3
     # superblocked programs may drive the kernel at k*B samples up to
     # this cap (compile.superblock_eligible honors it)
@@ -716,7 +753,7 @@ class PallasFMVoiceBank(VoiceBank):
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.005, release: float = 0.3,
-                 tile_rows: int = 128):
+                 tile_rows: int = 128, kernel_burst_depth: int = 3):
         from ..models.voices import FMVoice
 
         tile_rows = _cap_tile_rows(tile_rows, n_voices)
@@ -729,6 +766,9 @@ class PallasFMVoiceBank(VoiceBank):
             event_capacity=event_capacity,
         )
         self.tile_rows = int(tile_rows)
+        if int(kernel_burst_depth) < 1:
+            raise ValueError("kernel_burst_depth must be >= 1")
+        self.kernel_burst_depth = int(kernel_burst_depth)
         self._attack = float(attack)
         self._release = float(release)
 
@@ -740,6 +780,7 @@ class PallasFMVoiceBank(VoiceBank):
             n_local, event_capacity=self.event_capacity,
             attack=self._attack, release=self._release,
             tile_rows=min(self.tile_rows, n_local // LANES),
+            kernel_burst_depth=self.kernel_burst_depth,
         )
 
     def init(self, ctx: AudioCtx):
@@ -899,9 +940,7 @@ def _sub_kernel(B, W, ng, inv_sr, unroll, *refs):
 
     carry = (t_ref[:], ic1_ref[:], ic2_ref[:], stage_ref[:], et_ref[:],
              rscale_ref[:])
-    t, ic1, ic2, stage, et, rscale = jax.lax.fori_loop(
-        0, B, body, carry, unroll=unroll
-    )
+    t, ic1, ic2, stage, et, rscale = _sample_loop(B, body, carry, unroll)
     t_out[:] = t
     ic1_out[:] = ic1
     ic2_out[:] = ic2
@@ -918,7 +957,9 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 
     # kernels fold kernel_burst_depth trajectory breakpoints per
     # (param, voice) slot: same-block bursts are exact up to that depth
-    # (deeper bursts keep their last kernel_burst_depth events)
+    # (deeper bursts keep their last kernel_burst_depth events and the
+    # host warns once). Constructor-configurable: deeper-burst workloads
+    # pass kernel_burst_depth=N for exactness at N events per slot/block
     kernel_burst_depth = 3
     # superblocked programs may drive the kernel at k*B samples up to
     # this cap (compile.superblock_eligible honors it)
@@ -926,7 +967,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
 
     def __init__(self, n_voices: int, voice_defaults=None, event_capacity=256,
                  attack: float = 0.01, release: float = 0.2,
-                 tile_rows: int = 128):
+                 tile_rows: int = 128, kernel_burst_depth: int = 3):
         from ..models.voices import SubtractiveVoice
 
         tile_rows = _cap_tile_rows(tile_rows, n_voices)
@@ -939,6 +980,9 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             event_capacity=event_capacity,
         )
         self.tile_rows = int(tile_rows)
+        if int(kernel_burst_depth) < 1:
+            raise ValueError("kernel_burst_depth must be >= 1")
+        self.kernel_burst_depth = int(kernel_burst_depth)
         self._attack = float(attack)
         self._release = float(release)
 
@@ -950,6 +994,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             n_local, event_capacity=self.event_capacity,
             attack=self._attack, release=self._release,
             tile_rows=min(self.tile_rows, n_local // LANES),
+            kernel_burst_depth=self.kernel_burst_depth,
         )
 
     def init(self, ctx: AudioCtx):
@@ -1112,8 +1157,7 @@ def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
     carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
     # measured: unrolling this kernel is a net loss (the harmonic loop
     # already fills the VPU; 64x body duplication only bloats the program)
-    phase, stage, t, rscale, _ = jax.lax.fori_loop(0, B, body, carry,
-                                                   unroll=unroll)
+    phase, stage, t, rscale, _ = _sample_loop(B, body, carry, unroll)
     phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
@@ -1133,7 +1177,9 @@ class PallasWavetableVoiceBank(VoiceBank):
 
     # kernels fold kernel_burst_depth trajectory breakpoints per
     # (param, voice) slot: same-block bursts are exact up to that depth
-    # (deeper bursts keep their last kernel_burst_depth events)
+    # (deeper bursts keep their last kernel_burst_depth events and the
+    # host warns once). Constructor-configurable: deeper-burst workloads
+    # pass kernel_burst_depth=N for exactness at N events per slot/block
     kernel_burst_depth = 3
     # superblocked programs may drive the kernel at k*B samples up to
     # this cap (compile.superblock_eligible honors it)
@@ -1142,7 +1188,8 @@ class PallasWavetableVoiceBank(VoiceBank):
     def __init__(self, n_voices: int, table=None, harmonics=None,
                  n_harmonics: int = 16, voice_defaults=None,
                  event_capacity=256, attack: float = 0.01,
-                 release: float = 0.1, tile_rows: int = 128):
+                 release: float = 0.1, tile_rows: int = 128,
+                 kernel_burst_depth: int = 3):
         from ..models.voices import AdditiveVoice
 
         voice = AdditiveVoice(
@@ -1163,6 +1210,9 @@ class PallasWavetableVoiceBank(VoiceBank):
         self.mags = voice.mags
         self.offsets = voice.offsets
         self.tile_rows = int(tile_rows)
+        if int(kernel_burst_depth) < 1:
+            raise ValueError("kernel_burst_depth must be >= 1")
+        self.kernel_burst_depth = int(kernel_burst_depth)
         self._attack = float(attack)
         self._release = float(release)
 
@@ -1175,6 +1225,7 @@ class PallasWavetableVoiceBank(VoiceBank):
             event_capacity=self.event_capacity,
             attack=self._attack, release=self._release,
             tile_rows=min(self.tile_rows, n_local // LANES),
+            kernel_burst_depth=self.kernel_burst_depth,
         )
 
     def init(self, ctx: AudioCtx):

@@ -36,6 +36,7 @@ Voices can be masked inactive; inactive voices render but are muted — the
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -72,7 +73,7 @@ class VoiceBank(UGen):
     # voice_defaults arrays are consumed only by init() (per-voice initial
     # fvals/ivals — state data): banks differing only in their detune
     # tables share cached programs
-    signature_exclude = ("pdefaults", "voice_defaults")
+    signature_exclude = ("pdefaults", "voice_defaults", "_burst_depth_warned")
 
     def __init__(
         self,
@@ -227,6 +228,21 @@ class VoiceBank(UGen):
             for evs in fam.values():
                 evs.sort(key=lambda e: e[0])  # stable: list order on ties
                 if self.kernel_burst_depth is not None:
+                    if len(evs) > self.kernel_burst_depth and not getattr(
+                        self, "_burst_depth_warned", False
+                    ):
+                        self._burst_depth_warned = True
+                        warnings.warn(
+                            f"{self.name()}: a (param, voice) slot received "
+                            f"{len(evs)} same-block events but "
+                            f"kernel_burst_depth={self.kernel_burst_depth}; "
+                            "keeping the last "
+                            f"{self.kernel_burst_depth} (<=1-block "
+                            "transient). Construct the bank with "
+                            "kernel_burst_depth>="
+                            f"{len(evs)} for exact deep bursts.",
+                            stacklevel=3,
+                        )
                     evs = evs[-self.kernel_burst_depth:]
                 for r, e in enumerate(evs):
                     flat.append(e)

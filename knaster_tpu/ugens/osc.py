@@ -29,13 +29,20 @@ from .wavetable import (
 
 
 
+def _f32_to_u32(x):
+    """float -> u32 via i32: Mosaic has no f32->u32 convert, and
+    f32->unsigned of negatives is backend-defined anyway. The clamp bound
+    is the largest f32 below 2^31 (2^31-128), so the i32 convert is exact
+    and every backend (XLA CPU/TPU, Mosaic) computes the same word."""
+    clamped = jnp.clip(x, 0.0, 2.0**31 - 128)
+    return clamped.astype(jnp.int32).astype(jnp.uint32)
+
+
 def _freq_to_inc_u32(freq, f2pi: float, dtype):
     """freq -> u32 phase increment with Rust `as u32` saturation semantics
     (negative -> 0; reference osc.rs computes `(freq * f2pi) as u32`).
-    Clamped before conversion so every backend (XLA CPU/TPU, Mosaic) agrees
-    — float->unsigned conversion of negatives is otherwise backend-defined."""
-    prod = jnp.clip(freq * jnp.asarray(f2pi, dtype), 0.0, 2.0**31 - 1)
-    return prod.astype(jnp.uint32)
+    Clamped before conversion so every backend agrees."""
+    return _f32_to_u32(freq * jnp.asarray(f2pi, dtype))
 
 
 def _segmented_cumsum_u32(inc_u32, reset_mask, phase0_u32, block_size: int,
@@ -133,7 +140,7 @@ class SinWt(UGen):
             inc, params["reset_phase"], state["phase"], B,
             no_resets=ctx.no_events,
         )
-        off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
+        off = _f32_to_u32(params["phase_offset"] * FRACTIONAL_PART)
         idx = ((phases + off) >> 16) & TABLE_HIGH_MASK
         if self.lookup:
             # trace-time constant table (XLA hoists & dedupes it)
@@ -168,9 +175,12 @@ class SinWt(UGen):
             phase0 = state["phase"]  # [1, 1] u32
             phases = phase0 + (csum - inc)  # exclusive cumsum + carry-in
             carry = phase0 + csum[:, B - 1 : B]
-            off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
+            off = _f32_to_u32(params["phase_offset"] * FRACTIONAL_PART)
             idx = ((phases + off) >> 16) & TABLE_HIGH_MASK
-            out = jnp.sin(idx.astype(ctx.dtype) * jnp.asarray(scale, ctx.dtype))
+            # Mosaic has no u32->f32 convert either; idx < 16384 so the
+            # i32 bitcast is value-preserving
+            idx_i = lax.bitcast_convert_type(idx, jnp.int32)
+            out = jnp.sin(idx_i.astype(ctx.dtype) * jnp.asarray(scale, ctx.dtype))
             return {"phase": carry}, out
 
         return fn
@@ -221,7 +231,7 @@ class OscWt(UGen):
             inc, params["reset_phase"], state["phase"], B,
             no_resets=ctx.no_events,
         )
-        off = (params["phase_offset"] * FRACTIONAL_PART).astype(jnp.uint32)
+        off = _f32_to_u32(params["phase_offset"] * FRACTIONAL_PART)
         ph = phases + off
         idx = (ph >> 16) & TABLE_HIGH_MASK
         ti = jnp.searchsorted(

@@ -383,7 +383,8 @@ def test_pallas_bank_burst_deeper_than_depth():
              (45, 2, fi, 0, 600.0)]
     spb, svb = pb.init(ctx), vb.init(ctx)
     no_in = np.zeros((0, 64), np.float32)
-    ev_p = pb.node_events_from_lists(burst)
+    with pytest.warns(UserWarning, match="kernel_burst_depth=3"):
+        ev_p = pb.node_events_from_lists(burst)
     ev_v = vb.node_events_from_lists(burst)
     spb, _ = pb.process(ctx, spb, no_in, {}, events=ev_p)[:2]
     svb, _ = vb.process(ctx, svb, no_in, {}, events=ev_v)[:2]
@@ -393,6 +394,68 @@ def test_pallas_bank_burst_deeper_than_depth():
         svb, ov = vb.process(ctx, svb, no_in, {}, events=None)[:2]
         np.testing.assert_allclose(np.asarray(op), np.asarray(ov),
                                    atol=2e-5, err_msg=f"block {blk}")
+
+
+def test_pallas_bank_configurable_burst_depth():
+    """kernel_burst_depth is constructor-configurable: at depth >= the
+    burst's length the kernel is exact INSIDE the burst block too (the
+    last-D truncation never kicks in)."""
+    pytest.importorskip("jax.numpy")
+    from knaster_tpu import PallasSineVoiceBank, SineVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 1024
+    defaults = {"freq": np.full(V, 440.0, np.float32),
+                "amp": np.full(V, 0.001, np.float32),
+                "pan": np.zeros(V, np.float32)}
+    pb = PallasSineVoiceBank(V, voice_defaults=defaults,
+                             kernel_burst_depth=5)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=defaults)
+    assert pb.kernel_burst_depth == 5
+    assert pb.make_local(512).kernel_burst_depth == 5
+    fi = 0
+    burst = [(5, 2, fi, 0, 200.0), (15, 2, fi, 0, 300.0),
+             (25, 2, fi, 0, 400.0), (35, 2, fi, 0, 500.0),
+             (45, 2, fi, 0, 600.0)]
+    spb, svb = pb.init(ctx), vb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # depth 5 covers the burst: no warning
+        ev_p = pb.node_events_from_lists(burst)
+    ev_v = vb.node_events_from_lists(burst)
+    spb, op = pb.process(ctx, spb, no_in, {}, events=ev_p)[:2]
+    svb, ov = vb.process(ctx, svb, no_in, {}, events=ev_v)[:2]
+    # exact inside the burst block (the depth-3 default only converges
+    # after it — test_pallas_bank_burst_deeper_than_depth)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ov), atol=2e-5)
+    for blk in range(2):
+        spb, op = pb.process(ctx, spb, no_in, {}, events=None)[:2]
+        svb, ov = vb.process(ctx, svb, no_in, {}, events=None)[:2]
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ov),
+                                   atol=2e-5, err_msg=f"block {blk}")
+
+
+def test_pallas_bank_burst_truncation_warns_once():
+    """Packing a burst deeper than kernel_burst_depth warns (once per
+    bank) so the documented <=1-block transient is observable, not
+    silent."""
+    pytest.importorskip("jax.numpy")
+    from knaster_tpu import PallasSineVoiceBank
+
+    V = 1024
+    pb = PallasSineVoiceBank(V)
+    fi = 0
+    burst = [(5, 2, fi, 0, 200.0), (15, 2, fi, 0, 300.0),
+             (25, 2, fi, 0, 400.0), (35, 2, fi, 0, 500.0)]
+    with pytest.warns(UserWarning, match="kernel_burst_depth=3"):
+        pb.node_events_from_lists(burst)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # second deep burst: already warned
+        pb.node_events_from_lists(burst)
+    with pytest.raises(ValueError):
+        PallasSineVoiceBank(V, kernel_burst_depth=0)
 
 
 def test_pallas_bank_anchored_ramp():
