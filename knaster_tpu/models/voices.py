@@ -245,10 +245,15 @@ class FMCascade(UGen):
 
     TPU-native expression: instead of N graph nodes (an N-deep chain of tiny
     ops, launch-overhead-bound on accelerators), one UGen scans over the
-    stage axis — stage k's frequency is ``base + depth * out[k-1]``. On a
-    v5e this runs ~5x faster than the same cascade built from individual
-    graph nodes (1.9x vs 0.4x realtime; the remaining cost is on-device
-    loop latency over 256 dependent stages — see DESIGN_NOTES.md)."""
+    stage axis — stage k's frequency is ``base + depth * out[k-1]``.
+
+    NOTE: since the chain-collapse pass + Pallas chain executor landed
+    (graph/compile.py, graph/chain_kernel.py), the same cascade built from
+    plain graph nodes runs FASTER than this hand-fused UGen (149x vs 45x
+    realtime super-bounce on a v5e — benchmarks/RESULTS.md): the compiler
+    collapses the node chain and runs the stage loop in one kernel, with
+    per-stage live parameters the fused UGen can't offer. Prefer graph
+    nodes; this model remains as the fused A/B reference point."""
 
     inputs = 0
     outputs = 1
