@@ -459,8 +459,17 @@ def bench_fm_bank(n_voices=8192):
 
 def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     """Arbitrary band-limited wavetable voices (OscWt at bank scale):
-    fused Pallas additive-synthesis kernel, saw table, H partials."""
-    import functools
+    fused Pallas additive-synthesis kernel, saw table, H partials.
+
+    Measured like bench_fm_bank: ONE jitted on-device `lax.scan` of 750
+    blocks (1 s of audio) whose per-block mean is FETCHED to the host.
+    The old form — a 200-iteration Python dispatch loop ended by
+    `block_until_ready` with no fetch — measured the transport, not the
+    kernel: dispatch-bound lows when this tunnel ran synchronously
+    (4.8G/2.5G "regressions" with no code change) and a physically
+    impossible 150G when it ran fully async (block_until_ready returned
+    before execution; the readiness signal is not trustworthy here —
+    only a real device->host fetch is)."""
     import time
 
     import jax
@@ -483,23 +492,33 @@ def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     st = bank.init(ctx)
     no_in = np.zeros((0, 64), np.float32)
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(s, ev):
-        return bank.process(ctx, s, no_in, {}, events=ev)
+    @jax.jit
+    def trig_step(s, ev):
+        return bank.process(ctx, s, no_in, {}, events=ev)[:2]
 
     ev = bank.node_events_from_lists(
         [(0, v, bank.trig_index("t_restart"), 1, 0.0) for v in range(4096)]
     )
-    st, out = step(st, ev)
-    jax.block_until_ready(out)
-    empty = bank.empty_node_events()
-    n = 200
-    t0 = time.time()
-    for _ in range(n):
-        st, out = step(st, empty)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    vs = n_voices * 64 * n / dt
+    st, out = trig_step(st, ev)
+    _ = np.asarray(out)
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)  # force real execution
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
     emit(({
         "bench": "wavetable_bank",
         "config": f"{n_voices}voices_{n_harmonics}partials_pallas",
@@ -654,8 +673,45 @@ def bench_chain_kernel(n_nodes=256, block_sizes=(16, 64)):
         )
 
 
+def bench_convolver(ir_seconds=2.0, block_size=64):
+    """Convolution reverb (beyond-reference): noise -> Convolver with an
+    ir_seconds stereo IR (K = ceil(L/B) partitions in the FDL). Not in
+    the default set; run `python benchmarks/suite.py convolver`."""
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions, Convolver, WhiteNoise
+
+    rng = np.random.default_rng(0)
+    L = int(ir_seconds * 48000)
+    t = np.arange(L, dtype=np.float32) / 48000.0
+    ir = (
+        rng.standard_normal((2, L)).astype(np.float32)
+        * np.exp(-3.0 * t)[None, :]
+        * 0.02
+    )
+    g, proc = AudioProcessor.new(
+        0, 2, AudioProcessorOptions(block_size=block_size)
+    )
+
+    def build(gg):
+        n = gg.push(WhiteNoise(seed=5))
+        cv = gg.push(Convolver(ir))
+        n.to(cv)
+        cv.to_graph_out()
+
+    g.edit(build)
+    rate = _program_rate(proc)
+    emit({
+        "bench": "convolver",
+        "config": f"{int(ir_seconds*1000)}ms_stereo_ir_block{block_size}",
+        "value": round(rate),
+        "unit": "samples/s",
+        "realtime_x": round(rate / 48000, 1),
+        "partitions": -(-L // block_size),
+    })
+
+
 ALL = {
     "sines_const": bench_sines_const,
+    "convolver": bench_convolver,
     "chain_kernel": bench_chain_kernel,
     "edit_latency": bench_edit_latency,
     "fm_cascade": bench_fm_cascade,

@@ -52,6 +52,7 @@ from .graph.processor import AudioProcessor, AudioProcessorOptions
 from .graph.scheduling import SchedulingToken, Time
 from .ugens.buffer import Buffer, BufferReader
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn
+from .ugens.convolver import Convolver
 from .ugens.delay import (
     AllpassDelay,
     AllpassFeedbackDelay,
@@ -93,6 +94,7 @@ __all__ = [
     "AllpassDelay",
     "FMCascade",
     "Galactic",
+    "Convolver",
     "AudioBackend",
     "OfflineBackend",
     "StreamBackend",

@@ -33,6 +33,7 @@ from .primitives import (  # noqa: F401
     ptrigger,
 )
 from .airwindows import Galactic  # noqa: F401
+from .ugens.convolver import Convolver  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
 from .models.voices import AdditiveVoice, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice  # noqa: F401
 from .parallel.mesh import MeshVoiceBank, ShardedVoiceBank  # noqa: F401
