@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SOAK_SECONDS = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
 V = 131072
 SR = 48000
-BLOCK = 64
+BLOCK = int(os.environ.get("SOAK_BLOCK", 64))  # 16 = the live-latency regime
 CHUNK_BLOCKS = int(os.environ.get("SOAK_CHUNK", 64))  # control latency = chunk
 # ring depth (blocks): how much transport jitter the stream can absorb.
 # The engine's steady-state chunk cost is ~3-7 ms against the 85 ms budget

@@ -83,6 +83,18 @@ def eventful_bank_smoke():
 if __name__ == "__main__":
     eventful_bank_smoke()
 
+    # the wider kernel-structure sweep (all bank families x block sizes x
+    # event paths vs the vmap bank) — quick mode; run the full sweep by
+    # hand after long outages
+    import subprocess
+
+    rc = subprocess.call(
+        [sys.executable, os.path.join(_DIR, "tpu_kernel_check.py"), "--quick"]
+    )
+    if rc != 0:
+        print("tpu_kernel_check failed", file=sys.stderr)
+        sys.exit(rc)
+
     spec = importlib.util.spec_from_file_location(
         "suite", os.path.join(_DIR, "suite.py")
     )

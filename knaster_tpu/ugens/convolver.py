@@ -73,13 +73,17 @@ class Convolver(UGen):
              sample-accurate like any engine float param).
 
     No reference counterpart — the reference's knaster_core_dsp has no
-    convolution (closest: StaticSampleDelay chains, delay.rs:308). The
-    blockwise evaluation contract follows airwindows/galactic.py:
-    ``block_invariant = False`` (the FDL is partitioned at the block
-    size, so this node opts out of multi-block superblock programs)."""
+    convolution (closest: StaticSampleDelay chains, delay.rs:308).
+
+    Superblocks: the FDL partition size is the largest divisor of the
+    base block size <= 64 (``_partition``) — a property of the GRAPH's
+    block size, not of the program being traced — so state shapes are
+    block-length invariant and ``process`` covers a k-block program by
+    scanning k sub-blocks through the same FDL. Output is chunking-
+    independent up to XLA's matmul-reduction scheduling (~1e-6
+    relative), so the node is fully superblock-eligible."""
 
     may_set_done = False
-    block_invariant = False
     params = (pfloat("dry_wet", 1.0, range=(0.0, 1.0)),)
     # the IR array is runtime data (state), not trace config; its derived
     # structure (length, channels) is kept in the signature
@@ -112,18 +116,21 @@ class Convolver(UGen):
     def name(self) -> str:
         return f"Convolver[{self.outputs}ch x {self.ir_length}]"
 
-    def _n_partitions(self, block_size: int) -> int:
-        return max(1, -(-self.ir_length // block_size))
+    @staticmethod
+    def _partition(block_size: int) -> int:
+        """Largest divisor of the base block size <= 64 — fixed per
+        graph, so state shapes don't depend on the traced block length."""
+        return block_size // -(-block_size // 64)
 
     def init(self, ctx: AudioCtx):
-        B = ctx.block_size
-        K = self._n_partitions(B)
+        P = self._partition(ctx.block_size)
+        K = max(1, -(-self.ir_length // P))
         C = self.outputs
         Cin = self.inputs
-        F = B + 1
-        pad = K * B - self.ir_length
-        h = np.pad(self.ir, ((0, 0), (0, pad)))  # [C, K*B]
-        parts = h.reshape(C, K, B).transpose(1, 0, 2)  # [K, C, B]
+        F = P + 1
+        pad = K * P - self.ir_length
+        h = np.pad(self.ir, ((0, 0), (0, pad)))  # [C, K*P]
+        parts = h.reshape(C, K, P).transpose(1, 0, 2)  # [K, C, P]
         spec = np.fft.rfft(
             np.concatenate([parts, np.zeros_like(parts)], axis=-1), axis=-1
         )  # [K, C, F] — host-side; device state stays real
@@ -132,21 +139,19 @@ class Convolver(UGen):
             "Hi": jnp.asarray(spec.imag, dtype=ctx.dtype),
             "fdl_r": jnp.zeros((K, Cin, F), dtype=ctx.dtype),
             "fdl_i": jnp.zeros((K, Cin, F), dtype=ctx.dtype),
-            "prev": jnp.zeros((Cin, B), dtype=ctx.dtype),
+            "prev": jnp.zeros((Cin, P), dtype=ctx.dtype),
         }
 
-    def process(self, ctx: AudioCtx, state, inputs, params):
-        B = ctx.block_size
+    def _round(self, Hr, Hi, fdl_r, fdl_i, prev, x, dw, mats, dtype):
+        """One P-sample FDL round: transform, push, spectral MAC, invert."""
         C = self.outputs
-        fwd_cos, fwd_msin, icos, isin = (
-            jnp.asarray(m) for m in _dft_mats(B, ctx.dtype)
-        )
-        x = inputs  # [Cin, B]
-        seg = jnp.concatenate([state["prev"], x], axis=-1)  # [Cin, 2B]
+        P = prev.shape[-1]
+        fwd_cos, fwd_msin, icos, isin = mats
+        seg = jnp.concatenate([prev, x], axis=-1)  # [Cin, 2P]
         Xr = seg @ fwd_cos  # [Cin, F]  (MXU)
         Xi = seg @ fwd_msin
-        fdl_r = jnp.concatenate([Xr[None], state["fdl_r"][:-1]], axis=0)
-        fdl_i = jnp.concatenate([Xi[None], state["fdl_i"][:-1]], axis=0)
+        fdl_r = jnp.concatenate([Xr[None], fdl_r[:-1]], axis=0)
+        fdl_i = jnp.concatenate([Xi[None], fdl_i[:-1]], axis=0)
         if self.inputs == C:
             sr, si = fdl_r, fdl_i
         else:  # mono input feeds every IR channel
@@ -154,14 +159,49 @@ class Convolver(UGen):
             sr = jnp.broadcast_to(fdl_r[:, :1, :], shape)
             si = jnp.broadcast_to(fdl_i[:, :1, :], shape)
         # complex multiply-accumulate over partitions, in real pairs
-        Yr = jnp.sum(sr * state["Hr"] - si * state["Hi"], axis=0)  # [C, F]
-        Yi = jnp.sum(sr * state["Hi"] + si * state["Hr"], axis=0)
-        y = Yr @ icos + Yi @ isin  # [C, 2B]  (MXU)
-        wet = y[:, B:].astype(ctx.dtype)  # overlap-save valid half
-        dry = x if self.inputs == C else jnp.broadcast_to(x[:1], (C, B))
-        dw = params["dry_wet"]  # per-sample row
+        Yr = jnp.sum(sr * Hr - si * Hi, axis=0)  # [C, F]
+        Yi = jnp.sum(sr * Hi + si * Hr, axis=0)
+        y = Yr @ icos + Yi @ isin  # [C, 2P]  (MXU)
+        wet = y[:, P:].astype(dtype)  # overlap-save valid half
+        dry = x if self.inputs == C else jnp.broadcast_to(x[:1], (C, P))
         out = dw * wet + (1.0 - dw) * dry
-        return {
-            "Hr": state["Hr"], "Hi": state["Hi"],
-            "fdl_r": fdl_r, "fdl_i": fdl_i, "prev": x,
-        }, out
+        return fdl_r, fdl_i, out
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        import jax
+
+        B = ctx.block_size
+        P = int(state["prev"].shape[-1])
+        mats = tuple(jnp.asarray(m) for m in _dft_mats(P, ctx.dtype))
+        dw = jnp.asarray(params["dry_wet"]).reshape(-1)  # [B] engine row
+        if dw.shape[0] != B:
+            dw = jnp.broadcast_to(dw[:1], (B,))  # scalar/legacy callers
+        Hr, Hi = state["Hr"], state["Hi"]
+        if B == P:
+            fdl_r, fdl_i, out = self._round(
+                Hr, Hi, state["fdl_r"], state["fdl_i"], state["prev"],
+                inputs, dw, mats, ctx.dtype,
+            )
+            return {"Hr": Hr, "Hi": Hi, "fdl_r": fdl_r, "fdl_i": fdl_i,
+                    "prev": inputs}, out
+        # superblocked program: k sub-blocks through the same FDL
+        k = B // P
+        xs = (
+            jnp.moveaxis(inputs.reshape(inputs.shape[0], k, P), 1, 0),
+            dw.reshape(k, P),
+        )
+
+        def step(carry, x):
+            fdl_r, fdl_i, prev = carry
+            blk, dwk = x
+            fdl_r, fdl_i, out = self._round(
+                Hr, Hi, fdl_r, fdl_i, prev, blk, dwk, mats, ctx.dtype
+            )
+            return (fdl_r, fdl_i, blk), out
+
+        (fdl_r, fdl_i, prev), outs = jax.lax.scan(
+            step, (state["fdl_r"], state["fdl_i"], state["prev"]), xs
+        )
+        out = jnp.moveaxis(outs, 0, 1).reshape(self.outputs, B)
+        return {"Hr": Hr, "Hi": Hi, "fdl_r": fdl_r, "fdl_i": fdl_i,
+                "prev": prev}, out

@@ -136,6 +136,79 @@ def test_in_graph_render_and_param():
     assert np.abs(out2[: B + 10]).max() > 0.0
 
 
+def test_superblock_program_parity():
+    """The FDL partitions at the graph's base block size, so a k-block
+    super program (process traced at k*B with base-block state) computes
+    the same rounds as k sequential base blocks — equal up to XLA's
+    matmul-reduction scheduling inside lax.scan (~1e-6 relative)."""
+    rng = np.random.default_rng(7)
+    B, k = 64, 4
+    h = rng.standard_normal(300).astype(np.float32) * 0.1
+    x = rng.standard_normal(B * k * 2).astype(np.float32)
+    conv = Convolver(h)
+    ctx = AudioCtx(SR, B, np.float32)
+    ctx_super = AudioCtx(SR, B * k, np.float32)
+    st_a = conv.init(ctx)
+    st_b = conv.init(ctx)
+    outs_a = []
+    for b in range(2 * k):
+        blk = x[None, b * B:(b + 1) * B]
+        st_a, o = conv.process(
+            ctx, st_a, blk, {"dry_wet": np.ones(B, np.float32)}
+        )
+        outs_a.append(np.asarray(o))
+    a = np.concatenate(outs_a, axis=1)
+    outs_b = []
+    for s in range(2):
+        blk = x[None, s * B * k:(s + 1) * B * k]
+        st_b, o = conv.process(
+            ctx_super, st_b, blk,
+            {"dry_wet": np.ones(B * k, np.float32)},
+        )
+        outs_b.append(np.asarray(o))
+    b_out = np.concatenate(outs_b, axis=1)
+    np.testing.assert_allclose(a, b_out, atol=1e-5)
+    np.testing.assert_allclose(a[0], _direct(x, h), atol=2e-4)
+    np.testing.assert_allclose(b_out[0], _direct(x, h), atol=2e-4)
+
+
+def test_superblock_eligibility_in_graph():
+    """A graph containing a Convolver stays superblock-eligible (state
+    shapes are block-length invariant)."""
+    from knaster_tpu import WhiteNoise
+    from knaster_tpu.graph import compile as C
+
+    rng = np.random.default_rng(8)
+    h = rng.standard_normal(200).astype(np.float32) * 0.1
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=64))
+
+    def build(gg):
+        n = gg.push(WhiteNoise(seed=3))
+        cv = gg.push(Convolver(h))
+        n.to(cv)
+        cv.to_graph_out()
+
+    g.edit(build)
+    proc._ensure_compiled()
+    assert C.superblock_eligible(proc.compiled)
+
+
+def test_from_sound_file_ir(tmp_path):
+    """Convolver.from_sound_file loads an IR through the codec layer."""
+    from knaster_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(9)
+    h = (rng.standard_normal((2, 120)) * 0.1).astype(np.float32)
+    path = str(tmp_path / "ir.wav")
+    write_wav(path, h, SR)
+    conv = Convolver.from_sound_file(path)
+    assert conv.outputs == 2 and conv.ir_length == 120
+    x = rng.standard_normal(64 * 4).astype(np.float32)
+    out = _run_node(conv, x[None, :], 64)
+    for c in range(2):
+        np.testing.assert_allclose(out[c], _direct(x, h[c]), atol=2e-4)
+
+
 def test_live_ir_swap_is_cache_hit():
     """Two Convolvers with different IR content but the same length and
     channel layout share one cached program (IR spectra live in state)."""
