@@ -55,8 +55,30 @@ def main():
     # mid-chain param changes — the role of the reference's fm_bench JACK
     # binaries (knaster_benchmarks/src/bin/fm_bench*.rs: the same cascade
     # run live against an audio server). Default scenario: the voice bank.
+    # SOAK_SCENARIO=ir: pink noise through a long-IR Convolver with live
+    # dry_wet moves — a single-voice effect chain whose chunks carry
+    # MID-CHUNK events (the case that fragments a chunk into several
+    # RTT-priced dispatches without the eventful-superblock program).
     scenario = os.environ.get("SOAK_SCENARIO", "bank")
     n_casc = int(os.environ.get("SOAK_CASCADE_NODES", 256))
+    ir_seconds = float(os.environ.get("SOAK_IR_SECONDS", 2.0))
+
+    def build_ir(g):
+        from knaster_tpu import Convolver, PinkNoise
+
+        t = np.arange(int(ir_seconds * SR), dtype=np.float32) / SR
+        decay = np.exp(-3.0 * t)
+        rr = np.random.default_rng(3)
+        ir = np.stack([
+            rr.standard_normal(t.size).astype(np.float32) * decay,
+            rr.standard_normal(t.size).astype(np.float32) * decay,
+        ]) * 0.02
+        src = g.push(PinkNoise(seed=11))
+        conv = g.push(Convolver(ir, inputs=1, dry_wet=0.4))
+        amp = src * 0.2
+        amp.to(conv)
+        conv.to_graph_out()  # stereo IR: both channels
+        return conv
 
     def build_cascade(g):
         prev = None
@@ -103,7 +125,8 @@ def main():
             bank.out([0]).to(probe)
         return bank
 
-    bank = graph.edit(build_cascade if scenario == "cascade" else build)
+    builders = {"cascade": build_cascade, "ir": build_ir}
+    bank = graph.edit(builders.get(scenario, build))
 
     consumed = [0]
     peak = [0.0]
@@ -132,6 +155,23 @@ def main():
             sines[0].param("freq").set(float(rng.uniform(80, 160)))
             sines[(group * 17) % len(sines)].param("reset_phase").trig()
             n_events += 2
+            group += 1
+            time.sleep(0.1)
+    elif scenario == "ir":
+        from knaster_tpu import Seconds
+
+        dw = bank.param("dry_wet")
+        while time.time() < t_end:
+            # sequenced control: four dry/wet moves per round scheduled at
+            # random sub-chunk offsets — they land MID-CHUNK, the case that
+            # needs the eventful-superblock program to stay one dispatch
+            for _ in range(4):
+                off = int(rng.integers(0, CHUNK_BLOCKS * BLOCK))
+                dw.set_after(
+                    float(rng.uniform(0.1, 0.9)),
+                    Seconds.from_samples(off, SR),
+                )
+            n_events += 4
             group += 1
             time.sleep(0.1)
     else:
@@ -165,6 +205,8 @@ def main():
         "config": (
             f"{n_casc}node_cascade_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
             if scenario == "cascade"
+            else f"ir{ir_seconds:g}s_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
+            if scenario == "ir"
             else f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
             + ("_galactic" if with_fx else "")
         ),

@@ -114,6 +114,11 @@ class CompiledGraph:
     # on the instance so superseded compiles are garbage-collectable
     scan_fn: Any = None
     full_scan_fn: Any = None
+    # chunk lengths (blocks) the full-program scan was pre-warmed at: the
+    # runner may cover a whole eventful chunk with one full-scan dispatch
+    # (superblock-ineligible graphs) only at lengths that won't jit-trace
+    # mid-stream
+    full_scan_warm: Any = field(default_factory=set)
     # lazily-built superblock fast programs keyed by block multiple, and the
     # cached eligibility verdict (None = not yet checked)
     super_fns: Dict[int, Any] = field(default_factory=dict)
@@ -842,6 +847,79 @@ def get_super_scan_fn(cg: CompiledGraph, k: int):
     return fn
 
 
+def get_full_super_fn(cg: CompiledGraph, m: int, existing_only: bool = False):
+    """The jitted EVENTFUL superblock program fn(state, events,
+    inputs[in, m*B]) -> (state, out[ch, m*B], done_vec), or None if the
+    graph is superblock-ineligible or ``m`` exceeds its cap.
+
+    This is the full per-block program built at block m*B: event frames are
+    relative to the superblock start, the param engine stairs block-rate
+    ramps at native-block boundaries, and node event tensors span the whole
+    superblock. A streaming chunk with live events ANYWHERE inside it
+    renders in ONE tunnel dispatch — the general case the first-block-only
+    ``get_evchunk_fn`` can't cover (mid-chunk events used to fragment a
+    chunk into 3+ RTT-priced dispatches, which under-ran the realtime soak
+    on event-heavy scenarios)."""
+    if m <= 1 or not superblock_eligible(cg):
+        return None
+    if m * cg.ctx.block_size > cg.superblock_max:
+        return None
+    key = ("full", m)
+    fn = cg.super_fns.get(key)
+    if fn is None:
+        if existing_only:
+            return None
+        raw = _build_render(cg, fast=False, block_multiple=m)
+        fn = jax.jit(raw, donate_argnums=(0,))
+        cg.super_fns[key] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("super_fns", {})[key] = fn
+    return fn
+
+
+def get_full_super_scan_fn(cg: CompiledGraph, k: int,
+                           existing_only: bool = False):
+    """Jitted scan OF the k-superblock FULL (eventful) program: one dispatch
+    covers any multiple of k blocks with events anywhere, at superblock
+    throughput — the eventful analog of ``get_super_scan_fn`` for graphs
+    whose ``superblock_cap`` (Pallas banks' kernel ceiling, blockwise nodes'
+    shortest delay) is below the streaming chunk length.
+
+    fn(state, ev_stack, in_stack[n, in, k*B]) -> (state, outs[n, ch, k*B],
+    dones[n, ...]); ev_stack leaves are [n, ...] stacked event tensors with
+    frames relative to each k-superblock's start. jit re-traces per distinct
+    n (the stream warms its own chunk length)."""
+    if (
+        k <= 1
+        or not superblock_eligible(cg)
+        or k * cg.ctx.block_size > cg.superblock_max
+    ):
+        return None
+    key = ("full_scan", k)
+    fn = cg.super_fns.get(key)
+    if fn is None:
+        if existing_only:
+            return None
+        raw = _build_render(cg, fast=False, block_multiple=k)
+
+        def scan_fn(state, ev_stack, in_stack):
+            def body(st, x):
+                ev, inp = x
+                st, out, done = raw(st, ev, inp)
+                return st, (out, done)
+
+            state, (outs, dones) = jax.lax.scan(
+                body, state, (ev_stack, in_stack)
+            )
+            return state, outs, dones
+
+        fn = jax.jit(scan_fn, donate_argnums=(0,))
+        cg.super_fns[key] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("super_fns", {})[key] = fn
+    return fn
+
+
 def get_evchunk_fn(cg: CompiledGraph, n: int, existing_only: bool = False):
     """ONE-dispatch program for the dominant live-streaming chunk shape:
     events in block 0 only (asap control batches land at the next block
@@ -1317,9 +1395,14 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
     shapes independent of the block size)."""
     m = int(block_multiple)
     if m > 1:
-        assert fast, "superblock programs are event-free by construction"
+        # fast=True: the event-free superblock (bounce/stream steady state).
+        # fast=False: the EVENTFUL superblock — the full per-block program
+        # at block m*B, with event frames relative to the superblock start;
+        # the param engine stairs block-rate ramps at native_block
+        # boundaries so the output bit-matches m sequential native blocks.
+        # One live-events chunk = ONE tunnel dispatch (get_full_super_fn).
         ctx = AudioCtx(cg.ctx.sample_rate, cg.ctx.block_size * m, cg.ctx.dtype,
-                       no_events=True)
+                       no_events=fast)
         engine = PEngine(cg.layout, ctx.block_size, dtype=ctx.dtype,
                          native_block=cg.ctx.block_size)
     else:

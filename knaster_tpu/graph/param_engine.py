@@ -282,14 +282,19 @@ class PEngine:
         srate = state["srate"]
 
         # Base ramp (no events): audio-rate advances per sample; block-rate
-        # holds within the block and advances at the boundary (t == B).
-        # When the ramp completes (progress reaches `remaining`) we snap to
-        # `target` exactly — parity with the reference computing
-        # start + mix*(end-start) with mix clamped to 1 (smooth_params.rs).
+        # holds within each NATIVE block and advances at its boundary.
+        # ``(t // nb) * nb`` is the stair: at the engine's native size
+        # (nb == B) it is 0 within the block and B at the one-past-end
+        # sample — exactly the old t == B form — and at superblock sizes
+        # (the eventful-superblock program, nb < B) it steps at every
+        # native-block boundary, matching what k sequential native blocks
+        # would produce. When the ramp completes (progress reaches
+        # `remaining`) we snap to `target` exactly — parity with the
+        # reference computing start + mix*(end-start) with mix clamped to 1
+        # (smooth_params.rs).
+        nb = self.native_block
         ar_prog = jnp.minimum(t[None, :], rem[:, None])
-        br_prog = jnp.where(
-            t[None, :] == B, jnp.minimum(B, rem[:, None]), 0
-        )
+        br_prog = jnp.minimum((t[None, :] // nb) * nb, rem[:, None])
         prog = jnp.where((srate == RATE_AUDIO)[:, None], ar_prog, br_prog)
         ramp_done = prog >= rem[:, None]
         vals = jnp.where(
@@ -325,7 +330,11 @@ class PEngine:
             dur = jnp.maximum(cfg_dur, 1)
             stp = (v - c_f) / dur.astype(dtype)
             ar_p = jnp.clip(t - f, 0, dur)
-            br_p = jnp.where(t == B, jnp.minimum(B - f, dur), 0)
+            # block-rate set events stair at native-block boundaries after
+            # the landing frame: progress 0 within the landing native block,
+            # (boundary - f) samples at each later boundary (nb == B reduces
+            # to the old t == B / min(B - f, dur) form)
+            br_p = jnp.clip((t // nb) * nb - f, 0, dur)
             p = jnp.where(slot_rate == RATE_AUDIO, ar_p, br_p)
             ramp_tail = jnp.where(p >= dur, v, c_f + stp * p.astype(dtype))
             imm_tail = jnp.full((B + 1,), v, dtype=dtype)

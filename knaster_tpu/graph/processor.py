@@ -18,13 +18,14 @@ graph_gen.rs:93-109 / task.rs:101-131).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .compile import (CompiledGraph, compile_graph, get_evchunk_fn,
+                      get_full_super_fn, get_full_super_scan_fn,
                       get_super_fn, get_super_scan_fn)
 from .graph import Done, Graph
 from .param_engine import events_from_lists
@@ -187,6 +188,7 @@ class AudioProcessor:
                 )
                 out = _get_full_scan_fn(cg)(cp(base_state), ev_stack, in_stack)
                 jax.block_until_ready(out[1])
+                cg.full_scan_warm.add(sub)
         # the one-dispatch eventful-chunk program, at the chunk length
         # render() will actually request (mirrors its clamps: the
         # render_chunk_blocks cap and the check_done_every=16 default when
@@ -222,6 +224,57 @@ class AudioProcessor:
                           self.graph.dtype),
             )
             jax.block_until_ready(out[1])
+        # the general eventful-superblock chunk program (events anywhere in
+        # the chunk = one dispatch) — superblock-eligible graphs only
+        B = self.graph.block_size
+        fsfn = get_full_super_fn(cg, n_chunk)
+        if fsfn is not None:
+            out = fsfn(
+                cp(base_state), cg.empty_events(),
+                jnp.zeros((self.graph.inputs, n_chunk * B),
+                          self.graph.dtype),
+            )
+            jax.block_until_ready(out[1])
+        else:
+            # capped graphs: the eventful k-superblock scan at the chunk
+            # length (one dispatch for an eventful chunk at the capped
+            # superblock throughput)
+            kc = self._super_scan_k(n_chunk, cg)
+            ssfn = (get_full_super_scan_fn(cg, kc) if kc >= 2 else None)
+            if ssfn is not None:
+                reps = n_chunk // kc
+                ev1 = jax.tree_util.tree_map(np.asarray, cg.empty_events())
+                ev_stack = jax.tree_util.tree_map(
+                    lambda x: np.broadcast_to(
+                        x, (reps,) + x.shape
+                    ).copy(),
+                    ev1,
+                )
+                out = ssfn(
+                    cp(base_state), ev_stack,
+                    jnp.zeros((reps, self.graph.inputs, kc * B),
+                              self.graph.dtype),
+                )
+                jax.block_until_ready(out[1])
+            elif n_chunk >= 2:
+                # superblock-ineligible (feedback edges): warm the whole-
+                # chunk full-program scan and record the length so the
+                # runner may take it for eventful chunks
+                in_stack = jnp.zeros(
+                    (n_chunk, self.graph.inputs, B), self.graph.dtype
+                )
+                ev1 = jax.tree_util.tree_map(np.asarray, cg.empty_events())
+                ev_stack = jax.tree_util.tree_map(
+                    lambda x: np.broadcast_to(
+                        x, (n_chunk,) + x.shape
+                    ).copy(),
+                    ev1,
+                )
+                out = _get_full_scan_fn(cg)(
+                    cp(base_state), ev_stack, in_stack
+                )
+                jax.block_until_ready(out[1])
+                cg.full_scan_warm.add(n_chunk)
 
     def _kick_async_compile(self) -> None:
         import threading
@@ -441,6 +494,38 @@ class AudioProcessor:
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
         )
 
+    def _merged_events_lists(self, per_block):
+        """Combine per-block event lists into ONE set of lists with frames
+        offset to be relative to the first block's start (the eventful
+        superblock programs' frame base), or None when any merged list
+        exceeds its capacity (the caller falls back; `place()` already
+        capped each block at the capacity, but a superblock holds the union
+        of its blocks)."""
+        B = self.graph.block_size
+        cap = self.compiled.event_capacity
+        fl, tl, il = [], [], []
+        nd: Dict[int, list] = {}
+        for bi, (f, t, i, n) in enumerate(per_block):
+            off = bi * B
+            fl.extend((e[0] + off,) + e[1:] for e in f)
+            tl.extend((e[0] + off, e[1]) for e in t)
+            il.extend((e[0] + off,) + e[1:] for e in i)
+            for nid, evs in n.items():
+                nd.setdefault(nid, []).extend(
+                    (e[0] + off,) + e[1:] for e in evs
+                )
+        if len(fl) > cap or len(tl) > cap or len(il) > cap:
+            return None
+        for nid, evs in nd.items():
+            entry = self.compiled.entries.get(nid)
+            if entry is None or len(evs) > entry.ugen.event_capacity:
+                return None
+        return fl, tl, il, nd
+
+    def _merged_events_tensor(self, per_block):
+        lists = self._merged_events_lists(per_block)
+        return None if lists is None else self._events_tensor(lists)
+
     def _zero_inputs(self, frames: Optional[int] = None):
         """Cached zero input buffers: creating a fresh jnp.zeros is one
         eager device op — an RTT-priced RPC over this tunnel, per chunk, in
@@ -457,12 +542,13 @@ class AudioProcessor:
             )
         return buf
 
-    def _super_scan_k(self, sub: int) -> int:
+    def _super_scan_k(self, sub: int, cg: Optional[CompiledGraph] = None) -> int:
         """Largest power-of-two superblock multiple k (>= 2) that divides
         ``sub`` and fits the graph's superblock cap, or 0."""
         from .compile import superblock_eligible
 
-        cg = self.compiled
+        if cg is None:
+            cg = self.compiled
         if not superblock_eligible(cg):
             return 0
         B = self.graph.block_size
@@ -724,6 +810,95 @@ class AudioProcessor:
                     outs.append(out_flat)  # already [ch, n*B]
                     if self.compiled.has_done_actions:
                         self._apply_done_flags(np.asarray(done_vec))
+                    self.graph.clock.frames += n * B
+                    rendered += n
+                    continue
+            # general one-dispatch eventful chunk: events ANYWHERE inside
+            # the chunk ride the eventful superblock program (frames offset
+            # to the chunk start) — mid-chunk live events used to fragment
+            # a chunk into [superblock, eventful block, superblock] = 3+
+            # RTT-priced dispatches, which under-ran the realtime soak.
+            # existing_only: the streaming backend pre-warms this length;
+            # an unwarmed render falls through to the per-run path rather
+            # than paying a jit trace mid-stream.
+            if n >= 2 and any(eventful):
+                fsfn = get_full_super_fn(self.compiled, n, existing_only=True)
+                if fsfn is not None:
+                    ev = self._merged_events_tensor(per_block)
+                    if ev is not None:
+                        self.state, out_flat, done_vec = fsfn(
+                            self.state, ev, in_super_for(rendered, n)
+                        )
+                        outs.append(out_flat)  # already [ch, n*B]
+                        if self.compiled.has_done_actions:
+                            self._apply_done_flags(np.asarray(done_vec))
+                        self.graph.clock.frames += n * B
+                        rendered += n
+                        continue
+                # capped graphs (Pallas banks' kernel ceiling, blockwise
+                # nodes' shortest delay): scan of k-superblock FULL programs
+                # — still one dispatch, events anywhere, at the capped
+                # superblock throughput
+                kc = self._super_scan_k(n)
+                if kc >= 2:
+                    ssfn = get_full_super_scan_fn(
+                        self.compiled, kc, existing_only=True
+                    )
+                    if ssfn is not None:
+                        groups = [
+                            self._merged_events_lists(per_block[i : i + kc])
+                            for i in range(0, n, kc)
+                        ]
+                        if all(g is not None for g in groups):
+                            empty = self._empty_events_np()
+                            tens = [
+                                self._events_tensor(g)
+                                if any(g[:3]) or g[3]
+                                else empty
+                                for g in groups
+                            ]
+                            ev_stack = jax.tree_util.tree_map(
+                                lambda *xs: np.stack(
+                                    [np.asarray(x) for x in xs]
+                                ),
+                                *tens,
+                            )
+                            self.state, out_stack, done_stack = ssfn(
+                                self.state, ev_stack,
+                                in_super_stack_for(rendered, n, kc),
+                            )
+                            outs.append(
+                                jnp.moveaxis(out_stack, 0, 1).reshape(
+                                    self.graph.outputs, -1
+                                )
+                            )
+                            if self.compiled.has_done_actions:
+                                self._apply_done_flags(
+                                    np.asarray(done_stack).any(axis=0)
+                                )
+                            self.graph.clock.frames += n * B
+                            rendered += n
+                            continue
+                # superblock-ineligible graphs (feedback edges): the whole
+                # eventful chunk as ONE full-program scan dispatch — at
+                # per-block rate, but over this tunnel one dispatch beats
+                # the 5-10 the run-splitting below would pay. Warmed lengths
+                # only (jit re-traces per n).
+                if n in self.compiled.full_scan_warm:
+                    ev_stack = self._events_stack(per_block)
+                    scan_fn = _get_full_scan_fn(self.compiled)
+                    self.state, out_stack, done_stack = scan_fn(
+                        self.state, ev_stack, in_stack_for(rendered, n)
+                    )
+                    outs.append(
+                        jnp.moveaxis(out_stack, 0, 1).reshape(
+                            self.graph.outputs, -1
+                        )
+                    )
+                    if self.compiled.has_done_actions:
+                        self._apply_done_flags(
+                            np.asarray(done_stack).any(axis=0)
+                        )
                     self.graph.clock.frames += n * B
                     rendered += n
                     continue
