@@ -451,7 +451,7 @@ class CompiledGraph:
             if f_new:
                 ni = jnp.asarray(f_new, jnp.int32)
                 oi = jnp.asarray(f_old, jnp.int32)
-                for k in ("value", "target", "step", "remaining",
+                for k in ("value", "target", "step", "elapsed", "dur",
                           "smode", "sdur", "srate"):
                     pe[k] = pe[k].at[ni].set(old[k][oi])
             if i_new:

@@ -27,7 +27,16 @@ Event model (per block, statically padded to a capacity):
   int events: (frame, slot, value) — step change from that sample onward.
 
 Slots with no events ride their carried ramp; state is carried across blocks
-as (value, target, step, remaining, smode, sdur, srate).
+as (value, target, step, elapsed, dur, smode, sdur, srate). Ramps are
+**anchored**: ``value`` is the ramp's start value (the trajectory value at the
+set event's frame) and ``elapsed`` counts integer samples since that frame, so
+every materialization computes ``anchor + step * absolute_progress`` in ONE
+float rounding. Any partition of the stream into blocks/superblocks therefore
+produces bit-identical rows AND bit-identical carried state — the per-block
+path, the eventful-superblock program and the fast multi-block program cannot
+drift apart (sequentially advancing a current-value carry re-rounds per block
+and diverges at the ULP level, which phase-accumulating consumers like
+oscillators amplify audibly).
 
 Known deliberate divergence from the reference: for *block-rate* smoothing the
 reference advances the ramp clock by one full block even when the change
@@ -97,7 +106,8 @@ def init_state(layout: ParamLayout, dtype=np.float32) -> Dict[str, jnp.ndarray]:
         "value": jnp.asarray(fd.copy()),
         "target": jnp.asarray(fd.copy()),
         "step": jnp.zeros((layout.n_float,), dtype=dtype),
-        "remaining": jnp.zeros((layout.n_float,), dtype=jnp.int32),
+        "elapsed": jnp.zeros((layout.n_float,), dtype=jnp.int32),
+        "dur": jnp.zeros((layout.n_float,), dtype=jnp.int32),
         "smode": jnp.zeros((layout.n_float,), dtype=jnp.int32),
         "sdur": jnp.zeros((layout.n_float,), dtype=jnp.int32),
         "srate": jnp.zeros((layout.n_float,), dtype=jnp.int32),
@@ -227,18 +237,19 @@ class PEngine:
         nb = self.native_block
         dtype = self.dtype
         t = jnp.arange(B, dtype=jnp.int32)
-        value = state["value"][idx]
+        anchor = state["value"][idx]
         target = state["target"][idx]
         step = state["step"][idx]
-        rem = state["remaining"][idx]
+        E = state["elapsed"][idx]
+        dur = state["dur"][idx]
         srate = state["srate"][idx]
-        ar = jnp.minimum(t[None, :], rem[:, None])
-        br = jnp.minimum((t[None, :] // nb) * nb, rem[:, None])
+        ar = E[:, None] + t[None, :]
+        br = E[:, None] + (t[None, :] // nb) * nb
         prog = jnp.where((srate == RATE_AUDIO)[:, None], ar, br)
         return jnp.where(
-            prog >= rem[:, None],
+            prog >= dur[:, None],
             target[:, None],
-            value[:, None] + step[:, None] * prog.astype(dtype),
+            anchor[:, None] + step[:, None] * prog.astype(dtype),
         )
 
     def advance_fast(self, state):
@@ -246,16 +257,15 @@ class PEngine:
         without materializing any per-sample plane (what the fast program's
         sequential per-block stepping would produce)."""
         B = self.block_size
-        dtype = self.dtype
-        value, target = state["value"], state["target"]
-        step, rem = state["step"], state["remaining"]
-        p = jnp.minimum(B, rem)
-        new_value = jnp.where(p >= rem, target, value + step * p.astype(dtype))
+        dur = state["dur"]
         return {
-            "value": new_value,
-            "target": target,
-            "step": step,
-            "remaining": jnp.maximum(rem - B, 0),
+            "value": state["value"],
+            "target": state["target"],
+            "step": state["step"],
+            # clamping at dur keeps the carry bit-identical between one
+            # superblock advance and k native-block advances (integers)
+            "elapsed": jnp.minimum(state["elapsed"] + B, dur),
+            "dur": dur,
             "smode": state["smode"],
             "sdur": state["sdur"],
             "srate": state["srate"],
@@ -268,15 +278,16 @@ class PEngine:
         dtype = self.dtype
         if Pf == 0:
             return jnp.zeros((0, B), dtype=dtype), {
-                k: state[k] for k in ("value", "target", "step", "remaining",
-                                       "smode", "sdur", "srate")
+                k: state[k] for k in ("value", "target", "step", "elapsed",
+                                       "dur", "smode", "sdur", "srate")
             }
-        t = jnp.arange(B + 1, dtype=jnp.int32)  # one-past-end for next base
+        t = jnp.arange(B + 1, dtype=jnp.int32)  # one-past-end for c_f reads
 
-        value = state["value"]
+        anchor = state["value"]
         target = state["target"]
         step = state["step"]
-        rem = state["remaining"]
+        el0 = state["elapsed"]
+        dur0 = state["dur"]
         smode = state["smode"]
         sdur = state["sdur"]
         srate = state["srate"]
@@ -285,31 +296,36 @@ class PEngine:
         # holds within each NATIVE block and advances at its boundary.
         # ``(t // nb) * nb`` is the stair: at the engine's native size
         # (nb == B) it is 0 within the block and B at the one-past-end
-        # sample — exactly the old t == B form — and at superblock sizes
-        # (the eventful-superblock program, nb < B) it steps at every
-        # native-block boundary, matching what k sequential native blocks
-        # would produce. When the ramp completes (progress reaches
-        # `remaining`) we snap to `target` exactly — parity with the
-        # reference computing start + mix*(end-start) with mix clamped to 1
+        # sample, and at superblock sizes (the eventful-superblock program,
+        # nb < B) it steps at every native-block boundary. Progress is the
+        # ABSOLUTE sample count since the ramp's anchor frame (``elapsed``
+        # carries it across blocks), so the value at any sample is
+        # ``anchor + step * progress`` in one rounding — bit-identical for
+        # every block partition. When the ramp completes (progress reaches
+        # ``dur``) we snap to `target` exactly — parity with the reference
+        # computing start + mix*(end-start) with mix clamped to 1
         # (smooth_params.rs).
         nb = self.native_block
-        ar_prog = jnp.minimum(t[None, :], rem[:, None])
-        br_prog = jnp.minimum((t[None, :] // nb) * nb, rem[:, None])
+        ar_prog = el0[:, None] + t[None, :]
+        br_prog = el0[:, None] + (t[None, :] // nb) * nb
         prog = jnp.where((srate == RATE_AUDIO)[:, None], ar_prog, br_prog)
-        ramp_done = prog >= rem[:, None]
+        ramp_done = prog >= dur0[:, None]
         vals = jnp.where(
             ramp_done,
             target[:, None],
-            value[:, None] + step[:, None] * prog.astype(dtype),
+            anchor[:, None] + step[:, None] * prog.astype(dtype),
         )
 
-        rem_next = jnp.maximum(rem - B, 0)
+        el_next = jnp.minimum(el0 + B, dur0)
+        dur_next = dur0
 
         E = events["f_slot"].shape[0]
-        carry = (vals, target, step, rem_next, smode, sdur, srate)
+        carry = (vals, anchor, target, step, el_next, dur_next,
+                 smode, sdur, srate)
 
         def body(e, carry):
-            vals, target, step, rem_next, smode, sdur, srate = carry
+            (vals, anchor, target, step, el_next, dur_next,
+             smode, sdur, srate) = carry
             s_raw = events["f_slot"][e]
             valid = s_raw >= 0
             s = jnp.maximum(s_raw, 0)
@@ -342,9 +358,14 @@ class PEngine:
             tail = jnp.where(is_cfg, frz_tail, jnp.where(is_ramp_set, ramp_tail, imm_tail))
             new_row = jnp.where(t >= f, tail, row)
 
+            # a ramp set re-anchors at the event frame (anchor = the old
+            # trajectory's value there); cfg freezes the ramp at that value;
+            # an immediate set is a zero-length ramp parked at its target
+            new_anchor = jnp.where(is_cfg | is_ramp_set, c_f, v)
             new_target = jnp.where(is_cfg, c_f, v)
             new_step = jnp.where(is_ramp_set, stp, jnp.zeros((), dtype=dtype))
-            new_rem = jnp.where(is_ramp_set, jnp.maximum(dur - (B - f), 0), 0)
+            new_dur = jnp.where(is_ramp_set, dur, 0)
+            new_el = jnp.where(is_ramp_set, jnp.minimum(B - f, dur), 0)
             new_smode = jnp.where(is_cfg, events["f_smode"][e], smode[s])
             new_sdur = jnp.where(is_cfg, events["f_sdur"][e], sdur[s])
             new_srate = jnp.where(is_cfg, events["f_srate"][e], srate[s])
@@ -355,9 +376,11 @@ class PEngine:
             vals = vals.at[s].set(jnp.where(valid, new_row, row))
             return (
                 vals,
+                u(anchor, new_anchor),
                 u(target, new_target),
                 u(step, new_step),
-                u(rem_next, new_rem),
+                u(el_next, new_el),
+                u(dur_next, new_dur),
                 u(smode, new_smode),
                 u(sdur, new_sdur),
                 u(srate, new_srate),
@@ -366,7 +389,8 @@ class PEngine:
         # the sequential event fold only runs when this block has any float
         # events — most blocks don't, and the fold is the expensive part
         has_events = jnp.any(events["f_slot"] >= 0)
-        vals, target, step, rem_next, smode, sdur, srate = jax.lax.cond(
+        (vals, anchor, target, step, el_next, dur_next,
+         smode, sdur, srate) = jax.lax.cond(
             has_events,
             lambda c: jax.lax.fori_loop(0, E, body, c),
             lambda c: c,
@@ -375,10 +399,11 @@ class PEngine:
 
         pf = vals[:, :B]
         new_state = {
-            "value": vals[:, B],
+            "value": anchor,
             "target": target,
             "step": step,
-            "remaining": rem_next,
+            "elapsed": el_next,
+            "dur": dur_next,
             "smode": smode,
             "sdur": sdur,
             "srate": srate,

@@ -230,6 +230,7 @@ def _env_asr(stage, t, rscale, restart, release, atk, rel):
         jnp.where(stage == 3.0, t - rel, t),
     )
     to_sus = (stage == 1.0) & (t_next >= one)
+    t_next = jnp.where(to_sus, one, t_next)  # pin sustain t (see EnvAsr)
     done = (stage == 3.0) & (t_next <= zero)
     stage = jnp.where(to_sus, np.float32(2.0), stage)
     stage = jnp.where(done, zero, stage)
@@ -255,6 +256,7 @@ def _env_asr_free(stage, t, rscale, atk, rel):
         jnp.where(stage == 3.0, t - rel, t),
     )
     to_sus = (stage == 1.0) & (t_next >= one)
+    t_next = jnp.where(to_sus, one, t_next)  # pin sustain t (see EnvAsr)
     done = (stage == 3.0) & (t_next <= zero)
     stage = jnp.where(to_sus, np.float32(2.0), stage)
     stage = jnp.where(done, zero, stage)

@@ -92,7 +92,8 @@ class EnvAsr(UGen):
         out_atk = jnp.where(
             atk_any & (jnp.arange(B) > k_atk), one, e_atk
         )
-        t_atk_final = jnp.where(atk_any, inc_atk[k_atk], inc_atk[B - 1])
+        # pin t to exactly 1 on the sustain transition (matches the scan)
+        t_atk_final = jnp.where(atk_any, one, inc_atk[B - 1])
         stage_atk_final = jnp.where(atk_any, SUSTAINING, ATTACKING)
 
         inc_rel = t0 - jnp.cumsum(rel_rate)
@@ -163,6 +164,12 @@ class EnvAsr(UGen):
                 jnp.where(stage == RELEASING, t - x["rel_rate"], t),
             )
             to_sustain = (stage == ATTACKING) & (t_next >= one)
+            # pin t to exactly 1 in sustain: the summation-order-dependent
+            # overshoot (t can land anywhere in [1, 1+atk_rate)) is otherwise
+            # carried silently and re-emitted for one sample by a restart
+            # while sustaining — the closed form / long-scan / per-block
+            # paths would round differently and pop differently
+            t_next = jnp.where(to_sustain, one, t_next)
             done = (stage == RELEASING) & (t_next <= zero)
             stage = jnp.where(to_sustain, SUSTAINING, stage)
             stage = jnp.where(done, STOPPED, stage)
