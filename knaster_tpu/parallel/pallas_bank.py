@@ -9,8 +9,10 @@ per-sample loop is a register loop instead of an XLA scan.
 **Sample-accurate control, identical to the vmap path** (the reference's
 WrPreciseTiming semantics, wrappers_core/precise_timing.rs:65-114, at bank
 scale): per-voice float sets and smoothing ramps are materialized *per
-sample inside the kernel* — each float param arrives as its block-start
-linear-ramp trajectory (value/step/remaining/target per voice) plus, in
+sample inside the kernel* — each float param arrives as its ANCHORED
+linear-ramp trajectory (anchor value/step/elapsed/duration/target per
+voice; the in-kernel value is anchor + step * absolute_progress in one
+rounding, so every block partitioning is bit-identical) plus, in
 eventful blocks, ``kernel_burst_depth`` per-round trajectory breakpoints
 (``VoiceBank._apply_events_breakpoints``), and the kernel folds the same
 piecewise select structure as ``VoiceBank.process``'s round fold — exact
@@ -53,7 +55,7 @@ _IDX_SCALE = np.float32(2.0 * np.pi / TABLE_SIZE)
 _HALF_PI = np.float32(np.pi / 2.0)
 
 # ramp-operand group sizes (see _ramp_operands)
-N_FAST, N_EVENTFUL = 4, 9
+N_FAST, N_EVENTFUL = 5, 10
 
 
 # generous block cap: the per-tile [1, B, LANES] out buffers and the
@@ -130,24 +132,31 @@ def _cap_tile_rows(tile_rows: int, n_voices: int) -> int:
 def _mat(i_f, g):
     """Materialize one float param at sample ``i`` from its ramp group.
 
-    Mirrors VoiceBank.process's ``materialize`` + event-piece selects:
-    eventful blocks fold D per-round trajectory BREAKPOINTS (the device
-    round fold ``_apply_events_breakpoints`` — exact same-block burst
-    semantics up to D events per slot): piece r anchors at its event frame
-    — ``where(i-frame >= rem, target, v0 + step*(i-frame))`` — and wins
+    Mirrors VoiceBank.process's ``materialize`` + event-piece selects.
+    Trajectories are ANCHORED: the base group's (v0, step) describe the
+    ramp at its anchor frame and ``el`` is the progress already elapsed at
+    sample 0, so the value at sample i is ``v0 + step * (i + el)`` in ONE
+    rounding — identical for every block partitioning of the render (a
+    per-block re-anchored v0 re-rounds at each boundary). Eventful blocks
+    fold D per-round trajectory BREAKPOINTS (the device round fold
+    ``_apply_events_breakpoints`` — exact same-block burst semantics up to
+    D events per slot): piece r anchors at its own event frame —
+    ``where(i-frame >= dur, target, v0 + step*(i-frame))`` — and wins
     from that frame on (untouched rounds carry the ``frame = B`` sentinel,
-    so their select is a no-op). ``g`` is 4 refs (fast, block-start
-    trajectory anchored at 0) or 9 (eventful): (v0, step, rem, tgt) base
-    tiles plus (rv0, rstep, rrem, rtgt, rframe) round refs of block shape
+    so their select is a no-op). ``g`` is 5 refs (fast):
+    (v0, step, el, dur, tgt) base tiles — or 10 (eventful): those plus
+    (rv0, rstep, rdur, rtgt, rframe) round refs of block shape
     [D, rows, LANES]."""
     if len(g) == N_EVENTFUL:
-        acc = jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
-        for r in range(g[4].shape[0]):
-            ln = i_f - g[8][r]
-            v = jnp.where(ln >= g[6][r], g[7][r], g[4][r] + g[5][r] * ln)
-            acc = jnp.where(i_f >= g[8][r], v, acc)
+        prog = i_f + g[2][:]
+        acc = jnp.where(prog >= g[3][:], g[4][:], g[0][:] + g[1][:] * prog)
+        for r in range(g[5].shape[0]):
+            ln = i_f - g[9][r]
+            v = jnp.where(ln >= g[7][r], g[8][r], g[5][r] + g[6][r] * ln)
+            acc = jnp.where(i_f >= g[9][r], v, acc)
         return acc
-    return jnp.where(i_f >= g[2][:], g[3][:], g[0][:] + g[1][:] * i_f)
+    prog = i_f + g[2][:]
+    return jnp.where(prog >= g[3][:], g[4][:], g[0][:] + g[1][:] * prog)
 
 
 def _trig_bit(i, words_ref):
@@ -313,32 +322,33 @@ def _env_ar_free(stage, t, atk, rel):
 
 def _ramp_operands(bank, fstate, dtype):
     """Flat list of [R, LANES] ramp tiles for the event-free fast program,
-    one (v0, step, rem, tgt) group per float param in ``bank._float_names``
-    order (the block-start trajectory, anchored at sample 0). ``rem`` is
-    cast to the compute dtype so the ramp-done comparison against the
-    sample index is one VPU select."""
+    one ANCHORED (v0, step, el, dur, tgt) group per float param in
+    ``bank._float_names`` order (v0/step at the ramp's anchor frame, ``el``
+    the progress already elapsed at this block's sample 0). ``el``/``dur``
+    are cast to the compute dtype so the in-kernel progress add and
+    ramp-done comparison are single VPU ops."""
     R = bank.n_voices // LANES
 
     def g2(x):
         return x.reshape(R, LANES)
 
-    fvals, ftgt, fstep, frem, _ = fstate
+    fvals, ftgt, fstep, fel, fdur, _ = fstate
     ops = []
     for p in range(len(bank._float_names)):
-        ops += [g2(fvals[p]), g2(fstep[p]),
-                g2(frem[p].astype(dtype)), g2(ftgt[p])]
+        ops += [g2(fvals[p]), g2(fstep[p]), g2(fel[p].astype(dtype)),
+                g2(fdur[p].astype(dtype)), g2(ftgt[p])]
     return ops
 
 
 def _ramp_operands_bursts(bank, state, pieces, dtype):
-    """Eventful-block ramp operands: per float param, the 4 block-start
-    trajectory tiles ([R, LANES], pre-event state anchored at 0) plus the 5
+    """Eventful-block ramp operands: per float param, the 5 block-start
+    anchored trajectory tiles ([R, LANES], pre-event state) plus the 5
     round refs ([D, R, LANES]) from ``_apply_events_breakpoints`` — the
     per-round trajectory breakpoints the kernel folds per sample (exact
     same-block bursts up to D = ``kernel_burst_depth`` events per slot).
-    ``rem``/``frame`` components are cast to the compute dtype."""
+    ``el``/``dur``/``frame`` components are cast to the compute dtype."""
     R = bank.n_voices // LANES
-    bv0, bstep, brem, btgt, bframe = pieces
+    bv0, bstep, bdur, btgt, bframe = pieces
     D = bv0.shape[0]
 
     def g2(x):
@@ -350,9 +360,11 @@ def _ramp_operands_bursts(bank, state, pieces, dtype):
     ops = []
     for p in range(len(bank._float_names)):
         ops += [g2(state["fvals"][p]), g2(state["fstep"][p]),
-                g2(state["frem"][p].astype(dtype)), g2(state["ftarget"][p]),
+                g2(state["felapsed"][p].astype(dtype)),
+                g2(state["fdur"][p].astype(dtype)),
+                g2(state["ftarget"][p]),
                 g3(bv0[:, p]), g3(bstep[:, p]),
-                g3(brem[:, p].astype(dtype)), g3(btgt[:, p]),
+                g3(bdur[:, p].astype(dtype)), g3(btgt[:, p]),
                 g3(bframe[:, p].astype(dtype))]
     return ops
 
@@ -360,12 +372,13 @@ def _ramp_operands_bursts(bank, state, pieces, dtype):
 def _fold_act(bank, ramp_ops, act):
     """Event-free blocks fold the block-constant active gain into the amp
     ramp group host-side: ``act`` is exactly 0 or 1, so scaling (v0, step,
-    tgt) — never ``rem`` — makes ``_mat(i, AMP)`` produce ``amp * act``
-    bit-exactly while the kernel drops one ref load and mul per sample.
-    Must run on the 4-tile fast layout BEFORE any pan-pack swap."""
+    tgt) — never ``el``/``dur`` — makes ``_mat(i, AMP)`` produce
+    ``amp * act`` bit-exactly while the kernel drops one ref load and mul
+    per sample. Must run on the 5-tile fast layout BEFORE any pan-pack
+    swap."""
     base = N_FAST * bank.float_index("amp")
     out = list(ramp_ops)
-    for j in (0, 1, 3):
+    for j in (0, 1, 4):
         out[base + j] = out[base + j] * act
     return out
 
@@ -380,22 +393,21 @@ def _bank_setup(bank, ctx, state, events):
     dtype = ctx.dtype
     R = bank.n_voices // LANES
     if events is None:
-        (fstate, ivals, active, _, fframe, _iinfo, idle,
+        (fstate, ivals, active, _, _fframe, _iinfo, idle,
          _old) = bank._apply_events(ctx, state, events, trig_tensor=False)
         ramp_ops = _ramp_operands(bank, fstate, dtype)
         ng = N_FAST
     else:
-        (fstate, anchor, pieces, ivals, active,
+        (fstate, pieces, ivals, active,
          idle) = bank._apply_events_breakpoints(ctx, state, events)
         ramp_ops = _ramp_operands_bursts(bank, state, pieces, dtype)
         ng = N_EVENTFUL
-        fframe = anchor
     atk = jnp.full((R, LANES), 1.0 / max(bank._attack * ctx.sample_rate, 1.0),
                    dtype)
     rel = jnp.full((R, LANES), 1.0 / max(bank._release * ctx.sample_rate, 1.0),
                    dtype)
     act = active.astype(dtype).reshape(R, LANES)
-    return fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, idle
+    return fstate, ivals, active, ramp_ops, ng, atk, rel, act, idle
 
 
 def _op_specs(pl, ops, TR):
@@ -448,15 +460,20 @@ def _pan_fast_operands(bank, fstate, dtype):
     the common case is then *exact*), the post-ramp target gains, and the
     ramp end frame. 6 transcendentals per block instead of 2 per sample."""
     i = bank.float_index("pan")
-    fvals, ftgt, fstep, frem, _ = fstate
-    a0 = (fvals[i] * 0.5 + 0.5) * _HALF_PI
+    fvals, ftgt, fstep, fel, fdur, _ = fstate
+    # value at this block's sample 0 from the anchored trajectory (the
+    # rotation approximates mid-ramp gains anyway; the post-ramp target
+    # gains — the steady state — are exact)
+    v0 = jnp.where(fel[i] >= fdur[i], ftgt[i],
+                   fvals[i] + fstep[i] * fel[i].astype(dtype))
+    a0 = (v0 * 0.5 + 0.5) * _HALF_PI
     da = fstep[i] * np.float32(np.pi / 4.0)  # d(angle)/d(sample)
     at = (ftgt[i] * 0.5 + 0.5) * _HALF_PI
     g2 = lambda x: _grid2(bank, x.astype(dtype))
     return [g2(jnp.cos(a0)), g2(jnp.sin(a0)),
             g2(jnp.cos(da)), g2(jnp.sin(da)),
             g2(jnp.cos(at)), g2(jnp.sin(at)),
-            g2(frem[i].astype(dtype))]
+            g2((fdur[i] - fel[i]).astype(dtype))]
 
 
 N_PAN_FAST = 7
@@ -465,10 +482,10 @@ N_PAN_FAST = 7
 def _pan_gains(i_f, g, carry):
     """Per-sample equal-power pan gains.
 
-    Eventful blocks (``g`` is a 9-tile ramp group): materialize pan and take
-    cos/sin exactly like Pan2. Fast blocks (``g`` is the 7-tile rotation
-    pack): select the rotating phasor until the ramp ends, the precomputed
-    target gains after. Returns (panl, panr, carry')."""
+    Eventful blocks (``g`` is a 10-tile ramp group): materialize pan and
+    take cos/sin exactly like Pan2. Fast blocks (``g`` is the 7-tile
+    rotation pack): select the rotating phasor until the ramp ends, the
+    precomputed target gains after. Returns (panl, panr, carry')."""
     if len(g) == N_EVENTFUL:
         angle = (_mat(i_f, g) * np.float32(0.5) + np.float32(0.5)) * _HALF_PI
         return jnp.cos(angle), jnp.sin(angle), carry
@@ -614,7 +631,7 @@ class PallasSineVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+        fstate, ivals, active, ramp_ops, ng, atk, rel, act, \
             idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
         if ng == N_FAST:
@@ -669,12 +686,12 @@ class PallasSineVoiceBank(VoiceBank):
         out = jnp.stack(
             [jnp.sum(partial_l, axis=(0, 2)), jnp.sum(partial_r, axis=(0, 2))]
         )  # [2, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
-            fstate, B, dtype, fframe
+        fvals, ftarget, fstep, felapsed, fdur, fsdur = self._advance_ramps(
+            fstate, B
         )
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
-            "frem": frem, "fsdur": fsdur,
+            "felapsed": felapsed, "fdur": fdur, "fsdur": fsdur,
             "ivals": ivals, "active": active,
             "idle": idle | (stage.reshape(-1) == 0),
             "phase": phase, "stage": stage, "t": t, "rscale": rscale,
@@ -805,7 +822,7 @@ class PallasFMVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+        fstate, ivals, active, ramp_ops, ng, atk, rel, act, \
             idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
 
@@ -846,11 +863,11 @@ class PallasFMVoiceBank(VoiceBank):
         )(*ramp_ops, *extras)
         partial_mix, phm, phc, stage, t = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
-            fstate, B, dtype, fframe)
+        fvals, ftarget, fstep, felapsed, fdur, fsdur = self._advance_ramps(
+            fstate, B)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
-            "frem": frem, "fsdur": fsdur,
+            "felapsed": felapsed, "fdur": fdur, "fsdur": fsdur,
             "ivals": ivals, "active": active,
             "idle": idle | (stage.reshape(-1) == 0),
             "phm": phm, "phc": phc, "stage": stage, "t": t,
@@ -1022,7 +1039,7 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+        fstate, ivals, active, ramp_ops, ng, atk, rel, act, \
             idle = _bank_setup(self, ctx, state, events)
         inv_sr = np.float32(1.0 / ctx.sample_rate)
 
@@ -1070,11 +1087,11 @@ class PallasSubtractiveVoiceBank(VoiceBank):
         )(*ramp_ops, *extras)
         partial_mix, t, ic1, ic2, stage, et, rscale = outs
         out = jnp.sum(partial_mix, axis=(0, 2))[None, :]  # [1, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
-            fstate, B, dtype, fframe)
+        fvals, ftarget, fstep, felapsed, fdur, fsdur = self._advance_ramps(
+            fstate, B)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
-            "frem": frem, "fsdur": fsdur,
+            "felapsed": felapsed, "fdur": fdur, "fsdur": fsdur,
             "ivals": ivals, "active": active,
             "idle": idle | (stage.reshape(-1) == 0),
             "t": t, "ic1": ic1, "ic2": ic2, "stage": stage, "et": et,
@@ -1250,7 +1267,7 @@ class PallasWavetableVoiceBank(VoiceBank):
         n_tiles = R // TR
         dtype = ctx.dtype
 
-        fstate, ivals, active, fframe, ramp_ops, ng, atk, rel, act, \
+        fstate, ivals, active, ramp_ops, ng, atk, rel, act, \
             idle = _bank_setup(self, ctx, state, events)
         f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
         if ng == N_FAST:
@@ -1314,11 +1331,11 @@ class PallasWavetableVoiceBank(VoiceBank):
         out = jnp.stack(
             [jnp.sum(partial_l, axis=(0, 2)), jnp.sum(partial_r, axis=(0, 2))]
         )  # [2, B]
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
-            fstate, B, dtype, fframe)
+        fvals, ftarget, fstep, felapsed, fdur, fsdur = self._advance_ramps(
+            fstate, B)
         new_state = {
             "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
-            "frem": frem, "fsdur": fsdur,
+            "felapsed": felapsed, "fdur": fdur, "fsdur": fsdur,
             "ivals": ivals, "active": active,
             "idle": idle | (stage.reshape(-1) == 0),
             "phase": phase, "stage": stage, "t": t, "rscale": rscale,

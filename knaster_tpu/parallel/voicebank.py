@@ -161,7 +161,15 @@ class VoiceBank(UGen):
             "fvals": jnp.asarray(fvals),
             "ftarget": jnp.asarray(fvals.copy()),
             "fstep": jnp.zeros((nf, V), dtype=ctx.dtype),
-            "frem": jnp.zeros((nf, V), dtype=jnp.int32),
+            # anchored ramps (see param_engine): ``fvals`` is the ramp's
+            # ANCHOR value (the trajectory value at the last set event's
+            # frame), ``felapsed`` counts integer samples since that frame
+            # at block start, ``fdur`` the ramp's total length. Every
+            # materialization computes anchor + step * absolute_progress in
+            # ONE float rounding, so any block partitioning of a render is
+            # bit-identical (a current-value carry re-rounds per block)
+            "felapsed": jnp.zeros((nf, V), dtype=jnp.int32),
+            "fdur": jnp.zeros((nf, V), dtype=jnp.int32),
             "fsdur": jnp.zeros((nf, V), dtype=jnp.int32),
             "ivals": jnp.asarray(ivals),
             "active": jnp.ones((V,), dtype=bool),
@@ -319,17 +327,20 @@ class VoiceBank(UGen):
     def _apply_events(self, ctx: AudioCtx, state, events, trig_tensor=True):
         """Apply the bank event channel: returns (fstate, ivals, active,
         trig [n_trig, V, B], fframe, iinfo, idle, old_fstate) where fstate =
-        (fvals, ftarget, fstep, frem, fsdur) carrying per-(param, voice)
-        linear smoothing ramps, fframe is the per-(param, voice) float-event
-        frame (ramps and sets anchor there), iinfo = (iframe [ni, V],
-        iset [ni, V, B] or None) carries the int-set frames and the
-        retrigger set mask, and old_fstate = (fvals, ftarget, fstep, frem)
-        is the PRE-set trajectory for the before-the-event-frame samples —
-        the block-start state with any smoothing-config freeze applied (a
-        cfg event at frame f stops an in-flight ramp there, engine
-        KIND_SMOOTH_CFG parity). ``trig_tensor=False`` skips the
-        [n_trig, V, B] boolean plane (the Pallas banks read packed bitmasks
-        via ``_packed_trigs`` instead)."""
+        (fvals, ftarget, fstep, felapsed, fdur, fsdur) carrying anchored
+        per-(param, voice) linear smoothing ramps (fvals = anchor value,
+        felapsed = samples since the anchor frame at block start — set
+        events write ``-frame`` so local progress is uniformly
+        ``felapsed + t`` — fdur = ramp length), fframe is the
+        per-(param, voice) float-event frame (the old/new trajectory
+        select), iinfo = (iframe [ni, V], iset [ni, V, B] or None) carries
+        the int-set frames and the retrigger set mask, and old_fstate =
+        (fvals, ftarget, fstep, felapsed, fdur) is the PRE-set trajectory
+        for the before-the-event-frame samples — the block-start state with
+        any smoothing-config freeze applied (a cfg event at frame f stops
+        an in-flight ramp there, engine KIND_SMOOTH_CFG parity).
+        ``trig_tensor=False`` skips the [n_trig, V, B] boolean plane (the
+        Pallas banks read packed bitmasks via ``_packed_trigs`` instead)."""
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
@@ -340,16 +351,17 @@ class VoiceBank(UGen):
             # O(capacity) sequential updates). fframe=None tells process the
             # pre/post trajectories coincide.
             fstate = (state["fvals"], state["ftarget"], state["fstep"],
-                      state["frem"], state["fsdur"])
+                      state["felapsed"], state["fdur"], state["fsdur"])
             trig = (jnp.zeros((max(n_trig_, 1), V, B), bool)
                     if trig_tensor else None)
             return (fstate, state["ivals"], state["active"], trig, None,
                     (None, None), state["idle"], None)
 
-        fvals = state["fvals"]  # [nf, V] value at block start
+        fvals = state["fvals"]  # [nf, V] ramp anchor value
         ftarget = state["ftarget"]
         fstep = state["fstep"]
-        frem = state["frem"]  # i32 frames of ramp left
+        felapsed = state["felapsed"]  # i32 samples ramped by block start
+        fdur = state["fdur"]  # i32 total ramp length
         fsdur = state["fsdur"]  # i32 configured smoothing duration
         ivals = state["ivals"]  # [ni, V]
         active = state["active"]
@@ -378,15 +390,15 @@ class VoiceBank(UGen):
 
         nf = fvals.shape[0]
         fframe = jnp.zeros((max(nf, 1), V), jnp.int32)
-        old_fstate = (fvals, ftarget, fstep, frem)
+        old_fstate = (fvals, ftarget, fstep, felapsed, fdur)
         if nf:
             old_fsdur = fsdur
             # smoothing config (kind 4): value = ramp duration in frames.
             # Engine parity (param_engine KIND_SMOOTH_CFG): a cfg event at
             # frame f_c FREEZES an in-flight ramp at its value there. A
             # ramp-then-hold trajectory expresses that exactly: clamp the
-            # slot's remaining ramp frames to f_c and retarget the frozen
-            # value, leaving v0/step untouched.
+            # slot's total duration to the absolute progress at f_c and
+            # retarget the frozen value, leaving anchor/step/elapsed alone.
             sel_c = valid & (kind == 4)
             v_c = jnp.where(sel_c, voice, V)
             p_c = jnp.clip(param, 0, nf - 1)
@@ -397,16 +409,14 @@ class VoiceBank(UGen):
             cfg_frame = pad(jnp.zeros((nf, V), jnp.int32)).at[p_c, v_c].set(
                 frame
             )[:, :V]
-            frozen_rem = jnp.where(
-                has_cfg, jnp.minimum(frem, cfg_frame), frem
-            )
+            cfg_prog = felapsed + cfg_frame  # absolute progress at f_c
+            cut = has_cfg & (fdur > cfg_prog)
             frozen_tgt = jnp.where(
-                has_cfg & (frem > cfg_frame),
-                fvals + fstep * cfg_frame.astype(dtype),
-                ftarget,
+                cut, fvals + fstep * cfg_prog.astype(dtype), ftarget
             )
-            frem, ftarget = frozen_rem, frozen_tgt
-            old_fstate = (fvals, ftarget, fstep, frem)
+            fdur = jnp.where(cut, cfg_prog, fdur)
+            ftarget = frozen_tgt
+            old_fstate = (fvals, ftarget, fstep, felapsed, fdur)
             # float set (kind 0): jump, or start a linear ramp if configured
             sel = valid & (kind == 0)
             v_sel = jnp.where(sel, voice, V)
@@ -428,11 +438,13 @@ class VoiceBank(UGen):
             # cfg earlier in the block anchors the set at the frozen value
             old_v0 = pad(fvals)[p_sel, v_sel]
             old_step = pad(fstep)[p_sel, v_sel]
-            old_rem = pad(frem)[p_sel, v_sel]
+            old_el = pad(felapsed)[p_sel, v_sel]
+            old_dur = pad(fdur)[p_sel, v_sel]
             old_tgt = pad(ftarget)[p_sel, v_sel]
+            ln_e = old_el + frame  # absolute progress at the event frame
             cur = jnp.where(
-                frame >= old_rem, old_tgt,
-                old_v0 + old_step * frame.astype(dtype),
+                ln_e >= old_dur, old_tgt,
+                old_v0 + old_step * ln_e.astype(dtype),
             )
             ramp = dur > 0
             new_step = jnp.where(
@@ -450,11 +462,16 @@ class VoiceBank(UGen):
                 value,
             )
             new_val = jnp.where(ramp, cur, value)
-            new_rem = jnp.where(ramp, eff_dur, 0)
+            new_dur = jnp.where(ramp, eff_dur, 0)
             fvals = pad(fvals).at[p_sel, v_sel].set(new_val)[:, :V]
             ftarget = pad(ftarget).at[p_sel, v_sel].set(new_tgt)[:, :V]
             fstep = pad(fstep).at[p_sel, v_sel].set(new_step)[:, :V]
-            frem = pad(frem).at[p_sel, v_sel].set(new_rem)[:, :V]
+            fdur = pad(fdur).at[p_sel, v_sel].set(new_dur)[:, :V]
+            # the new ramp anchors at the event frame: elapsed-at-block-start
+            # is -frame, so local progress ``felapsed + t`` = t - frame and
+            # the uniform integer advance min(felapsed + B, fdur) lands on
+            # B - frame frames ramped by the boundary
+            felapsed = pad(felapsed).at[p_sel, v_sel].set(-frame)[:, :V]
             # sample-accurate sets: remember the event frame per slot so the
             # materialization keeps the OLD trajectory before it and anchors
             # the new one (ramp progress counts from this frame)
@@ -503,8 +520,8 @@ class VoiceBank(UGen):
             trig = trig[:, :V, :]
         else:
             trig = None
-        return ((fvals, ftarget, fstep, frem, fsdur), ivals, active, trig,
-                fframe, (iframe, iset), idle, old_fstate)
+        return ((fvals, ftarget, fstep, felapsed, fdur, fsdur), ivals,
+                active, trig, fframe, (iframe, iset), idle, old_fstate)
 
     def _apply_events_rounds(self, ctx: AudioCtx, state, events):
         """Exact same-block burst semantics (graph-engine parity): apply
@@ -518,11 +535,13 @@ class VoiceBank(UGen):
         Per round and slot there is at most ONE float-family event (set OR
         smoothing cfg — they share a round space), so the single-round
         path's set-vs-cfg frame-order special cases disappear: ordering IS
-        the round sequence. Trajectories carry a per-slot ``anchor`` frame
-        (the last event's frame) so each round's "value at frame f" reads
-        the true in-flight trajectory (the engine's c_f = row[f]).
+        the round sequence. Trajectories are ANCHORED (fvals = anchor
+        value, felapsed = progress at local frame 0, set events write
+        ``-frame``), so each round's "value at frame f" reads the true
+        in-flight trajectory (the engine's c_f = row[f]) at absolute
+        progress ``felapsed + f`` in one rounding.
 
-        Returns (planes_f [nf,V,B]|None, fstate, anchor, ivals,
+        Returns (planes_f [nf,V,B]|None, fstate, ivals,
         planes_i [ni,V,B]|None, iset, trig, active, idle)."""
         V = self.n_voices
         B = ctx.block_size
@@ -548,25 +567,24 @@ class VoiceBank(UGen):
         def scat(arr, p_sel, v_sel, vals):
             return pad(arr).at[p_sel, v_sel].set(vals)[:, :V]
 
-        def traj(fvals, ftarget, fstep, frem, anchor):
-            ln = t_idx[None, None, :] - anchor[:, :, None]
+        def traj(fvals, ftarget, fstep, felapsed, fdur):
+            ln = felapsed[:, :, None] + t_idx[None, None, :]
             return jnp.where(
-                ln >= frem[:, :, None],
+                ln >= fdur[:, :, None],
                 ftarget[:, :, None],
                 fvals[:, :, None] + fstep[:, :, None] * ln.astype(dtype),
             )
 
-        anchor0 = jnp.zeros((max(nf, 1), V), jnp.int32)
         carry = {
             "fvals": state["fvals"], "ftarget": state["ftarget"],
-            "fstep": state["fstep"], "frem": state["frem"],
+            "fstep": state["fstep"], "felapsed": state["felapsed"],
+            "fdur": state["fdur"],
             "fsdur": state["fsdur"], "ivals": state["ivals"],
-            "anchor": anchor0,
         }
         if nf:
             carry["pf"] = traj(
                 state["fvals"], state["ftarget"], state["fstep"],
-                state["frem"], anchor0,
+                state["felapsed"], state["fdur"],
             )
         if ni:
             carry["pi"] = jnp.broadcast_to(
@@ -576,12 +594,12 @@ class VoiceBank(UGen):
         def body(r, c):
             if nf:
                 fvals, ftarget = c["fvals"], c["ftarget"]
-                fstep, frem = c["fstep"], c["frem"]
-                fsdur, anchor, pf = c["fsdur"], c["anchor"], c["pf"]
+                fstep, felapsed = c["fstep"], c["felapsed"]
+                fdur, fsdur, pf = c["fdur"], c["fsdur"], c["pf"]
                 # smoothing config (kind 4) freezes the in-flight
                 # trajectory at its frame (engine KIND_SMOOTH_CFG): clamp
-                # the remaining ramp to the cfg frame and retarget the
-                # value reached there
+                # the ramp's total duration to the absolute progress at the
+                # cfg frame and retarget the value reached there
                 sel_c = valid & (kind == 4) & (rnd == r)
                 v_c = jnp.where(sel_c, voice, V)
                 p_c = jnp.clip(param, 0, nf - 1)
@@ -590,13 +608,13 @@ class VoiceBank(UGen):
                 cfg_frame = scat(
                     jnp.zeros((nf, V), jnp.int32), p_c, v_c, frame
                 )
-                ln_c = cfg_frame - anchor
+                ln_c = felapsed + cfg_frame
                 cur_c = jnp.where(
-                    ln_c >= frem, ftarget,
+                    ln_c >= fdur, ftarget,
                     fvals + fstep * ln_c.astype(dtype),
                 )
-                cut = has_cfg & (frem > ln_c)
-                frem = jnp.where(cut, ln_c, frem)
+                cut = has_cfg & (fdur > ln_c)
+                fdur = jnp.where(cut, ln_c, fdur)
                 ftarget = jnp.where(cut, cur_c, ftarget)
                 pf = jnp.where(
                     has_cfg[:, :, None]
@@ -608,13 +626,13 @@ class VoiceBank(UGen):
                 sel_f = valid & (kind == 0) & (rnd == r)
                 v_s = jnp.where(sel_f, voice, V)
                 p_s = jnp.clip(param, 0, nf - 1)
-                ln_e = frame - pad(anchor)[p_s, v_s]
+                ln_e = pad(felapsed)[p_s, v_s] + frame
                 old_v0 = pad(fvals)[p_s, v_s]
                 old_step = pad(fstep)[p_s, v_s]
-                old_rem = pad(frem)[p_s, v_s]
+                old_dur = pad(fdur)[p_s, v_s]
                 old_tgt = pad(ftarget)[p_s, v_s]
                 cur = jnp.where(
-                    ln_e >= old_rem, old_tgt,
+                    ln_e >= old_dur, old_tgt,
                     old_v0 + old_step * ln_e.astype(dtype),
                 )
                 dur = pad(fsdur)[p_s, v_s]
@@ -627,17 +645,19 @@ class VoiceBank(UGen):
                 fvals = scat(fvals, p_s, v_s, jnp.where(ramp, cur, value))
                 ftarget = scat(ftarget, p_s, v_s, value)
                 fstep = scat(fstep, p_s, v_s, new_step)
-                frem = scat(frem, p_s, v_s, jnp.where(ramp, dur, 0))
-                anchor = scat(anchor, p_s, v_s, frame)
+                fdur = scat(fdur, p_s, v_s, jnp.where(ramp, dur, 0))
+                felapsed = scat(felapsed, p_s, v_s, -frame)
+                ev_frame = scat(jnp.zeros((nf, V), jnp.int32), p_s, v_s,
+                                frame)
                 touched = scat(jnp.zeros((nf, V), bool), p_s, v_s, sel_f)
-                row = traj(fvals, ftarget, fstep, frem, anchor)
+                row = traj(fvals, ftarget, fstep, felapsed, fdur)
                 pf = jnp.where(
                     touched[:, :, None]
-                    & (t_idx[None, None, :] >= anchor[:, :, None]),
+                    & (t_idx[None, None, :] >= ev_frame[:, :, None]),
                     row, pf,
                 )
                 c = dict(c, fvals=fvals, ftarget=ftarget, fstep=fstep,
-                         frem=frem, fsdur=fsdur, anchor=anchor, pf=pf)
+                         felapsed=felapsed, fdur=fdur, fsdur=fsdur, pf=pf)
             if ni:
                 sel_i = valid & (kind == 2) & (rnd == r)
                 v_i = jnp.where(sel_i, voice, V)
@@ -690,8 +710,8 @@ class VoiceBank(UGen):
         ].set(True)[:, :V, :]
 
         fstate = (carry["fvals"], carry["ftarget"], carry["fstep"],
-                  carry["frem"], carry["fsdur"])
-        return (carry.get("pf"), fstate, carry["anchor"], carry["ivals"],
+                  carry["felapsed"], carry["fdur"], carry["fsdur"])
+        return (carry.get("pf"), fstate, carry["ivals"],
                 carry.get("pi"), iset, trig, active, idle)
 
     def _apply_events_breakpoints(self, ctx: AudioCtx, state, events):
@@ -706,10 +726,12 @@ class VoiceBank(UGen):
         shapes), so the fold is a D-step Python loop; host packing caps
         each slot's burst at its last D events.
 
-        Returns (fstate, anchor, pieces, ivals, active, idle) with fstate =
-        (fvals, ftarget, fstep, frem, fsdur) the post-burst ramp state
-        anchored per-slot at ``anchor`` (the last event's frame), and
-        pieces = (bv0, bstep, brem, btgt, bframe)."""
+        Returns (fstate, pieces, ivals, active, idle) with fstate =
+        (fvals, ftarget, fstep, felapsed, fdur, fsdur) the post-burst
+        anchored ramp state (set events write felapsed = -frame), and
+        pieces = (bv0, bstep, bdur, btgt, bframe) — each piece's ramp
+        anchors at its own event frame, so its in-kernel progress is
+        ``i - frame`` with no elapsed term."""
         V = self.n_voices
         B = ctx.block_size
         dtype = ctx.dtype
@@ -734,9 +756,8 @@ class VoiceBank(UGen):
             return pad(arr).at[p_sel, v_sel].set(vals)[:, :V]
 
         fvals, ftarget = state["fvals"], state["ftarget"]
-        fstep, frem = state["fstep"], state["frem"]
-        fsdur, ivals = state["fsdur"], state["ivals"]
-        anchor = jnp.zeros((max(nf, 1), V), jnp.int32)
+        fstep, felapsed = state["fstep"], state["felapsed"]
+        fdur, fsdur, ivals = state["fdur"], state["fsdur"], state["ivals"]
         pieces = []
         for r in range(D):
             if nf:
@@ -750,19 +771,19 @@ class VoiceBank(UGen):
                 cfg_frame = scat(
                     jnp.zeros((nf, V), jnp.int32), p_c, v_c, frame
                 )
-                ln_c = cfg_frame - anchor
+                ln_c = felapsed + cfg_frame
                 cur_c = jnp.where(
-                    ln_c >= frem, ftarget,
+                    ln_c >= fdur, ftarget,
                     fvals + fstep * ln_c.astype(dtype),
                 )
-                cut = has_cfg & (frem > ln_c)
-                frem = jnp.where(cut, ln_c, frem)
+                cut = has_cfg & (fdur > ln_c)
+                fdur = jnp.where(cut, ln_c, fdur)
                 ftarget = jnp.where(cut, cur_c, ftarget)
                 # the cfg's visible piece: hold the frozen value from its
                 # frame on (a cfg that doesn't cut changes nothing visible)
                 pv0 = jnp.where(cut, cur_c, jnp.zeros((), dtype))
                 pstep = jnp.zeros((nf, V), dtype)
-                prem = jnp.zeros((nf, V), jnp.int32)
+                pdur = jnp.zeros((nf, V), jnp.int32)
                 ptgt = pv0
                 pframe = jnp.where(cut, cfg_frame, B)
                 # float set (kind 0): ramp/jump anchored at the event frame
@@ -770,13 +791,13 @@ class VoiceBank(UGen):
                 sel_f = valid & (kind == 0) & (rnd == r)
                 v_s = jnp.where(sel_f, voice, V)
                 p_s = jnp.clip(param, 0, nf - 1)
-                ln_e = frame - pad(anchor)[p_s, v_s]
+                ln_e = pad(felapsed)[p_s, v_s] + frame
                 old_v0 = pad(fvals)[p_s, v_s]
                 old_step = pad(fstep)[p_s, v_s]
-                old_rem = pad(frem)[p_s, v_s]
+                old_dur = pad(fdur)[p_s, v_s]
                 old_tgt = pad(ftarget)[p_s, v_s]
                 cur = jnp.where(
-                    ln_e >= old_rem, old_tgt,
+                    ln_e >= old_dur, old_tgt,
                     old_v0 + old_step * ln_e.astype(dtype),
                 )
                 dur = pad(fsdur)[p_s, v_s]
@@ -787,18 +808,18 @@ class VoiceBank(UGen):
                     0.0,
                 )
                 new_v0 = jnp.where(ramp, cur, value)
-                new_rem = jnp.where(ramp, dur, 0)
+                new_dur = jnp.where(ramp, dur, 0)
                 fvals = scat(fvals, p_s, v_s, new_v0)
                 ftarget = scat(ftarget, p_s, v_s, value)
                 fstep = scat(fstep, p_s, v_s, new_step)
-                frem = scat(frem, p_s, v_s, new_rem)
-                anchor = scat(anchor, p_s, v_s, frame)
+                fdur = scat(fdur, p_s, v_s, new_dur)
+                felapsed = scat(felapsed, p_s, v_s, -frame)
                 pv0 = scat(pv0, p_s, v_s, new_v0)
                 pstep = scat(pstep, p_s, v_s, new_step)
-                prem = scat(prem, p_s, v_s, new_rem)
+                pdur = scat(pdur, p_s, v_s, new_dur)
                 ptgt = scat(ptgt, p_s, v_s, value)
                 pframe = scat(pframe, p_s, v_s, frame)
-                pieces.append((pv0, pstep, prem, ptgt, pframe))
+                pieces.append((pv0, pstep, pdur, ptgt, pframe))
             if ni:
                 sel_i = valid & (kind == 2) & (rnd == r)
                 v_i = jnp.where(sel_i, voice, V)
@@ -822,25 +843,20 @@ class VoiceBank(UGen):
             [state["idle"], jnp.zeros((1,), bool)]
         ).at[v_n].set(False)[:V]
 
-        fstate = (fvals, ftarget, fstep, frem, fsdur)
-        return fstate, anchor, stacked, ivals, active, idle
+        fstate = (fvals, ftarget, fstep, felapsed, fdur, fsdur)
+        return fstate, stacked, ivals, active, idle
 
     @staticmethod
-    def _advance_ramps(fstate, B, dtype, fframe=None):
-        """State after one block of per-sample ramping. ``fframe`` (when the
-        block had events) is each slot's ramp anchor frame: a ramp started
-        at frame f has only ramped B - f samples by the block boundary."""
-        fvals, ftarget, fstep, frem, fsdur = fstate
-        if fframe is None:
-            eff = B
-        else:
-            eff = (B - fframe).astype(fvals.dtype)
-        done = frem <= eff
-        new_vals = jnp.where(done, ftarget, fvals + fstep * eff)
-        rem_next = jnp.maximum(
-            frem - (B if fframe is None else (B - fframe)), 0
-        )
-        return (new_vals, ftarget, fstep, rem_next, fsdur)
+    def _advance_ramps(fstate, B):
+        """State after one block of per-sample ramping: integer-only —
+        the anchor value/step/target never change between events, so any
+        block partitioning carries bit-identical state (a ramp set at
+        frame f wrote felapsed = -f, landing on B - f frames ramped by
+        the boundary; the min clamp at fdur keeps one superblock advance
+        identical to k native advances)."""
+        fvals, ftarget, fstep, felapsed, fdur, fsdur = fstate
+        el_next = jnp.minimum(felapsed + B, fdur)
+        return (fvals, ftarget, fstep, el_next, fdur, fsdur)
 
     # above this many voices, per-sample scans inside voices beat
     # closed forms (AudioCtx.wide_batch; measured crossover on a v5e)
@@ -862,9 +878,8 @@ class VoiceBank(UGen):
             # burst path (burst_rounds banks): the round fold already
             # materialized exact per-sample planes for floats and ints —
             # engine-parity for arbitrary same-block event bursts
-            (pf, fstate, anchor, ivals, pi, iset, trig, active, idle) = \
+            (pf, fstate, ivals, pi, iset, trig, active, idle) = \
                 self._apply_events_rounds(ctx, state, events)
-            fframe = anchor  # ramp anchors for the end-of-block advance
             voice_params = {}
             for i, name in enumerate(self._float_names):
                 voice_params[name] = pf[i]
@@ -880,7 +895,7 @@ class VoiceBank(UGen):
         else:
             (fstate, ivals, active, trig, fframe, (iframe, iset), idle,
              old_fstate) = self._apply_events(ctx, state, events)
-            fvals, ftarget, fstep, frem, fsdur = fstate
+            fvals, ftarget, fstep, felapsed, fdur, fsdur = fstate
 
             # build per-voice param dict: [V, B] leaves for vmap axis 0.
             # Floats ramp per sample toward their target (per-voice
@@ -893,13 +908,12 @@ class VoiceBank(UGen):
             # trajectories are identical, so the select is free).
             t_idx = jnp.arange(B, dtype=jnp.int32)
 
-            def materialize(vals, target, step, rem, i, anchor=None):
-                ln = (
-                    t_idx[None, :]
-                    if anchor is None
-                    else t_idx[None, :] - anchor[i][:, None]
-                )
-                ramp_done = ln >= rem[i][:, None]
+            def materialize(vals, target, step, elapsed, dur, i):
+                # absolute ramp progress: elapsed-at-block-start + local t
+                # (a set event wrote elapsed = -frame, so its progress is
+                # t - frame) — anchor + step * progress in ONE rounding
+                ln = elapsed[i][:, None] + t_idx[None, :]
+                ramp_done = ln >= dur[i][:, None]
                 return jnp.where(
                     ramp_done,
                     target[i][:, None],
@@ -910,10 +924,10 @@ class VoiceBank(UGen):
             for i, name in enumerate(self._float_names):
                 if fframe is None:  # no events: trajectories coincide
                     voice_params[name] = materialize(
-                        fvals, ftarget, fstep, frem, i
+                        fvals, ftarget, fstep, felapsed, fdur, i
                     )
                     continue
-                new = materialize(fvals, ftarget, fstep, frem, i, anchor=fframe)
+                new = materialize(fvals, ftarget, fstep, felapsed, fdur, i)
                 # pre-set trajectory = block-start state WITH any same-block
                 # smoothing-config freeze applied (old_fstate), so a cfg
                 # event stops an in-flight ramp at its frame even before a
@@ -962,15 +976,16 @@ class VoiceBank(UGen):
         else:
             out = outs.reshape(V * self.voice.outputs, B)
         done = jnp.zeros((B,), dtype=bool)  # banks never free themselves
-        fvals, ftarget, fstep, frem, fsdur = self._advance_ramps(
-            fstate, B, dtype, fframe
+        fvals, ftarget, fstep, felapsed, fdur, fsdur = self._advance_ramps(
+            fstate, B
         )
         new_state = {
             "voices": new_vstate,
             "fvals": fvals,
             "ftarget": ftarget,
             "fstep": fstep,
-            "frem": frem,
+            "felapsed": felapsed,
+            "fdur": fdur,
             "fsdur": fsdur,
             "ivals": ivals,
             "active": active,

@@ -420,9 +420,10 @@ def test_voicebank_sample_accurate_float_set():
         t < 32, 64.0 + t, 96.0 + (500.0 - 96.0) / 128.0 * (t - 32)
     )
     np.testing.assert_allclose(np.asarray(o1)[0], expect, atol=1e-3)
-    # the ramp's remaining length also counts from the event frame: 32 of
-    # 128 frames elapsed by the block boundary
-    assert int(np.asarray(st["frem"])[li, 0]) == 128 - 32
+    # ramp progress counts from the event frame: 32 of 128 frames elapsed
+    # by the block boundary (anchored carry: felapsed/fdur)
+    assert int(np.asarray(st["felapsed"])[li, 0]) == 32
+    assert int(np.asarray(st["fdur"])[li, 0]) == 128
 
 
 def test_additive_voice_single_harmonic_matches_sine_voice():
