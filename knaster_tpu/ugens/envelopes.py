@@ -18,7 +18,15 @@ Rates are derived from the per-sample ``*_time`` parameter arrays
 *outside* the scan (vectorized divides), matching the reference
 recomputing rates in ``param_apply``. The closed forms use cumulative
 sums where the scan accumulates sequentially — identical math, float
-reassociation ≤ ~1e-6 over a block.
+reassociation ≤ ~1e-6 over a block. Consequence: because the cumsum's
+association depends on the evaluation length, closed-form envelope
+values are PARTITION-SENSITIVE at the ULP level — rendering the same
+stream per-block vs superblocked (or with different block sizes) can
+differ by ~1 ULP of ``t`` per boundary while a stage is advancing. The
+scan path is partition-invariant by construction (sequential adds with
+carried state, the reference's own summation order), and anchored param
+ramps (param_engine / voicebank) are bit-identical under any partition;
+only this documented closed-form reassociation remains chunk-shaped.
 """
 
 from __future__ import annotations
