@@ -53,6 +53,7 @@ from .graph.scheduling import SchedulingToken, Time
 from .ugens.buffer import Buffer, BufferReader
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn
 from .ugens.convolver import Convolver
+from .ugens.physical import PluckedString
 from .ugens.delay import (
     AllpassDelay,
     AllpassFeedbackDelay,
@@ -129,6 +130,7 @@ __all__ = [
     "PolyBlep",
     "RandomLin",
     "SafetyLimiter",
+    "PluckedString",
     "SampleDelay",
     "StaticSampleDelay",
     "SvfFilter",
