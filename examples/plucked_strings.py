@@ -7,7 +7,10 @@ engine's sample-accurate trigger scheduling — one exciter per string,
 here is >= one block), which runs each string's whole block vectorized
 (ring reads + two affine-scanned one-poles) instead of a per-sample scan.
 
-Renders an E-major strum (~3.5 s) to plucked_strings.wav.
+Renders an E-major strum (~3.5 s) to plucked_strings.wav, then a shimmer
+texture from a 512-string `VoiceBank(PluckedVoice)` — one graph node whose
+per-voice rings read gather-free (tiled + barrel-rolled; DESIGN_NOTES
+"tile + barrel roll") — to plucked_shimmer.wav.
 """
 
 import os as _os
@@ -60,5 +63,46 @@ def main():
     print(f"wrote {path}  peak={peak:.3f}  f0s={STRUM}")
 
 
+def shimmer(n_strings=512, seconds=6.0):
+    """A cloud of plucked strings: one VoiceBank node, per-voice freqs on a
+    pentatonic lattice, plucks scattered over time via set_after."""
+    from knaster_tpu.models import PluckedVoice
+    from knaster_tpu.parallel import VoiceBank
+
+    rng = np.random.default_rng(11)
+    opts = AudioProcessorOptions(block_size=64, sample_rate=SR)
+    g, proc = AudioProcessor.new(0, 1, opts)
+    penta = np.array([0, 3, 5, 7, 10])
+    degrees = rng.integers(0, 5, n_strings)
+    octaves = rng.integers(0, 4, n_strings)
+    freqs = 55.0 * 2 ** (octaves + penta[degrees] / 12.0)
+    vd = {
+        "vseed": np.arange(n_strings),
+        "freq": freqs,
+        "amp": np.full(n_strings, 2.0 / np.sqrt(n_strings)),
+        "damp": rng.uniform(0.995, 0.999, n_strings),
+        "brightness": rng.uniform(0.4, 0.9, n_strings),
+    }
+
+    def build(gg):
+        b = gg.push(VoiceBank(PluckedVoice(max_freq=float(freqs.max()) * 1.1),
+                              n_strings, voice_defaults=vd))
+        b.to_graph_out()
+        return b
+
+    bank = g.edit(build)
+    pluck = bank.voice_param("t_pluck")
+    for v in range(n_strings):
+        pluck.set_after(v, None, float(rng.uniform(0.0, seconds * 0.7)))
+    audio = proc.render(seconds=seconds)
+    peak = float(np.abs(audio).max())
+    out = (audio / max(peak, 1e-9) * 0.7).astype(np.float32)
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "plucked_shimmer.wav")
+    Buffer(out, SR).save_to_disk(path)
+    print(f"wrote {path}  strings={n_strings}  peak={peak:.3f}")
+
+
 if __name__ == "__main__":
     main()
+    shimmer()

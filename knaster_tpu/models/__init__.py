@@ -4,9 +4,10 @@ from .voices import (
     AdditiveVoice,
     FMCascade,
     FMVoice,
+    PluckedVoice,
     SamplerVoice,
     SineVoice,
     SubtractiveVoice,
 )
 
-__all__ = ["FMCascade", "FMVoice", "SineVoice", "SubtractiveVoice"]
+__all__ = ["FMCascade", "FMVoice", "PluckedVoice", "SineVoice", "SubtractiveVoice"]

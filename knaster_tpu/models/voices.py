@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.ugen import AudioCtx, UGen, normalize_process_result
-from ..primitives.params import ParameterKind, pfloat, ptrigger
+from ..primitives.params import ParameterKind, pfloat, pinteger, ptrigger
 from ..ugens.envelopes import EnvAr, EnvAsr
 from ..ugens.filters import SvfFilter, SvfFilterType
 from ..ugens.osc import SinWt
@@ -643,3 +643,186 @@ class SamplerVoice(UGen):
             "env": env_state,
         }
         return new_state, out, done
+
+
+class PluckedVoice(UGen):
+    """Bank-scale Karplus-Strong string (beyond reference — see
+    ``ugens/physical.py``): the exciter is BUILT IN (per-voice threefry
+    noise gated by a one-pole burst envelope retriggered by ``t_pluck``),
+    so a ``VoiceBank(PluckedVoice(), V)`` is a V-string ensemble with
+    sample-accurate per-voice plucks and zero graph nodes per string.
+
+    The whole voice is blockwise — the KS loop runs
+    ``physical.string_blockwise`` (requires loop >= one block, i.e.
+    freq <= sample_rate / block_size; higher freqs clamp, same contract as
+    the long delays), the burst envelope is an affine scan over the
+    trigger plane, and the noise is counter-keyed by
+    (seed, ``vseed`` param, absolute frame) — give ``vseed`` a per-voice
+    ``voice_defaults=dict(vseed=np.arange(V))`` to decorrelate plucks
+    (block-size invariant, like every noise stream).
+
+    Params: freq/amp/damp/brightness floats (per-voice smoothable),
+    ``t_pluck`` trigger, ``vseed`` int.
+
+    The blockwise read makes the voice BLOCK-DEPENDENT (the ``nf >= block``
+    clamp would stretch loops inside a longer superblock program), so it
+    declares ``block_invariant = False`` — which VoiceBank propagates to
+    the graph node, keeping such banks out of superblocking unless
+    ``max_freq`` declares the shortest loop (``superblock_cap = sr /
+    max_freq``; same contract as the long delays' ``min_delay_time``).
+    """
+
+    inputs = 0
+    outputs = 1
+    block_invariant = False
+    # the ring tile pointer and frame counter advance identically for every
+    # voice: VoiceBank keeps them UNBATCHED through the vmap, so the tile
+    # write is ONE dynamic_update_slice at a scalar index (a V-row scatter
+    # or full-buffer select otherwise — 60x slower at 64k voices)
+    shared_state_keys = ("wq", "frame")
+    params = (
+        pfloat("freq", 220.0, range=(1.0, 20000.0), logarithmic=True,
+               kind=ParameterKind.FREQUENCY),
+        pfloat("amp", 0.5),
+        pfloat("damp", 0.996, range=(0.0, 1.0)),
+        pfloat("brightness", 0.7, range=(0.0, 1.0)),
+        ptrigger("t_pluck"),
+        pinteger("vseed", 0),
+    )
+
+    def __init__(self, freq: float = 220.0, amp: float = 0.5,
+                 damp: float = 0.996, brightness: float = 0.7,
+                 min_freq: float = 27.5, burst_seconds: float = 0.0015,
+                 seed: int | None = None, max_freq: float | None = None):
+        from ..ugens.noise import next_randomness_seed
+
+        self.min_freq = float(min_freq)
+        self.max_freq = None if max_freq is None else float(max_freq)
+        self.burst_seconds = float(burst_seconds)
+        self.seed = next_randomness_seed() if seed is None else int(seed)
+        self.pdefaults = {
+            "freq": float(freq), "amp": float(amp),
+            "damp": float(damp), "brightness": float(brightness),
+        }
+
+    def init(self, ctx: AudioCtx):
+        import numpy as np
+
+        B = ctx.block_size
+        # ring length: a multiple of the block size with one spare write
+        # tile plus interp headroom, tiled [T, B] for the gather-free read
+        L = int(np.ceil((ctx.sample_rate / self.min_freq + 2) / B)) * B + B
+        self._length = L
+        self._tiles = L // B
+        if self.max_freq is not None:
+            # loops never get shorter than sr/max_freq: superblock programs
+            # up to that length keep every read behind the write frontier
+            self.superblock_cap = max(
+                1, min(L, int(ctx.sample_rate / self.max_freq))
+            )
+        return {
+            "buf": jnp.zeros((self._tiles, B), ctx.dtype),
+            "wq": jnp.zeros((), jnp.int32),
+            "ap_in": jnp.zeros((), ctx.dtype),
+            "ap_out": jnp.zeros((), ctx.dtype),
+            "d_last": jnp.zeros((), ctx.dtype),
+            "lp": jnp.zeros((), ctx.dtype),
+            "env": jnp.zeros((), ctx.dtype),
+            "frame": jnp.zeros((), jnp.uint32),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        import jax
+        import numpy as np
+
+        from ..core.dsp import affine_scan_1d
+        from ..ugens.physical import string_geometry
+
+        B = ctx.block_size
+        L = self._length
+        dtype = ctx.dtype
+
+        # per-voice burst noise: counter-keyed by (seed, vseed, abs frame)
+        frames = state["frame"] + jnp.arange(B, dtype=jnp.uint32)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), params["vseed"][0]
+        )
+        u = jax.vmap(
+            lambda t: jax.random.uniform(
+                jax.random.fold_in(key, t), (), dtype=dtype
+            )
+        )(frames) * 2.0 - 1.0
+
+        # burst envelope: e[t] = 1 on a pluck, else g*e[t-1] (affine scan)
+        trig = params["t_pluck"].astype(dtype)
+        g = jnp.asarray(
+            np.exp(-1.0 / max(self.burst_seconds * ctx.sample_rate, 1.0)),
+            dtype,
+        )
+        a = g * (1.0 - trig)
+        e_pre, _ = affine_scan_1d(a, trig, state["env"])
+        env = a * e_pre + trig
+        exc = u * env * params["amp"]
+
+        # block-rate loop geometry (per-voice freq/brightness/damp from the
+        # block's first sample): the gather-free read needs ONE contiguous
+        # window per voice per block; 64-sample-granular bends are inaudible
+        # on a string and PluckedString keeps the per-sample path for the
+        # single-instance case
+        nf, coeff, b1, damp = string_geometry(
+            params["freq"][0], params["brightness"][0], params["damp"][0],
+            ctx.sample_rate, self.min_freq, L, dtype,
+        )
+        # blockwise contract: reads stay >= one tile behind the write tile
+        nf = jnp.clip(nf, B, L - B)
+
+        # --- gather-free ring read (see DESIGN_NOTES "tile + barrel roll"):
+        # the window [s, s+B) spans at most two ring tiles; fetch those two
+        # rows by index, then rotate the [2B] window left by the in-tile
+        # offset with a log2(2B)-stage barrel shift of STATIC rolls — no
+        # per-element gather anywhere (57x the take_along_axis read at 4k
+        # voices on the v5e)
+        T = self._tiles
+        buf, wq = state["buf"], state["wq"]
+        s = (wq * B - nf) % L
+        q, r = s // B, s % B
+        t0 = buf[q]
+        t1 = buf[(q + 1) % T]
+        w2 = jnp.concatenate([t0, t1])  # [2B]
+        n_stages = max(1, int(np.ceil(np.log2(B))))  # r = s % B < B
+        for k in range(n_stages):
+            rolled = jnp.roll(w2, -(1 << k))
+            w2 = jnp.where(((r >> k) & 1).astype(bool), rolled, w2)
+        raw = w2[:B]
+
+        # allpass fractional-delay interpolator (same recurrence as
+        # physical.string_blockwise), then avg + brightness one-pole
+        raw_prev = jnp.concatenate([state["ap_in"][None], raw[:-1]])
+        bvec = coeff * raw + raw_prev
+        a_ap = jnp.broadcast_to(-coeff, (B,))
+        d_pre, _ = affine_scan_1d(a_ap, bvec, state["ap_out"])
+        d = a_ap * d_pre + bvec
+        d_prev = jnp.concatenate([state["d_last"][None], d[:-1]])
+        h = 0.5 * (d + d_prev)
+        a0 = 1.0 - b1
+        lp_pre, _ = affine_scan_1d(
+            jnp.broadcast_to(b1, (B,)), a0 * h, state["lp"]
+        )
+        lp = b1 * lp_pre + a0 * h
+        write = exc + damp * lp
+
+        # write = one tile at wq — wq is SHARED (unbatched) state, so under
+        # the bank's vmap this is a single dynamic_update_slice at a scalar
+        # index over the whole [V, T, B] buffer
+        buf = jax.lax.dynamic_update_slice(buf, write[None, :], (wq, 0))
+        new = {
+            "buf": buf,
+            "wq": (wq + 1) % T,
+            "ap_in": raw[-1],
+            "ap_out": d[-1],
+            "d_last": d[-1],
+            "lp": lp[-1],
+            "env": env[-1],
+            "frame": state["frame"] + jnp.uint32(B),
+        }
+        return new, write[None, :]

@@ -96,6 +96,11 @@ class VoiceBank(UGen):
         else:
             raise ValueError("mix must be 'sum' or 'stack'")
         self.event_capacity = int(event_capacity)
+        # a block-dependent voice (e.g. models.PluckedVoice's blockwise
+        # ring reads) makes the whole bank block-dependent: propagate so
+        # the compiler keeps such graphs out of (uncapped) superblocking
+        if not getattr(voice, "block_invariant", True):
+            self.block_invariant = False
         self.voice_defaults = dict(voice_defaults or {})
         # bank-level params deliberately empty: control flows via voice events
         self.params = ()
@@ -131,11 +136,28 @@ class VoiceBank(UGen):
     def init(self, ctx: AudioCtx):
         V = self.n_voices
         voice_state = self.voice.init(ctx)
-        # replicate the single-voice state across the voice axis
-        state_v = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(jnp.asarray(x)[None, ...], (V,) + jnp.asarray(x).shape).copy(),
-            voice_state,
-        )
+        # voices may declare a superblock cap during init (needs the sample
+        # rate — e.g. PluckedVoice's shortest loop); the bank node carries it
+        vcap = getattr(self.voice, "superblock_cap", None)
+        if vcap is not None:
+            mycap = getattr(self, "superblock_cap", None)
+            self.superblock_cap = vcap if mycap is None else min(mycap, vcap)
+        # replicate the single-voice state across the voice axis —
+        # except shared_state_keys leaves, which stay unbatched (see process)
+        shared = set(getattr(self.voice, "shared_state_keys", ()) or ())
+
+        def rep(x):
+            x = jnp.asarray(x)
+            return jnp.broadcast_to(x[None, ...], (V,) + x.shape).copy()
+
+        if shared and isinstance(voice_state, dict):
+            state_v = {
+                k: (jnp.asarray(v) if k in shared
+                    else jax.tree_util.tree_map(rep, v))
+                for k, v in voice_state.items()
+            }
+        else:
+            state_v = jax.tree_util.tree_map(rep, voice_state)
         fvals = np.zeros((len(self._float_names), V), dtype=ctx.dtype)
         for i, name in enumerate(self._float_names):
             default = None
@@ -963,7 +985,23 @@ class VoiceBank(UGen):
                 self.voice.process(ctx, vstate, vin, vparams), ctx
             )
 
-        new_vstate, outs, dones = jax.vmap(one_voice)(
+        # voices may declare state keys whose value is identical across the
+        # bank (shared_state_keys, e.g. PluckedVoice's ring tile pointer):
+        # those leaves stay UNBATCHED through the vmap, so in-voice dynamic
+        # slicing on them keeps a scalar start index — on TPU that is a
+        # single dynamic_update_slice instead of a V-row scatter (60x at
+        # 64k voices) or a full-buffer select
+        shared = set(getattr(self.voice, "shared_state_keys", ()) or ())
+        if shared and isinstance(state["voices"], dict):
+            st_axes = {
+                k: (None if k in shared else 0) for k in state["voices"]
+            }
+            vmapped = jax.vmap(one_voice, in_axes=(st_axes, 0, 0),
+                               out_axes=(st_axes, 0, 0))
+        else:
+            vmapped = jax.vmap(one_voice)
+
+        new_vstate, outs, dones = vmapped(
             state["voices"], zero_in, voice_params
         )
         if self.track_idle:

@@ -33,6 +33,45 @@ from .delay import AllpassDelay
 from .filters import onepole_lowpass_coeffs  # noqa: F401  (re-export family)
 
 
+def string_blockwise(state, x, nf, coeff, b1, damp, L, B, dtype):
+    """One block of the KS loop, fully vectorized (requires nf >= B so
+    ring reads never hit in-block writes). ``state`` needs keys
+    buf/wp/ap_in/ap_out/d_last/lp; returns (state', out [B]). Shared by
+    :class:`PluckedString` (long mode) and the bank-scale
+    ``models.voices.PluckedVoice`` (where it vmaps across voices)."""
+    from ..core.dsp import affine_scan_1d
+
+    raw, d, wslots = AllpassDelay._blockwise_read(
+        state, nf, coeff, L, B, dtype
+    )
+    d_prev = jnp.concatenate([state["d_last"][None], d[:-1]])
+    h = 0.5 * (d + d_prev)
+    a0 = 1.0 - b1
+    lp_pre, _ = affine_scan_1d(b1, a0 * h, state["lp"])
+    lp = b1 * lp_pre + a0 * h
+    write = x + damp * lp
+    new = {
+        "buf": state["buf"].at[wslots].set(write),
+        "wp": (state["wp"] + B) % L,
+        "ap_in": raw[-1],
+        "ap_out": d[-1],
+        "d_last": d[-1],
+        "lp": lp[-1],
+    }
+    return new, write
+
+
+def string_geometry(freq, brightness, damp, sample_rate, min_freq, L, dtype):
+    """(nf, coeff, b1, damp) from the loop-compensated length — see
+    :meth:`PluckedString._geometry`."""
+    freq = jnp.clip(freq, min_freq, sample_rate / 2)
+    b1 = jnp.clip(1.0 - brightness, 0.0, 0.995).astype(dtype)
+    comp = 0.5 + jnp.minimum(b1 / (1.0 - b1), 8.0)
+    df = jnp.clip(sample_rate / freq - comp, 1.0, float(L - 2))
+    nf, coeff = AllpassDelay._delay_geometry(df, L, dtype)
+    return nf, coeff, b1, damp.astype(dtype)
+
+
 class PluckedString(UGen):
     """Karplus-Strong string: ``buf`` is the traveling wave, the loop is
     delay -> allpass fractional tuning -> damping avg -> brightness
@@ -103,17 +142,13 @@ class PluckedString(UGen):
 
     def _geometry(self, ctx: AudioCtx, params):
         """Per-sample (nf, coeff, b1, damp): integer delay + allpass coeff
-        from the filter-compensated loop length, brightness pole, gain."""
-        dtype = ctx.dtype
-        L = self._length
-        freq = jnp.clip(params["freq"], self.min_freq, ctx.sample_rate / 2)
-        b1 = jnp.clip(1.0 - params["brightness"], 0.0, 0.995).astype(dtype)
-        # loop-filter delay compensation: 0.5 (avg FIR) + one-pole DC phase
-        # delay b1/(1-b1), capped so extreme darkness can't starve the line
-        comp = 0.5 + jnp.minimum(b1 / (1.0 - b1), 8.0)
-        df = jnp.clip(ctx.sample_rate / freq - comp, 1.0, float(L - 2))
-        nf, coeff = AllpassDelay._delay_geometry(df, L, dtype)
-        return nf, coeff, b1, params["damp"].astype(dtype)
+        from the filter-compensated loop length (0.5-sample avg FIR +
+        one-pole DC phase delay b1/(1-b1), capped so extreme darkness
+        can't starve the line), brightness pole, gain."""
+        return string_geometry(
+            params["freq"], params["brightness"], params["damp"],
+            ctx.sample_rate, self.min_freq, self._length, ctx.dtype,
+        )
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         from ..core.dsp import affine_scan_1d
@@ -126,23 +161,10 @@ class PluckedString(UGen):
 
         if self.long and L >= B:
             nf = jnp.maximum(nf, B)
-            raw, d, wslots = AllpassDelay._blockwise_read(
-                state, nf, coeff, L, B, dtype
+            new, write = string_blockwise(
+                state, x, nf, coeff, b1, damp, L, B, dtype
             )
-            d_prev = jnp.concatenate([state["d_last"][None], d[:-1]])
-            h = 0.5 * (d + d_prev)
-            a0 = 1.0 - b1
-            lp_pre, _ = affine_scan_1d(b1, a0 * h, state["lp"])
-            lp = b1 * lp_pre + a0 * h
-            write = x + damp * lp
-            return {
-                "buf": state["buf"].at[wslots].set(write),
-                "wp": (state["wp"] + B) % L,
-                "ap_in": raw[-1],
-                "ap_out": d[-1],
-                "d_last": d[-1],
-                "lp": lp[-1],
-            }, write[None, :]
+            return new, write[None, :]
 
         def step(carry, s):
             buf, wp, ap_in, ap_out, d_last, lp = carry

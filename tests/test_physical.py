@@ -155,3 +155,76 @@ def test_excited_by_graph_noise_chain():
     assert np.abs(out).max() > 1e-3
     f0 = _f0_autocorr(out[2000:])
     assert abs(f0 - 330.0) / 330.0 < 0.01, f0
+
+
+# ---------------------------------------------------------------------------
+# PluckedVoice: the bank-scale string (built-in exciter)
+# ---------------------------------------------------------------------------
+
+def _pluck_bank(V, vd, frames, pluck_times, mix="stack", block=64):
+    from knaster_tpu.models import PluckedVoice
+    from knaster_tpu.parallel import VoiceBank
+    from knaster_tpu import Seconds
+
+    opts = AudioProcessorOptions(block_size=block, sample_rate=SR)
+    g, proc = AudioProcessor.new(0, V if mix == "stack" else 1, opts)
+
+    def build(gg):
+        b = gg.push(VoiceBank(PluckedVoice(), V, voice_defaults=vd, mix=mix))
+        b.to_graph_out()
+        return b
+
+    bank = g.edit(build)
+    pluck = bank.voice_param("t_pluck")
+    for v, t in pluck_times:
+        if t is None:
+            pluck.set(v, None)
+        else:
+            pluck.set_at(v, None, Seconds.from_samples(t, SR))
+    return proc.render(frames=frames)
+
+
+def test_plucked_voice_bank_pitch_per_voice():
+    vd = {"vseed": np.arange(2), "freq": np.array([110.0, 220.0])}
+    out = _pluck_bank(2, vd, SR // 2, [(0, None), (1, None)])
+    for ch, f in [(0, 110.0), (1, 220.0)]:
+        f0 = _f0_autocorr(out[ch, 2000:])
+        assert abs(f0 - f) / f < 0.01, (ch, f0)
+
+
+def test_plucked_voice_vseed_decorrelates():
+    vd = {"vseed": np.array([0, 7]), "freq": np.array([220.0, 220.0])}
+    out = _pluck_bank(2, vd, 4096, [(0, None), (1, None)])
+    a, b = out[0], out[1]
+    assert np.abs(a).max() > 1e-3 and np.abs(b).max() > 1e-3
+    denom = float(np.sqrt(np.sum(a * a) * np.sum(b * b)))
+    corr = float(np.dot(a, b)) / max(denom, 1e-12)
+    assert abs(corr) < 0.5, corr  # different noise bursts
+
+
+def test_plucked_voice_sample_accurate_pluck():
+    vd = {"vseed": np.arange(1), "freq": np.array([220.0])}
+    out = _pluck_bank(1, vd, 1024, [(0, 100)])
+    ch = out[0]
+    assert np.all(ch[:100] == 0.0)
+    assert np.abs(ch[100:140]).max() > 1e-4
+
+
+def test_plucked_voice_bank_mixes():
+    vd = {"vseed": np.arange(4),
+          "freq": 110.0 * 2 ** (np.arange(4) / 4.0)}
+    out = _pluck_bank(4, vd, 8192, [(v, None) for v in range(4)], mix="sum")
+    assert out.shape == (1, 8192)
+    assert np.abs(out).max() > 1e-3
+
+
+def test_plucked_voice_bank_propagates_block_contract():
+    from knaster_tpu.core.ugen import AudioCtx
+    from knaster_tpu.models import PluckedVoice
+    from knaster_tpu.parallel import VoiceBank
+
+    bank = VoiceBank(PluckedVoice(max_freq=440.0), 4)
+    assert bank.block_invariant is False
+    ctx = AudioCtx(block_size=32, sample_rate=SR, dtype=np.float32)
+    bank.init(ctx)
+    assert bank.superblock_cap == int(SR / 440.0)
