@@ -129,6 +129,7 @@ _BENCH_TO_FN = {
     "wrappers_vs_nodes": "wrappers",
     "galactic_chain": "galactic",
     "fm_voice_bank": "fm_bank",
+    "plucked_bank": "plucked_bank",
     "fm_cascade_model": "fm_cascade_model",
     "wavetable_bank": "wavetable_bank",
     "voicebank": "voicebank",
@@ -507,6 +508,58 @@ def bench_fm_bank(n_voices=8192):
     }))
 
 
+def bench_plucked_bank(n_voices=4096):
+    """Karplus-Strong string bank (beyond reference): per-voice delay-line
+    rings read gather-free (tiled + barrel-rolled — DESIGN_NOTES "tile +
+    barrel roll"); measured like bench_fm_bank (one on-device scan of 750
+    blocks, mean fetched)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx, VoiceBank
+    from knaster_tpu.models import PluckedVoice
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "vseed": np.arange(n_voices),
+        "freq": (110.0 * 2 ** rng.uniform(0, 3, n_voices)).astype(np.float32),
+        "damp": rng.uniform(0.995, 0.999, n_voices).astype(np.float32),
+        "brightness": rng.uniform(0.4, 0.9, n_voices).astype(np.float32),
+    }
+    bank = VoiceBank(PluckedVoice(max_freq=1000.0), n_voices,
+                     voice_defaults=defaults)
+    st = bank.init(ctx)
+    no_in = jnp.zeros((0, 64), np.float32)
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
+    emit({
+        "bench": "plucked_bank",
+        "config": f"{n_voices}strings_vmap_tiled",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    })
+
+
 def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     """Arbitrary band-limited wavetable voices (OscWt at bank scale):
     fused Pallas additive-synthesis kernel, saw table, H partials.
@@ -768,6 +821,7 @@ ALL = {
     "wrappers": bench_wrappers,
     "galactic": bench_galactic,
     "fm_bank": bench_fm_bank,
+    "plucked_bank": bench_plucked_bank,
     "fm_cascade_model": bench_fm_cascade_model,
     "wavetable_bank": bench_wavetable_bank,
     "voicebank": bench_voicebank,
@@ -786,7 +840,7 @@ if __name__ == "__main__":
         else:
             names.append(args[i]); i += 1
     names = names or ["sines_const", "wrappers", "galactic", "fm_bank",
-                      "fm_cascade_model", "wavetable_bank"]
+                      "plucked_bank", "fm_cascade_model", "wavetable_bank"]
     for n in names:
         ALL[n]()
     if baseline:
