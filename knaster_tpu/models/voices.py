@@ -540,7 +540,8 @@ class SamplerVoice(UGen):
     def __init__(self, buffer, rate: float = 1.0, amp: float = 0.5,
                  pan: float = 0.0, loop: bool = True,
                  start_s: float = 0.0, end_s: float = -1.0,
-                 attack: float = 0.005, release: float = 0.05):
+                 attack: float = 0.005, release: float = 0.05,
+                 tiled: bool = False):
         import numpy as np
 
         data = np.asarray(buffer.data if hasattr(buffer, "data") else buffer)
@@ -553,6 +554,12 @@ class SamplerVoice(UGen):
         end = n if end_s < 0 else min(n, int(round(end_s * self._buf_sr)))
         self._loop_len = max(end - self._start, 1)
         self.loop = bool(loop)
+        # tiled=True: UNIT-RATE gather-free playback (DESIGN_NOTES "tile +
+        # barrel roll") — the rate param is ignored (positions advance one
+        # buffer frame per engine frame; the buffer must be at the engine's
+        # sample rate, checked in init). 15-30x the gather path at bank
+        # scale; drum machines and one-shot samplers are unit-rate anyway.
+        self.tiled = bool(tiled)
         self.pdefaults = {"rate": float(rate), "amp": float(amp),
                           "pan": float(pan)}
         self.env = EnvAsr(attack, release)
@@ -563,9 +570,28 @@ class SamplerVoice(UGen):
 
     def batch_key(self):
         return (type(self), id(self._data), self._start, self._loop_len,
-                self.loop, self._attack, self._release)
+                self.loop, self._attack, self._release, self.tiled)
 
     def init(self, ctx: AudioCtx):
+        import numpy as np
+
+        if self.tiled:
+            if self._buf_sr != float(ctx.sample_rate):
+                raise ValueError(
+                    "tiled SamplerVoice needs the buffer at the engine "
+                    f"sample rate ({self._buf_sr} != {ctx.sample_rate})"
+                )
+            if self._loop_len < ctx.block_size:
+                raise ValueError(
+                    f"tiled SamplerVoice needs loop_len >= block_size "
+                    f"({self._loop_len} < {ctx.block_size}); the window "
+                    f"may wrap more than once"
+                )
+            # block-dependent (the tiling IS the program block size):
+            # superblock programs are exact up to one loop length
+            self.block_invariant = False
+            self.superblock_cap = self._loop_len
+            self._ext_cache = {}
         return {
             "pos_int": jnp.zeros((), jnp.int32),  # frames into the loop
             "pos_frac": jnp.zeros((), ctx.dtype),
@@ -573,53 +599,139 @@ class SamplerVoice(UGen):
             "env": self.env.init(ctx),
         }
 
+    def _read_tiled(self, ctx: AudioCtx, state, params):
+        """Gather-free unit-rate block read: per voice the window
+        [p0, p0+B] spans two adjacent tiles of the extended source —
+        row-fetch both, barrel-roll by p0 % B, lerp with the window's
+        static shift-by-one. A restart at frame tf re-anchors at position
+        0, whose window is the STATIC first tile pair."""
+        import numpy as np
+
+        B = ctx.block_size
+        dtype = ctx.dtype
+        L = self._loop_len
+        if B not in self._ext_cache:
+            # extended source for THIS program's block size (trace-time,
+            # cached per B — superblock programs retile): the loop segment
+            # plus its first B+1 frames, so any unit-rate window [p, p+B]
+            # with p in [0, L) is one CONTIGUOUS read (the loop wrap is
+            # baked in); one spare zero row keeps tiles[q+1] in bounds
+            if L < B:
+                raise ValueError(
+                    f"tiled SamplerVoice: program block {B} exceeds "
+                    f"loop_len {L}"
+                )
+            src = self._data[self._start:self._start + L]
+            ext = np.concatenate([src, src[:B + 1]])
+            pad = (-len(ext)) % B + B
+            ext = np.concatenate([ext, np.zeros(pad, np.float32)])
+            self._ext_cache[B] = ext.reshape(-1, B)
+        tiles = jnp.asarray(self._ext_cache[B], dtype)  # [Te, B] shared
+
+        trig = params["t_restart"]
+        any_trig = jnp.any(trig)
+        tf = jnp.max(jnp.where(trig, jnp.arange(B), -1))
+        playing = state["playing"] | any_trig
+
+        n_stages = max(1, int(np.ceil(np.log2(B))))
+
+        def barrel(w2, r, sign):
+            # roll w2 by sign*r via static rolls selected on r's bits
+            for k in range(n_stages):
+                rolled = jnp.roll(w2, sign * (1 << k))
+                w2 = jnp.where(((r >> k) & 1).astype(bool), rolled, w2)
+            return w2
+
+        def window(p0):
+            q, r = p0 // B, p0 % B
+            # w2[t] = ext[p0 + t] for t in [0, 2B - r)
+            return barrel(jnp.concatenate([tiles[q], tiles[q + 1]]), r, -1)
+
+        p0 = state["pos_int"]  # in [0, L)
+        w_cont = window(p0)
+        # restart at frame tf: value at sample t is ext[t - tf] — the first
+        # tile pair rolled RIGHT by tf (pre-tf garbage is masked below)
+        w_fresh = barrel(
+            jnp.concatenate([tiles[0], tiles[1]]), jnp.maximum(tf, 0), 1
+        )
+        t_idx = jnp.arange(B)
+        after = any_trig & (t_idx >= tf)
+        w0 = jnp.where(after, w_fresh[:B], w_cont[:B])
+        w1_cont = jnp.roll(w_cont, -1)[:B]
+        w1 = jnp.where(after, jnp.roll(w_fresh, -1)[:B], w1_cont)
+        # per-sample positions for wrap/end handling
+        pos_cont = p0 + t_idx
+        pos = jnp.where(after, t_idx - tf, pos_cont)
+        frac = jnp.where(any_trig, jnp.zeros((), dtype), state["pos_frac"])
+        sig = w0 + (w1 - w0) * frac
+        if self.loop:
+            alive = playing & jnp.ones((B,), bool)
+        else:
+            alive = playing & (pos < L)
+        sig = jnp.where(alive, sig, jnp.zeros_like(sig))
+
+        end_pos = jnp.where(any_trig, B - tf, p0 + B)
+        if self.loop:
+            pos_int = jnp.mod(end_pos, L)
+        else:
+            pos_int = jnp.minimum(end_pos, L)
+        return sig, pos_int, frac, playing
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         import numpy as np
 
         B = ctx.block_size
         dtype = ctx.dtype
-        buf = jnp.asarray(self._data, dtype)
         L = self._loop_len
-        base = np.float32(self._buf_sr / ctx.sample_rate)
-        step = params["rate"][0] * base  # block-rate pitch
-        t = jnp.arange(B, dtype=dtype)
 
-        trig = params["t_restart"]
-        any_trig = jnp.any(trig)
-        # most recent restart frame (scan-free): highest t with trig set
-        tf = jnp.max(jnp.where(trig, jnp.arange(B), -1))
-        playing = state["playing"] | any_trig
-
-        # closed-form positions: continue from state, or re-anchor at tf
-        cont = state["pos_int"].astype(dtype) + state["pos_frac"] + step * t
-        fresh = step * (t - tf.astype(dtype))
-        after = t >= tf
-        pos = jnp.where(any_trig & after, fresh, cont)
-        ipos = jnp.floor(pos)
-        frac = pos - ipos
-        ipos = ipos.astype(jnp.int32)
-        if self.loop:
-            idx = jnp.mod(ipos, L)
-            idx1 = jnp.mod(ipos + 1, L)
-            alive = playing
+        if self.tiled:
+            sig, pos_int, pos_frac, playing = self._read_tiled(
+                ctx, state, params
+            )
         else:
-            ended = ipos >= L
-            idx = jnp.clip(ipos, 0, L - 1)
-            idx1 = jnp.clip(ipos + 1, 0, L - 1)
-            alive = playing & ~ended
-        s0 = self._start
-        sig = buf[s0 + idx] + (buf[s0 + idx1] - buf[s0 + idx]) * frac
-        sig = jnp.where(alive, sig, jnp.zeros_like(sig))
+            buf = jnp.asarray(self._data, dtype)
+            base = np.float32(self._buf_sr / ctx.sample_rate)
+            step = params["rate"][0] * base  # block-rate pitch
+            t = jnp.arange(B, dtype=dtype)
 
-        # end-of-block pointer (same trajectory evaluated at t = B)
-        end_cont = state["pos_int"].astype(dtype) + state["pos_frac"] + step * B
-        end_fresh = step * (B - tf.astype(dtype))
-        end_pos = jnp.where(any_trig, end_fresh, end_cont)
-        e_int = jnp.floor(end_pos)
-        pos_frac = (end_pos - e_int).astype(dtype)
-        pos_int = e_int.astype(jnp.int32)
-        if self.loop:
-            pos_int = jnp.mod(pos_int, L)
+            trig = params["t_restart"]
+            any_trig = jnp.any(trig)
+            # most recent restart frame (scan-free): highest t with trig set
+            tf = jnp.max(jnp.where(trig, jnp.arange(B), -1))
+            playing = state["playing"] | any_trig
+
+            # closed-form positions: continue from state, or re-anchor at tf
+            cont = (state["pos_int"].astype(dtype) + state["pos_frac"]
+                    + step * t)
+            fresh = step * (t - tf.astype(dtype))
+            after = t >= tf
+            pos = jnp.where(any_trig & after, fresh, cont)
+            ipos = jnp.floor(pos)
+            frac = pos - ipos
+            ipos = ipos.astype(jnp.int32)
+            if self.loop:
+                idx = jnp.mod(ipos, L)
+                idx1 = jnp.mod(ipos + 1, L)
+                alive = playing
+            else:
+                ended = ipos >= L
+                idx = jnp.clip(ipos, 0, L - 1)
+                idx1 = jnp.clip(ipos + 1, 0, L - 1)
+                alive = playing & ~ended
+            s0 = self._start
+            sig = buf[s0 + idx] + (buf[s0 + idx1] - buf[s0 + idx]) * frac
+            sig = jnp.where(alive, sig, jnp.zeros_like(sig))
+
+            # end-of-block pointer (same trajectory evaluated at t = B)
+            end_cont = (state["pos_int"].astype(dtype) + state["pos_frac"]
+                        + step * B)
+            end_fresh = step * (B - tf.astype(dtype))
+            end_pos = jnp.where(any_trig, end_fresh, end_cont)
+            e_int = jnp.floor(end_pos)
+            pos_frac = (end_pos - e_int).astype(dtype)
+            pos_int = e_int.astype(jnp.int32)
+            if self.loop:
+                pos_int = jnp.mod(pos_int, L)
 
         no_in = jnp.zeros((0, B), dtype)
         env_state, env_out, done = normalize_process_result(

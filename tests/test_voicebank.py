@@ -985,3 +985,84 @@ def test_pallas_fm_and_sub_and_wt_banks_block_128():
     a, b = _run_bank_pair_blocks(pb, vb, B, ev)
     assert np.abs(b).max() > 1e-3
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_sampler_voice_tiled_matches_gather_path():
+    """tiled=True (gather-free unit-rate read, DESIGN_NOTES 'tile + barrel
+    roll') is bit-exact vs the gather path at rate 1: loop wrap, one-shot
+    end masking, mid-block restart, multi-block continuation."""
+    from knaster_tpu import SamplerVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    rng = np.random.default_rng(5)
+    buf = rng.standard_normal(300).astype(np.float32)
+
+    def run(voice, trig_frames, n_blocks):
+        st = voice.init(ctx)
+        outs = []
+        for b in range(n_blocks):
+            p = {"rate": np.ones(64, np.float32),
+                 "amp": np.ones(64, np.float32),
+                 "pan": np.full(64, -1.0, np.float32),
+                 "t_restart": np.zeros(64, bool),
+                 "t_release": np.zeros(64, bool)}
+            for (bb, f) in trig_frames:
+                if bb == b:
+                    p["t_restart"][f] = True
+            st, out, _ = voice.process(
+                ctx, st, np.zeros((0, 64), np.float32), p)
+            outs.append(np.asarray(out)[0])
+        return np.concatenate(outs)
+
+    for loop in (True, False):
+        ref = run(SamplerVoice(buf, loop=loop, attack=0.0, release=0.01),
+                  [(0, 5), (4, 33)], 8)
+        til = run(SamplerVoice(buf, loop=loop, attack=0.0, release=0.01,
+                               tiled=True),
+                  [(0, 5), (4, 33)], 8)
+        np.testing.assert_array_equal(til, ref)
+
+
+def test_sampler_voice_tiled_bank():
+    """Tiled sampler voices inside a VoiceBank (the drum-machine case)."""
+    from knaster_tpu import SamplerVoice
+
+    n = 4800
+    tone = np.sin(2 * np.pi * 440.0 * np.arange(n) / SR).astype(np.float32)
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+
+    def build(gg):
+        bank = gg.push(VoiceBank(
+            SamplerVoice(tone, loop=True, attack=0.001, release=0.05,
+                         tiled=True),
+            4,
+            voice_defaults={"amp": np.full(4, 0.1, np.float32)},
+        ))
+        bank.to_graph_out()
+        return bank
+
+    bank = g.edit(build)
+    for v in range(4):
+        bank.voice_param("t_restart").trig(v)
+    a = proc.render(frames=4096)
+    assert np.isfinite(a).all() and np.abs(a).max() > 1e-3
+    spec = np.abs(np.fft.rfft(a[0] * np.hanning(4096)))
+    freqs = np.fft.rfftfreq(4096, 1 / SR)
+    band = spec[(freqs > 400) & (freqs < 480)].max()
+    floor = spec[(freqs > 1200)].max()
+    assert band > 5 * floor
+
+
+def test_sampler_voice_tiled_validation():
+    from knaster_tpu import SamplerVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    with pytest.raises(ValueError):  # loop shorter than a block
+        SamplerVoice(np.zeros(32, np.float32), tiled=True).init(ctx)
+
+    class FakeBuf:
+        data = np.zeros(300, np.float32)
+        sample_rate = 44100
+
+    with pytest.raises(ValueError):  # wrong sample rate
+        SamplerVoice(FakeBuf(), tiled=True).init(ctx)
