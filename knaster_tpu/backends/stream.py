@@ -88,7 +88,22 @@ class StreamBackend(AudioBackend):
     each producer iteration renders one chunk via the on-device scan path
     and fetches it with a single transfer. Scheduled events stay
     sample-accurate (the render path splits eventful blocks); the tradeoff
-    is control latency of up to one chunk, like a device buffer."""
+    is control latency of up to one chunk, like a device buffer.
+
+    **Duplex** (audio_backend/jack.rs:25-250 parity — the reference's JACK
+    backend registers input ports and copies them into the graph every
+    callback): when the processor's graph has input channels, the backend
+    opens a second lock-free ring for input. The input side (the "device
+    capture callback") feeds it with :meth:`push_input`; the producer
+    consumes exactly ``chunk_frames`` per rendered chunk, in order, so the
+    input→graph sample mapping is deterministic. ``input_wait=True``
+    (default) paces the producer on input availability — live sources feed
+    in real time and input→output latency is the prefill chunk plus ring
+    depth, knaster's device-buffer latency writ large. ``input_wait=False``
+    zero-fills missing input (and counts ``input_underruns``) so a stream
+    never stalls on a silent capture source. The prefill chunk always
+    renders with zero input: it is produced before any input can exist —
+    the duplex round-trip latency, same as a real device's buffer."""
 
     def __init__(
         self,
@@ -97,6 +112,7 @@ class StreamBackend(AudioBackend):
         lookahead_blocks: int = 192,
         consumer: Optional[Callable[[np.ndarray], None]] = None,
         chunk_blocks: int = 32,
+        input_wait: bool = True,
     ):
         self._sr = sample_rate
         self._block = block_size
@@ -104,8 +120,10 @@ class StreamBackend(AudioBackend):
         self.lookahead = max(int(lookahead_blocks), 3 * int(chunk_blocks))
         self.chunk_blocks = int(chunk_blocks)
         self.consumer = consumer
+        self.input_wait = bool(input_wait)
         self.processor: Optional[AudioProcessor] = None
         self.ring = None
+        self.in_ring = None
         self._threads = []
         self._running = threading.Event()
 
@@ -128,6 +146,14 @@ class StreamBackend(AudioBackend):
         # bounds control latency (it used to be sized 2x, silently doubling
         # the documented render-ahead)
         self.ring = NativeRing(self._block * max(self.lookahead, 4), channels)
+        # duplex: a second SPSC ring carries capture input to the producer.
+        # Its writer is whoever owns the input source (push_input); its
+        # reader is the producer thread — one producer, one consumer, like
+        # the task/scheduling rings in the reference.
+        if processor.graph.inputs > 0:
+            self.in_ring = NativeRing(
+                self._block * max(self.lookahead, 4), processor.graph.inputs
+            )
 
         # pre-warm BOTH block programs (fast + eventful) AND every
         # power-of-two scan length the producer can hit — live events segment
@@ -179,13 +205,30 @@ class StreamBackend(AudioBackend):
         # too many and the ring write comes up short
         held = [0]
 
+        def chunk_inputs():
+            """Next chunk of capture input, consumed in order.
+
+            With input_wait the caller has already gated on availability;
+            without it, NativeRing.read zero-fills the shortfall and counts
+            an input underrun (capture-callback semantics)."""
+            if self.in_ring is None:
+                return None
+            return self.in_ring.read(chunk_frames)
+
         def producer():
             while self._running.is_set():
-                if (self.ring.available_write()
+                input_ready = (
+                    self.in_ring is None
+                    or not self.input_wait
+                    or self.in_ring.available_read() >= chunk_frames
+                )
+                if (input_ready
+                        and self.ring.available_write()
                         >= chunk_frames * (1 + inflight.qsize() + held[0])
                         and not inflight.full()):
                     inflight.put(
-                        processor.render(frames=chunk_frames, fetch=False)
+                        processor.render(frames=chunk_frames, fetch=False,
+                                         inputs=chunk_inputs())
                     )
                 else:
                     time.sleep(self._block / self._sr / 4)
@@ -235,6 +278,36 @@ class StreamBackend(AudioBackend):
         for t in self._threads:
             t.join(timeout=2.0)
         self._threads = []
+
+    # -- duplex input ------------------------------------------------------
+    def push_input(self, block) -> int:
+        """Feed capture input (the "device input callback" side).
+
+        ``block``: [input_channels, frames]. Returns frames accepted (0 when
+        the input ring is full — the producer is behind; with input_wait the
+        source should retry, a lossy source may drop). Call from ONE thread
+        (SPSC ring)."""
+        if self.in_ring is None:
+            raise RuntimeError(
+                "graph has no input channels (push_input needs "
+                "AudioProcessor.new(inputs=n, ...))"
+            )
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim != 2 or block.shape[0] != self.in_ring.channels:
+            raise ValueError(
+                f"expected [{self.in_ring.channels}, frames] input block, "
+                f"got {block.shape}"
+            )
+        return self.in_ring.write(block)
+
+    def input_space(self) -> int:
+        """Frames the input ring can accept right now."""
+        return self.in_ring.available_write() if self.in_ring else 0
+
+    @property
+    def input_underruns(self) -> int:
+        """Chunks rendered with zero-filled missing input (input_wait=False)."""
+        return self.in_ring.underruns if self.in_ring else 0
 
     @property
     def underruns(self) -> int:

@@ -153,6 +153,92 @@ def test_stream_backend_structural_edit_glitch_free():
     assert np.all(np.abs(running) > 0.2), "dropout during the program swap"
 
 
+def test_stream_backend_duplex_input():
+    """Duplex streaming (audio_backend/jack.rs parity): live capture input
+    pushed through ``push_input`` reaches the graph in order, and the
+    consumer's output equals an offline render over the same effective
+    input timeline ([one prefill chunk of zeros] ++ pushed input),
+    sample-exact — through a STATEFUL node so chunk-boundary state carry
+    is covered too."""
+    from knaster_tpu import OnePoleLpf
+
+    B, CB = 64, 4
+    opts = AudioProcessorOptions(block_size=B)
+    g, proc = AudioProcessor.new(1, 1, opts)
+
+    def build(gg):
+        n = gg.push(OnePoleLpf(2000.0))
+        gg.from_inputs(0).to(n)
+        n.to_graph_out()
+
+    g.edit(build)
+    proc.run_without_inputs()  # warm the single-block path
+
+    rng = np.random.default_rng(42)
+    src = (rng.standard_normal((1, 48 * B)) * 0.5).astype(np.float32)
+
+    captured = []
+    gate = threading.Event()
+
+    def consumer(blk):
+        # hold the consumer until all input is fed and rendered, so the
+        # paced drain can never zero-fill mid-stream (the ring is sized to
+        # hold the whole test render)
+        gate.wait()
+        captured.append(blk.copy())
+
+    be = StreamBackend(48000, B, lookahead_blocks=1000, chunk_blocks=CB,
+                       consumer=consumer)
+    be.start_processing(proc)
+    assert be.in_ring is not None and be.in_ring.channels == 1
+    assert be.push_input(src) == src.shape[1]
+
+    total = CB * B + src.shape[1]  # prefill chunk + 12 pushed chunks
+    deadline = time.time() + 60
+    while be.ring.frames_written < total and time.time() < deadline:
+        time.sleep(0.005)
+    assert be.ring.frames_written >= total, "producer never consumed the input"
+    assert be.input_underruns == 0
+    gate.set()
+    while be.ring.frames_read < total and time.time() < deadline:
+        time.sleep(0.005)
+    be.stop()
+
+    got = np.concatenate(captured, axis=1)
+    g2, proc2 = AudioProcessor.new(1, 1, opts)
+    g2.edit(build)
+    # render the reference in the SAME chunk increments the producer used:
+    # associative-scan filters re-associate under different partitionings
+    # (documented ≤1-ULP effect), so bit-exactness requires matching chunks
+    eff = np.concatenate([np.zeros((1, CB * B), np.float32), src], axis=1)
+    ref = np.concatenate(
+        [np.asarray(proc2.render(frames=CB * B,
+                                 inputs=eff[:, i : i + CB * B]))
+         for i in range(0, total, CB * B)],
+        axis=1,
+    )
+    assert got.shape[1] >= total
+    np.testing.assert_allclose(got[:, :total], ref, atol=0)
+
+
+def test_stream_backend_duplex_no_wait_zero_fills():
+    """input_wait=False: a dry capture source zero-fills instead of stalling
+    the stream, and the shortfall is counted."""
+    B, CB = 64, 4
+    opts = AudioProcessorOptions(block_size=B)
+    g, proc = AudioProcessor.new(1, 1, opts)
+    g.edit(lambda gg: gg.from_inputs(0).to_graph_out())
+    proc.run_without_inputs()
+    be = StreamBackend(48000, B, lookahead_blocks=16, chunk_blocks=CB,
+                       input_wait=False, consumer=lambda blk: None)
+    be.start_processing(proc)
+    time.sleep(0.3)
+    be.stop()
+    # stream kept producing with no input at all
+    assert be.ring.frames_written >= 2 * CB * B
+    assert be.input_underruns > 0
+
+
 def test_async_recompile_worker_warms_new_program():
     """The async-compile worker must publish a *warmed* program: every scan
     length the producer uses has to be in the new program's jit cache before
