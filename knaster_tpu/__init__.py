@@ -81,6 +81,7 @@ from .parallel.voicebank import VoiceBank
 from .airwindows.galactic import Galactic
 from .backends import AudioBackend, OfflineBackend, StreamBackend
 from .parallel.mesh import MeshVoiceBank, ShardedVoiceBank
+from .parallel.generic_bank import MosaicVoiceSpec, PallasVoiceBank
 from .parallel.pallas_bank import (
     PallasFMVoiceBank,
     PallasSineVoiceBank,
@@ -102,6 +103,8 @@ __all__ = [
     "FMVoice",
     "PallasFMVoiceBank",
     "PallasSineVoiceBank",
+    "PallasVoiceBank",
+    "MosaicVoiceSpec",
     "PallasSubtractiveVoiceBank",
     "PallasWavetableVoiceBank",
     "AdditiveVoice",

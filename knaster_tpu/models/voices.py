@@ -84,6 +84,57 @@ class SineVoice(UGen):
         _, out = self.panner.process(ctx, {}, sig, {"pan": params["pan"]})
         return {"osc": osc_state, "env": env_state}, out, done
 
+    def mosaic_voice(self, ctx: AudioCtx):
+        """Per-sample kernel body for the generic PallasVoiceBank: SinWt's
+        u32 phase + table-quantized sine, EnvAsr state machine, exact
+        equal-power Pan2 gains (cos/sin of the materialized pan every
+        sample — the hand-written PallasSineVoiceBank's fast path instead
+        rotates a phasor, an approximation while pan ramps)."""
+        import numpy as np
+
+        from ..parallel.generic_bank import MosaicVoiceSpec
+        from ..parallel.pallas_bank import (
+            _HALF_PI, _env_asr, _env_asr_free, _sin_quant, _to_inc,
+        )
+        from ..ugens.wavetable import FRACTIONAL_PART, TABLE_SIZE
+
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        env_d = self.env.pdefaults
+        atk = np.float32(
+            1.0 / max(env_d["attack_time"] * ctx.sample_rate, 1.0)
+        )
+        rel = np.float32(
+            1.0 / max(env_d["release_time"] * ctx.sample_rate, 1.0)
+        )
+        half = np.float32(0.5)
+
+        def body(i_f, carry, P, T):
+            phase = carry["phase"]
+            stage, t, rscale = carry["stage"], carry["t"], carry["rscale"]
+            restart, release = T["t_restart"], T["t_release"]
+            if restart is None:
+                env, stage, t = _env_asr_free(stage, t, rscale, atk, rel)
+            else:
+                env, stage, t, rscale = _env_asr(
+                    stage, t, rscale, restart, release, atk, rel
+                )
+            sig = _sin_quant(phase) * (env * P["amp"])
+            phase = phase + _to_inc(P["freq"] * f2pi)
+            angle = (P["pan"] * half + half) * _HALF_PI
+            new = {"phase": phase, "stage": stage, "t": t, "rscale": rscale}
+            return new, (sig * jnp.cos(angle), sig * jnp.sin(angle))
+
+        return MosaicVoiceSpec(
+            carry={
+                "phase": (jnp.uint32, 0),
+                "stage": (ctx.dtype, 0.0),
+                "t": (ctx.dtype, 0.0),
+                "rscale": (ctx.dtype, 1.0),
+            },
+            body=body,
+            idle_of=lambda c: c["stage"] == 0.0,
+        )
+
 
 class FMVoice(UGen):
     """2-operator FM voice: modulator sine FMs a carrier sine, AR envelope.
@@ -158,6 +209,52 @@ class FMVoice(UGen):
         )
         out = car_out * env_out * params["amp"]
         return {"mod": mod_state, "car": car_state, "env": env_state}, out, done
+
+    def mosaic_voice(self, ctx: AudioCtx):
+        """Per-sample kernel body for the generic PallasVoiceBank (mirrors
+        pallas_bank._fm_kernel's math exactly — the hand-written
+        PallasFMVoiceBank is the bit-parity A/B reference)."""
+        import numpy as np
+
+        from ..parallel.generic_bank import MosaicVoiceSpec
+        from ..parallel.pallas_bank import (
+            _env_ar, _env_ar_free, _sin_quant, _to_inc,
+        )
+        from ..ugens.wavetable import FRACTIONAL_PART, TABLE_SIZE
+
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        atk = np.float32(1.0 / max(self._attack * ctx.sample_rate, 1.0))
+        rel = np.float32(1.0 / max(self._release * ctx.sample_rate, 1.0))
+        one = np.float32(1.0)
+
+        def body(i_f, carry, P, T):
+            phm, phc = carry["phm"], carry["phc"]
+            stage, t = carry["stage"], carry["t"]
+            restart = T["t_restart"]
+            if restart is None:
+                env, stage, t = _env_ar_free(stage, t, atk, rel)
+            else:
+                env, stage, t = _env_ar(stage, t, restart, atk, rel)
+            gain = env * P["amp"]
+            freq = P["freq"]
+            mod = _sin_quant(phm)
+            phm = phm + _to_inc(freq * P["ratio"] * f2pi)
+            car_freq = freq * (one + P["index"] * mod)
+            car = _sin_quant(phc)
+            phc = phc + _to_inc(car_freq * f2pi)
+            new = {"phm": phm, "phc": phc, "stage": stage, "t": t}
+            return new, (car * gain,)
+
+        return MosaicVoiceSpec(
+            carry={
+                "phm": (jnp.uint32, 0),
+                "phc": (jnp.uint32, 0),
+                "stage": (ctx.dtype, 0.0),
+                "t": (ctx.dtype, 0.0),
+            },
+            body=body,
+            idle_of=lambda c: c["stage"] == 0.0,
+        )
 
 
 class SubtractiveVoice(UGen):

@@ -402,10 +402,19 @@ def _bank_setup(bank, ctx, state, events):
          idle) = bank._apply_events_breakpoints(ctx, state, events)
         ramp_ops = _ramp_operands_bursts(bank, state, pieces, dtype)
         ng = N_EVENTFUL
-    atk = jnp.full((R, LANES), 1.0 / max(bank._attack * ctx.sample_rate, 1.0),
-                   dtype)
-    rel = jnp.full((R, LANES), 1.0 / max(bank._release * ctx.sample_rate, 1.0),
-                   dtype)
+    # env-rate tiles for the hand-written banks; the generic PallasVoiceBank
+    # has no bank-level envelope (its body closes over whatever constants the
+    # voice wants) and gets inert placeholders
+    atk = jnp.full(
+        (R, LANES),
+        1.0 / max(getattr(bank, "_attack", 0.0) * ctx.sample_rate, 1.0),
+        dtype,
+    )
+    rel = jnp.full(
+        (R, LANES),
+        1.0 / max(getattr(bank, "_release", 0.0) * ctx.sample_rate, 1.0),
+        dtype,
+    )
     act = active.astype(dtype).reshape(R, LANES)
     return fstate, ivals, active, ramp_ops, ng, atk, rel, act, idle
 

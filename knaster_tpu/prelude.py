@@ -37,6 +37,7 @@ from .ugens.convolver import Convolver  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
 from .models.voices import AdditiveVoice, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice  # noqa: F401
 from .parallel.mesh import MeshVoiceBank, ShardedVoiceBank  # noqa: F401
+from .parallel.generic_bank import MosaicVoiceSpec, PallasVoiceBank  # noqa: F401
 from .parallel.pallas_bank import (  # noqa: F401
     PallasFMVoiceBank,
     PallasSineVoiceBank,

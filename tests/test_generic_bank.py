@@ -1,0 +1,267 @@
+"""Generic PallasVoiceBank: any voice with a mosaic_voice body gets the
+fused-kernel path, with the hand-written banks as bit-parity references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knaster_tpu import (
+    AudioCtx,
+    AudioProcessor,
+    AudioProcessorOptions,
+    FMVoice,
+    MosaicVoiceSpec,
+    PallasFMVoiceBank,
+    PallasVoiceBank,
+    SineVoice,
+    UGen,
+    VoiceBank,
+    pfloat,
+    pinteger,
+    ptrigger,
+)
+from knaster_tpu.core.ugen import normalize_process_result
+
+SR = 48000
+OPTS = AudioProcessorOptions(block_size=64, sample_rate=SR)
+
+
+def _run_pair(a_bank, b_bank, ctx, schedule, n_blocks):
+    no_in = np.zeros((0, ctx.block_size), np.float32)
+    sa, sb = a_bank.init(ctx), b_bank.init(ctx)
+    outs_a, outs_b = [], []
+    for i in range(n_blocks):
+        evs = schedule.get(i)
+        if evs is None:
+            ea = eb = None
+        else:
+            ea = a_bank.node_events_from_lists(evs)
+            eb = b_bank.node_events_from_lists(evs)
+        sa, oa = a_bank.process(ctx, sa, no_in, {}, events=ea)[:2]
+        rb = normalize_process_result(
+            b_bank.process(ctx, sb, no_in, {}, events=eb), ctx
+        )
+        sb, ob = rb[0], rb[1]
+        outs_a.append(np.asarray(oa))
+        outs_b.append(np.asarray(ob))
+    return (np.concatenate(outs_a, 1), np.concatenate(outs_b, 1), sa, sb)
+
+
+def _schedule(bank, fparams):
+    """Restarts, mid-block jumps, a cross-block smoothing ramp, a mid-ramp
+    re-set — the full sample-accurate event surface."""
+    names = list(fparams)
+    fi = {n: bank.float_index(n) for n in names}
+    V = bank.n_voices
+    return {
+        0: [(0, v, bank.trig_index("t_restart"), 1, 0.0)
+            for v in range(0, V, 3)],
+        1: [(17 + 9 * k, 3 + 2 * k, fi[n], 0, float(fparams[n]))
+            for k, n in enumerate(names)],
+        2: [(0, 9, fi[names[0]], 4, 150.0),
+            (10, 9, fi[names[0]], 0, float(fparams[names[0]]))],
+        3: None,
+        4: None,
+        5: [(50, 9, fi[names[0]], 0, float(fparams[names[0]]) * 0.5)],
+    }
+
+
+def _fm_defaults(V, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"freq": rng.uniform(100, 800, V).astype(np.float32),
+            "ratio": rng.choice([1.0, 2.0], V).astype(np.float32),
+            "index": rng.uniform(0.5, 2.0, V).astype(np.float32),
+            "amp": np.full(V, 0.01, np.float32)}
+
+
+def test_generic_fm_matches_hand_kernel():
+    """PallasVoiceBank(FMVoice) vs the hand-written PallasFMVoiceBank:
+    per-voice trajectories are bit-identical (same _mat/_env_ar/_sin_quant
+    math); only the mix reduction's multiply-by-active fusion may differ by
+    rounding."""
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    d = _fm_defaults(V, 12)
+    gb = PallasVoiceBank(FMVoice(), V, voice_defaults=d, tile_rows=2,
+                         event_capacity=1024)
+    hb = PallasFMVoiceBank(V, voice_defaults=d, tile_rows=2,
+                           event_capacity=1024)
+    sched = _schedule(gb, {"freq": 555.0, "index": 2.5, "amp": 0.02})
+    a, b, sa, sb = _run_pair(gb, hb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=5e-7)
+    # idle latches agree (VoicePool auto-release source)
+    np.testing.assert_array_equal(np.asarray(sa["idle"]), np.asarray(sb["idle"]))
+
+
+def test_generic_fm_matches_vmap():
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    d = _fm_defaults(V, 13)
+    gb = PallasVoiceBank(FMVoice(), V, voice_defaults=d, tile_rows=2,
+                         event_capacity=1024)
+    vb = VoiceBank(FMVoice(), V, voice_defaults=d, event_capacity=1024)
+    sched = _schedule(gb, {"freq": 555.0, "ratio": 3.0, "amp": 0.02})
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_generic_sine_matches_vmap():
+    """SineVoice body: EnvAsr (restart AND release triggers), exact Pan2."""
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    rng = np.random.default_rng(14)
+    d = {"freq": rng.uniform(100, 2000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+    gb = PallasVoiceBank(SineVoice(), V, voice_defaults=d, tile_rows=2,
+                         event_capacity=1024)
+    vb = VoiceBank(SineVoice(), V, voice_defaults=d, event_capacity=1024)
+    sched = _schedule(gb, {"freq": 1234.0, "amp": 0.02, "pan": 0.9})
+    sched[1].append((33, 6, gb.trig_index("t_release"), 1, 0.0))
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class DetunedVoice(UGen):
+    """A USER voice (not in the library): two detuned sines + AR envelope.
+    The extensibility check — ~20 lines of mosaic body buy the fused-kernel
+    path for a sound no hand-written bank covers."""
+
+    inputs = 0
+    outputs = 1
+    params = (
+        pfloat("freq", 330.0),
+        pfloat("detune", 1.003),
+        pfloat("amp", 0.02),
+        ptrigger("t_restart"),
+    )
+
+    def __init__(self, attack=0.004, release=0.2):
+        from knaster_tpu import EnvAr, SinWt
+
+        self.pdefaults = {"freq": 330.0, "detune": 1.003, "amp": 0.02}
+        self.o1 = SinWt(330.0)
+        self.o2 = SinWt(330.0)
+        self.env = EnvAr(attack, release)
+        self._attack = float(attack)
+        self._release = float(release)
+
+    def init(self, ctx):
+        return {"o1": self.o1.init(ctx), "o2": self.o2.init(ctx),
+                "env": self.env.init(ctx)}
+
+    def process(self, ctx, state, inputs, params):
+        B = ctx.block_size
+        no_in = jnp.zeros((0, B), ctx.dtype)
+        zeros = jnp.zeros((B,), ctx.dtype)
+        no_trig = jnp.zeros((B,), bool)
+        s1, o1, _ = normalize_process_result(self.o1.process(
+            ctx, state["o1"], no_in,
+            {"freq": params["freq"], "phase_offset": zeros,
+             "reset_phase": no_trig}), ctx)
+        s2, o2, _ = normalize_process_result(self.o2.process(
+            ctx, state["o2"], no_in,
+            {"freq": params["freq"] * params["detune"],
+             "phase_offset": zeros, "reset_phase": no_trig}), ctx)
+        se, env, done = normalize_process_result(self.env.process(
+            ctx, state["env"], no_in,
+            {"attack_time": jnp.full((B,), self._attack, ctx.dtype),
+             "release_time": jnp.full((B,), self._release, ctx.dtype),
+             "t_restart": params["t_restart"]}), ctx)
+        out = (o1 + o2) * env * params["amp"]
+        return {"o1": s1, "o2": s2, "env": se}, out, done
+
+    def mosaic_voice(self, ctx):
+        from knaster_tpu.parallel.pallas_bank import (
+            _env_ar, _env_ar_free, _sin_quant, _to_inc,
+        )
+        from knaster_tpu.ugens.wavetable import FRACTIONAL_PART, TABLE_SIZE
+
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        atk = np.float32(1.0 / max(self._attack * ctx.sample_rate, 1.0))
+        rel = np.float32(1.0 / max(self._release * ctx.sample_rate, 1.0))
+
+        def body(i_f, carry, P, T):
+            restart = T["t_restart"]
+            stage, t = carry["stage"], carry["t"]
+            if restart is None:
+                env, stage, t = _env_ar_free(stage, t, atk, rel)
+            else:
+                env, stage, t = _env_ar(stage, t, restart, atk, rel)
+            freq = P["freq"]
+            s1 = _sin_quant(carry["p1"])
+            s2 = _sin_quant(carry["p2"])
+            p1 = carry["p1"] + _to_inc(freq * f2pi)
+            p2 = carry["p2"] + _to_inc(freq * P["detune"] * f2pi)
+            new = {"p1": p1, "p2": p2, "stage": stage, "t": t}
+            return new, ((s1 + s2) * env * P["amp"],)
+
+        return MosaicVoiceSpec(
+            carry={"p1": (jnp.uint32, 0), "p2": (jnp.uint32, 0),
+                   "stage": (ctx.dtype, 0.0), "t": (ctx.dtype, 0.0)},
+            body=body,
+            idle_of=lambda c: c["stage"] == 0.0,
+        )
+
+
+def test_generic_custom_voice_matches_vmap():
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 256
+    rng = np.random.default_rng(15)
+    d = {"freq": rng.uniform(100, 900, V).astype(np.float32),
+         "detune": rng.uniform(1.0, 1.01, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32)}
+    gb = PallasVoiceBank(DetunedVoice(), V, voice_defaults=d, tile_rows=2,
+                         event_capacity=1024)
+    vb = VoiceBank(DetunedVoice(), V, voice_defaults=d, event_capacity=1024)
+    sched = _schedule(gb, {"freq": 444.0, "detune": 1.02, "amp": 0.02})
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_generic_bank_in_graph_engine():
+    """The generic bank is a first-class graph node: per-voice handles,
+    scheduled events, superblocked renders, state carry — parity with the
+    hand-written kernel bank on the same program. (vmap parity is covered
+    block-by-block above; over hundreds of frames FM phase feedback
+    amplifies the documented kernel-vs-vmap rounding drift, so the
+    in-graph reference is the bit-tight hand kernel.)"""
+
+    def run(bank_cls):
+        g, proc = AudioProcessor.new(0, 1, OPTS)
+        d = {"freq": np.linspace(200, 400, 128).astype(np.float32),
+             "amp": np.full(128, 0.05, np.float32)}
+        bank = (PallasVoiceBank(FMVoice(), 128, voice_defaults=d, tile_rows=1)
+                if bank_cls is PallasVoiceBank
+                else bank_cls(128, voice_defaults=d, tile_rows=1))
+        h = g.edit(lambda gg: (lambda b: (b.to_graph_out(), b)[1])(
+            gg.push(bank)))
+        h.voice_param("t_restart").trig(3)
+        h.voice_param("t_restart").trig(70)
+        r1 = np.asarray(proc.render(frames=256))
+        h.voice_param("freq").set(3, 555.0)
+        h.voice_param("amp").smooth(70, 0.002)
+        h.voice_param("amp").set(70, 0.1)
+        return r1, np.asarray(proc.render(frames=512))
+
+    a1, a2 = run(PallasVoiceBank)
+    b1, b2 = run(PallasFMVoiceBank)
+    assert np.abs(b2).max() > 1e-3
+    np.testing.assert_allclose(a1, b1, atol=1e-6)
+    np.testing.assert_allclose(a2, b2, atol=1e-6)
+
+
+def test_generic_bank_rejects_unsupported_voices():
+    from knaster_tpu.models.voices import SamplerVoice
+
+    class IntVoice(DetunedVoice):
+        params = DetunedVoice.params + (pinteger("mode", 0),)
+
+    with pytest.raises(ValueError, match="integer params"):
+        PallasVoiceBank(IntVoice(), 128)
+    with pytest.raises(ValueError, match="mosaic_voice"):
+        PallasVoiceBank(SamplerVoice(np.zeros(4096, np.float32)), 128)
