@@ -133,6 +133,7 @@ _BENCH_TO_FN = {
     "sampler_bank": "sampler_bank",
     "fm_cascade_model": "fm_cascade_model",
     "wavetable_bank": "wavetable_bank",
+    "generic_bank": "generic_bank",
     "voicebank": "voicebank",
 }
 
@@ -680,6 +681,57 @@ def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     }))
 
 
+def bench_generic_bank(n_voices=131072):
+    """Generic PallasVoiceBank (mosaic_voice harness) on FMVoice — must hold
+    the hand-written PallasFMVoiceBank's performance class (measured ratio
+    0.95 on the v5e; the hand kernel remains the A/B reference). Measured
+    like bench_fm_bank: ONE jitted on-device scan of 750 blocks whose
+    per-block mean is FETCHED (only a fetch is a trustworthy completion
+    signal on this tunnel)."""
+    import time
+
+    import jax
+
+    from knaster_tpu import AudioCtx, FMVoice, PallasVoiceBank
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": (220.0 * 2 ** rng.uniform(-1, 1, n_voices)).astype(np.float32),
+        "ratio": rng.choice([0.5, 1.0, 2.0, 3.0], n_voices).astype(np.float32),
+        "index": rng.uniform(0.5, 3.0, n_voices).astype(np.float32),
+        "amp": np.full(n_voices, 0.005, np.float32),
+    }
+    bank = PallasVoiceBank(FMVoice(), n_voices, voice_defaults=defaults)
+    st = bank.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)  # force real execution
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
+    emit(({
+        "bench": "generic_bank",
+        "config": f"{n_voices}voices_mosaic_fm",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    }))
+
+
 def bench_edit_latency(n_nodes=256, block_size=16):
     """Live-edit cost at 256 nodes: time from g.edit() commit to the first
     rendered block of the NEW program, for (a) a cold topology (fresh trace
@@ -874,6 +926,7 @@ ALL = {
     "sampler_bank": bench_sampler_bank,
     "fm_cascade_model": bench_fm_cascade_model,
     "wavetable_bank": bench_wavetable_bank,
+    "generic_bank": bench_generic_bank,
     "voicebank": bench_voicebank,
 }
 
@@ -891,7 +944,7 @@ if __name__ == "__main__":
             names.append(args[i]); i += 1
     names = names or ["sines_const", "wrappers", "galactic", "fm_bank",
                       "plucked_bank", "sampler_bank", "fm_cascade_model",
-                      "wavetable_bank"]
+                      "wavetable_bank", "generic_bank"]
     for n in names:
         ALL[n]()
     if baseline:

@@ -42,10 +42,13 @@ def _defaults(V, rng, extra=()):
 def main():
     from knaster_tpu.core.ugen import AudioCtx
     from knaster_tpu import (
+        FMVoice,
         PallasFMVoiceBank,
         PallasSineVoiceBank,
         PallasSubtractiveVoiceBank,
+        PallasVoiceBank,
         PallasWavetableVoiceBank,
+        SineVoice,
         VoiceBank,
     )
 
@@ -86,6 +89,22 @@ def main():
                 V, voice_defaults=_defaults(V, rng, ("cutoff",))
             ),
             ("cutoff",),
+        )
+        yield (
+            "generic_fm",  # the generic-harness kernel (PallasVoiceBank)
+            lambda: PallasVoiceBank(
+                FMVoice(),
+                V, voice_defaults=_defaults(V, rng, ("ratio", "index"))
+            ),
+            ("ratio", "index"),
+        )
+        yield (
+            "generic_sine",
+            lambda: PallasVoiceBank(
+                SineVoice(),
+                V, voice_defaults=_defaults(V, rng, ("pan",))
+            ),
+            ("pan",),
         )
         yield (
             "wavetable",

@@ -334,6 +334,84 @@ class SubtractiveVoice(UGen):
         out = filt_out * env_out * params["amp"]
         return {"osc": osc_state, "filt": filt_state, "env": env_state}, out, done
 
+    def mosaic_voice(self, ctx: AudioCtx):
+        """Per-sample kernel body for the generic PallasVoiceBank (mirrors
+        pallas_bank._sub_kernel's math exactly — the hand-written
+        PallasSubtractiveVoiceBank is the bit-parity A/B reference).
+
+        Same caveat as the hand kernel: the saw is the plain polyBLEP
+        without the > sr/4 sine fallback — keep fundamentals below sr/4."""
+        import numpy as np
+
+        from ..parallel.generic_bank import MosaicVoiceSpec
+        from ..parallel.pallas_bank import _env_asr, _env_asr_free
+
+        inv_sr = np.float32(1.0 / ctx.sample_rate)
+        pi_inv_sr = np.float32(np.pi) * inv_sr
+        atk = np.float32(1.0 / max(self._attack * ctx.sample_rate, 1.0))
+        rel = np.float32(1.0 / max(self._release * ctx.sample_rate, 1.0))
+        one = np.float32(1.0)
+        zero = np.float32(0.0)
+        two = np.float32(2.0)
+        half = np.float32(0.5)
+
+        def blep(t, dt):
+            safe_dt = jnp.maximum(dt, np.float32(1e-9))
+            a = t / safe_dt - one
+            b = (t - one) / safe_dt + one
+            return jnp.where(
+                t < dt, -(a * a), jnp.where(t > one - dt, b * b, zero)
+            )
+
+        def body(i_f, carry, P, T):
+            t, ic1, ic2 = carry["t"], carry["ic1"], carry["ic2"]
+            stage, et, rscale = carry["stage"], carry["et"], carry["rscale"]
+            restart, release = T["t_restart"], T["t_release"]
+            if restart is None:
+                env, stage, et = _env_asr_free(stage, et, rscale, atk, rel)
+            else:
+                env, stage, et, rscale = _env_asr(
+                    stage, et, rscale, restart, release, atk, rel
+                )
+
+            # polyBLEP sawtooth (polyblep.rs saw): y = 2*frac(t+0.5)-1 - blep
+            dt = jnp.clip(P["freq"] * inv_sr, 0.0, 0.5)
+            _t = t + half
+            _t = _t - jnp.floor(_t)
+            saw = two * _t - one - blep(_t, dt)
+            t = t + dt
+            t = t - jnp.floor(t)
+
+            # SVF lowpass coefficients per sample (svf.rs set_coeffs, Low)
+            g = jnp.tan(pi_inv_sr * P["cutoff"])
+            k = one / P["q"]
+            a1 = one / (one + g * (g + k))
+            a2 = g * a1
+            a3 = g * a2
+            # SVF step (svf.rs process_sample, m = (0, 0, 1))
+            v3 = saw - ic2
+            v1 = a1 * ic1 + a2 * v3
+            v2 = ic2 + a2 * ic1 + a3 * v3
+            ic1 = two * v1 - ic1
+            ic2 = two * v2 - ic2
+
+            new = {"t": t, "ic1": ic1, "ic2": ic2, "stage": stage,
+                   "et": et, "rscale": rscale}
+            return new, (v2 * (env * P["amp"]),)
+
+        return MosaicVoiceSpec(
+            carry={
+                "t": (ctx.dtype, 0.0),
+                "ic1": (ctx.dtype, 0.0),
+                "ic2": (ctx.dtype, 0.0),
+                "stage": (ctx.dtype, 0.0),
+                "et": (ctx.dtype, 0.0),
+                "rscale": (ctx.dtype, 1.0),
+            },
+            body=body,
+            idle_of=lambda c: c["stage"] == 0.0,
+        )
+
 
 class FMCascade(UGen):
     """N-stage FM cascade: each sine FM-modulates the next
@@ -608,6 +686,80 @@ class AdditiveVoice(UGen):
         sig = (osc * env_out[0] * params["amp"])[None, :]
         _, out = self.panner.process(ctx, {}, sig, {"pan": params["pan"]})
         return {"phase": state["phase"] + ecs[B], "env": env_state}, out, done
+
+    def mosaic_voice(self, ctx: AudioCtx):
+        """Per-sample kernel body for the generic PallasVoiceBank (mirrors
+        pallas_bank._wt_kernel's additive math exactly: full-resolution
+        fundamental angle, per-harmonic phasor recurrence with baked A/B
+        coefficients, per-sample Nyquist masking, EnvAsr). Pan uses exact
+        cos/sin of the materialized pan each sample (Pan2/vmap parity; the
+        hand-written PallasWavetableVoiceBank's fast path rotates a phasor
+        instead, an approximation while pan ramps)."""
+        import numpy as np
+
+        from ..parallel.generic_bank import MosaicVoiceSpec
+        from ..parallel.pallas_bank import (
+            _HALF_PI, _env_asr, _env_asr_free, _theta_full, _to_inc,
+        )
+        from ..ugens.wavetable import FRACTIONAL_PART, TABLE_SIZE
+
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        atk = np.float32(1.0 / max(self._attack * ctx.sample_rate, 1.0))
+        rel = np.float32(1.0 / max(self._release * ctx.sample_rate, 1.0))
+        phi = self.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+        acoef = (self.mags * np.cos(phi)).astype(np.float32)
+        bcoef = (self.mags * np.sin(phi)).astype(np.float32)
+        nyq = np.float32(ctx.sample_rate / 2.0)
+        H = self.n_harmonics
+        zero = np.float32(0.0)
+        half = np.float32(0.5)
+
+        def body(i_f, carry, P, T):
+            phase = carry["phase"]
+            stage, t, rscale = carry["stage"], carry["t"], carry["rscale"]
+            restart, release = T["t_restart"], T["t_release"]
+            if restart is None:
+                env, stage, t = _env_asr_free(stage, t, rscale, atk, rel)
+            else:
+                env, stage, t, rscale = _env_asr(
+                    stage, t, rscale, restart, release, atk, rel
+                )
+
+            freq = P["freq"]
+            theta = _theta_full(phase)
+            s1 = jnp.sin(theta)
+            c1 = jnp.cos(theta)
+            phase = phase + _to_inc(freq * f2pi)
+
+            # per-sample AA mask, same comparison as AdditiveVoice.process
+            # (freq * h in f32 <= nyquist) so the boundary rounds identically
+            s, c = s1, c1
+            acc = jnp.where(
+                freq <= nyq,
+                np.float32(acoef[0]) * s + np.float32(bcoef[0]) * c, zero
+            )
+            for h in range(1, H):
+                s, c = s * c1 + c * s1, c * c1 - s * s1
+                part = np.float32(acoef[h]) * s + np.float32(bcoef[h]) * c
+                acc = acc + jnp.where(
+                    freq * np.float32(h + 1) <= nyq, part, zero
+                )
+
+            sig = acc * (env * P["amp"])
+            angle = (P["pan"] * half + half) * _HALF_PI
+            new = {"phase": phase, "stage": stage, "t": t, "rscale": rscale}
+            return new, (sig * jnp.cos(angle), sig * jnp.sin(angle))
+
+        return MosaicVoiceSpec(
+            carry={
+                "phase": (jnp.uint32, 0),
+                "stage": (ctx.dtype, 0.0),
+                "t": (ctx.dtype, 0.0),
+                "rscale": (ctx.dtype, 1.0),
+            },
+            body=body,
+            idle_of=lambda c: c["stage"] == 0.0,
+        )
 
 
 class SamplerVoice(UGen):

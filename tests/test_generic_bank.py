@@ -255,6 +255,132 @@ def test_generic_bank_in_graph_engine():
     np.testing.assert_allclose(a2, b2, atol=1e-6)
 
 
+def test_generic_subtractive_matches_hand_kernel():
+    """SubtractiveVoice body (polyBLEP saw -> per-sample tan SVF -> EnvAsr)
+    vs the hand-written PallasSubtractiveVoiceBank: bit-identical math."""
+    from knaster_tpu import PallasSubtractiveVoiceBank, SubtractiveVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    rng = np.random.default_rng(16)
+    d = {"freq": rng.uniform(60, 400, V).astype(np.float32),
+         "cutoff": rng.uniform(400, 6000, V).astype(np.float32),
+         "q": rng.uniform(0.6, 3.0, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32)}
+    gb = PallasVoiceBank(SubtractiveVoice(), V, voice_defaults=d,
+                         tile_rows=2, event_capacity=1024)
+    hb = PallasSubtractiveVoiceBank(V, voice_defaults=d, tile_rows=2,
+                                    event_capacity=1024)
+    sched = _schedule(gb, {"cutoff": 900.0, "freq": 220.0, "amp": 0.02})
+    sched[1].append((33, 6, gb.trig_index("t_release"), 1, 0.0))
+    a, b, sa, sb = _run_pair(gb, hb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=5e-7)
+    np.testing.assert_array_equal(np.asarray(sa["idle"]), np.asarray(sb["idle"]))
+
+
+def test_generic_subtractive_matches_vmap():
+    from knaster_tpu import SubtractiveVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    rng = np.random.default_rng(17)
+    d = {"freq": rng.uniform(60, 400, V).astype(np.float32),
+         "cutoff": rng.uniform(400, 5000, V).astype(np.float32),
+         "q": rng.uniform(0.6, 3.0, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32)}
+    gb = PallasVoiceBank(SubtractiveVoice(), V, voice_defaults=d,
+                         tile_rows=2, event_capacity=1024)
+    vb = VoiceBank(SubtractiveVoice(), V, voice_defaults=d,
+                   event_capacity=1024)
+    # the cutoff smoothing ramp is the classic filter sweep: per-sample
+    # tan-based coefficients must track it inside the kernel
+    sched = _schedule(gb, {"cutoff": 900.0, "freq": 220.0, "q": 1.5})
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_generic_additive_matches_hand_kernel():
+    """AdditiveVoice body (phasor-recurrence partials, per-sample AA mask)
+    vs the hand-written PallasWavetableVoiceBank. Pan moves are instant
+    sets (both paths then use exact cos/sin gains; only MID-RAMP pan
+    differs by design — the hand kernel's fast path rotates a phasor)."""
+    from knaster_tpu import AdditiveVoice, PallasWavetableVoiceBank
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    rng = np.random.default_rng(18)
+    mags = np.array([1.0, 0.5, 0.25, 0.125, 0.0625], np.float32)
+    d = {"freq": rng.uniform(100, 2000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+    gb = PallasVoiceBank(AdditiveVoice(harmonics=mags), V, voice_defaults=d,
+                         tile_rows=2, event_capacity=1024)
+    hb = PallasWavetableVoiceBank(V, harmonics=mags, voice_defaults=d,
+                                  tile_rows=2, event_capacity=1024)
+    # freq jump above half-nyquist: the per-sample AA mask must drop
+    # partials at the exact event frame in both kernels
+    sched = _schedule(gb, {"freq": 13000.0, "amp": 0.02, "pan": -0.7})
+    sched[1].append((33, 6, gb.trig_index("t_release"), 1, 0.0))
+    a, b, sa, sb = _run_pair(gb, hb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=5e-7)
+    np.testing.assert_array_equal(np.asarray(sa["idle"]), np.asarray(sb["idle"]))
+
+
+def test_generic_additive_matches_vmap():
+    from knaster_tpu import AdditiveVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 256
+    rng = np.random.default_rng(19)
+    mags = np.array([1.0, 0.5, 0.25, 0.125], np.float32)
+    d = {"freq": rng.uniform(100, 2000, V).astype(np.float32),
+         "amp": np.full(V, 0.01, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32)}
+    gb = PallasVoiceBank(AdditiveVoice(harmonics=mags), V, voice_defaults=d,
+                         tile_rows=2, event_capacity=1024)
+    vb = VoiceBank(AdditiveVoice(harmonics=mags), V, voice_defaults=d,
+                   event_capacity=1024)
+    sched = _schedule(gb, {"freq": 13000.0, "amp": 0.02, "pan": -0.7})
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_generic_bank_matches_unsharded():
+    """make_local shards the generic bank over the mesh like any bank."""
+    import jax
+
+    from knaster_tpu import ShardedVoiceBank
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((n_dev,), ("voices",))
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 128 * n_dev * 2
+    d = _fm_defaults(V, 21)
+    bank = PallasVoiceBank(FMVoice(), V, voice_defaults=d, tile_rows=1,
+                           event_capacity=512)
+    sb = ShardedVoiceBank(bank, mesh, ctx)
+    events = [(0, v, bank.trig_index("t_restart"), 1, 0.0)
+              for v in range(0, V, 7)]
+    st = sb.init_state()
+    st, o1 = sb.step(st, sb.events_from_lists(events))
+    st, o2 = sb.step(st, sb.empty_events())
+    sharded = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+
+    ust = bank.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    ust, u1 = bank.process(ctx, ust, no_in, {},
+                           events=bank.node_events_from_lists(events))
+    ust, u2 = bank.process(ctx, ust, no_in, {},
+                           events=bank.empty_node_events())
+    unsharded = np.concatenate([np.asarray(u1), np.asarray(u2)], axis=1)
+    assert np.abs(unsharded).max() > 1e-5
+    np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+
+
 def test_generic_bank_rejects_unsupported_voices():
     from knaster_tpu.models.voices import SamplerVoice
 
