@@ -42,6 +42,7 @@ def _defaults(V, rng, extra=()):
 def main():
     from knaster_tpu.core.ugen import AudioCtx
     from knaster_tpu import (
+        AdditiveVoice,
         FMVoice,
         PallasFMVoiceBank,
         PallasSineVoiceBank,
@@ -49,6 +50,7 @@ def main():
         PallasVoiceBank,
         PallasWavetableVoiceBank,
         SineVoice,
+        SubtractiveVoice,
         VoiceBank,
     )
 
@@ -103,6 +105,24 @@ def main():
             lambda: PallasVoiceBank(
                 SineVoice(),
                 V, voice_defaults=_defaults(V, rng, ("pan",))
+            ),
+            ("pan",),
+        )
+        yield (
+            "generic_subtractive",
+            lambda: PallasVoiceBank(
+                SubtractiveVoice(),
+                V, voice_defaults=_defaults(V, rng, ("cutoff",))
+            ),
+            ("cutoff",),
+        )
+        yield (
+            "generic_additive",
+            lambda: PallasVoiceBank(
+                AdditiveVoice(
+                    harmonics=np.array([1.0, 0.5, 0.25, 0.12], np.float32)
+                ),
+                V, voice_defaults=_defaults(V, rng, ("pan",)),
             ),
             ("pan",),
         )
