@@ -53,6 +53,7 @@ from .graph.scheduling import SchedulingToken, Time
 from .ugens.buffer import Buffer, BufferReader
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn
 from .ugens.convolver import Convolver
+from .ugens.modal import ModalResonator
 from .ugens.physical import PluckedString
 from .ugens.delay import (
     AllpassDelay,
@@ -133,6 +134,7 @@ __all__ = [
     "PolyBlep",
     "RandomLin",
     "SafetyLimiter",
+    "ModalResonator",
     "PluckedString",
     "SampleDelay",
     "StaticSampleDelay",

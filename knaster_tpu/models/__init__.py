@@ -4,10 +4,20 @@ from .voices import (
     AdditiveVoice,
     FMCascade,
     FMVoice,
+    ModalVoice,
     PluckedVoice,
     SamplerVoice,
     SineVoice,
     SubtractiveVoice,
 )
 
-__all__ = ["FMCascade", "FMVoice", "PluckedVoice", "SineVoice", "SubtractiveVoice"]
+__all__ = [
+    "AdditiveVoice",
+    "FMCascade",
+    "FMVoice",
+    "ModalVoice",
+    "PluckedVoice",
+    "SamplerVoice",
+    "SineVoice",
+    "SubtractiveVoice",
+]

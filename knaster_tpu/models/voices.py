@@ -1187,3 +1187,111 @@ class PluckedVoice(UGen):
             "frame": state["frame"] + jnp.uint32(B),
         }
         return new, write[None, :]
+
+
+class ModalVoice(UGen):
+    """Struck modal-resonator voice: mallet pulse -> ModalResonator -> Pan2
+    (beyond reference -- see ``ugens/modal.py``; the reference has no modal
+    synthesis, its closest primitive is one SvfFilter, svf.rs:40).
+
+    The mallet is BUILT IN: an :class:`~knaster_tpu.ugens.envelopes.EnvAr`
+    pulse of ``strike_ms`` milliseconds retriggered by ``t_strike`` (so
+    strikes ride the engine's sample-accurate per-voice triggers), scaled by
+    ``amp`` and normalized by the pulse area so ``amp`` reads as per-mode
+    ring amplitude regardless of ``strike_ms`` (a raw ModalResonator driven
+    by an unnormalized pulse rings at pulse-area x gain instead). All M modes of the resonator update in parallel as 2x2
+    rotation-decay affine scans -- a ``VoiceBank(ModalVoice(...), V)`` is a
+    V-instrument mallet ensemble running V*M resonators on VPU lanes with
+    zero graph nodes per instrument.
+
+    Done semantics (for VoicePool auto-release): the voice marks done at the
+    LAST frame of the block in which its gain-weighted ring-out RMS first
+    falls below ``done_threshold`` after a strike (blockwise resolution --
+    the tail below the threshold is inaudible by construction; the strike
+    pulse itself must also have finished). A fresh, never-struck voice is
+    not done (same one-shot contract as EnvAr, envelopes.rs:174-315).
+    """
+
+    inputs = 0
+    outputs = 2
+    may_set_done = True
+    params = (
+        pfloat("freq", 440.0, kind=ParameterKind.FREQUENCY),
+        pfloat("amp", 0.25),
+        pfloat("pan", 0.0, range=(-1.0, 1.0)),
+        pfloat("decay", 1.0, range=(0.0, 100.0), kind=ParameterKind.SECONDS),
+        ptrigger("t_strike"),
+    )
+
+    def __init__(self, resonator=None, freq: float = 440.0, amp: float = 0.25,
+                 pan: float = 0.0, strike_ms: float = 2.0,
+                 done_threshold: float = 1e-5):
+        from ..ugens.modal import ModalResonator
+
+        self.res = resonator if resonator is not None else ModalResonator.bell(freq)
+        half = max(float(strike_ms), 0.05) * 5e-4  # attack+release = strike_ms
+        self.exciter = EnvAr(half, half)
+        # a pulse drives a slow-rotating mode nearly coherently, so the ring
+        # amplitude scales with the pulse AREA (half*sr samples for the
+        # triangular EnvAr pulse); normalize by it so `amp` reads as per-mode
+        # ring amplitude, not an area-dependent 50-100x multiple of it
+        self._half = half
+        self.done_threshold = float(done_threshold)
+        self.pdefaults = {
+            "freq": float(freq),
+            "amp": float(amp),
+            "pan": float(pan),
+            "decay": float(self.res.pdefaults["decay"]),
+        }
+        self.panner = Pan2(pan)
+
+    def batch_key(self):
+        return (type(self), self.res.batch_key(), self.done_threshold,
+                self.exciter.pdefaults["attack_time"])
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "res": self.res.init(ctx),
+            "exc": self.exciter.init(ctx),
+            "struck": jnp.zeros((), bool),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        import numpy as np
+
+        from ..ugens.envelopes import STOPPED
+
+        B = ctx.block_size
+        exc_d = self.exciter.pdefaults
+        exc_state, pulse, _ = normalize_process_result(
+            self.exciter.process(
+                ctx, state["exc"], jnp.zeros((0, B), ctx.dtype),
+                {
+                    "attack_time": jnp.full((B,), exc_d["attack_time"], ctx.dtype),
+                    "release_time": jnp.full((B,), exc_d["release_time"], ctx.dtype),
+                    "t_restart": params["t_strike"],
+                },
+            ),
+            ctx,
+        )
+        res_state, wet = self.res.process(
+            ctx, state["res"],
+            pulse * (params["amp"] * np.float32(
+                1.0 / max(self._half * ctx.sample_rate, 1.0))),
+            {"freq": params["freq"], "decay": params["decay"]},
+        )
+        _, out = self.panner.process(ctx, {}, wet, {"pan": params["pan"]})
+
+        struck = state["struck"] | jnp.any(params["t_strike"])
+        quiet = self.res.ring_energy(res_state) < jnp.asarray(
+            self.done_threshold, ctx.dtype
+        )
+        exc_idle = exc_state["stage"] == STOPPED
+        fire = struck & quiet & exc_idle
+        done = jnp.zeros((B,), bool).at[-1].set(fire)
+        new_state = {
+            "res": res_state,
+            "exc": exc_state,
+            "struck": struck & ~fire,
+        }
+        return new_state, out, done

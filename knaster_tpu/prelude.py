@@ -35,7 +35,14 @@ from .primitives import (  # noqa: F401
 from .airwindows import Galactic  # noqa: F401
 from .ugens.convolver import Convolver  # noqa: F401
 from .backends import AudioBackend, OfflineBackend, StreamBackend  # noqa: F401
-from .models.voices import AdditiveVoice, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice  # noqa: F401
+from .models.voices import (  # noqa: F401
+    AdditiveVoice,
+    FMVoice,
+    ModalVoice,
+    SamplerVoice,
+    SineVoice,
+    SubtractiveVoice,
+)
 from .parallel.mesh import MeshVoiceBank, ShardedVoiceBank  # noqa: F401
 from .parallel.generic_bank import MosaicVoiceSpec, PallasVoiceBank  # noqa: F401
 from .parallel.pallas_bank import (  # noqa: F401
@@ -48,6 +55,7 @@ from .parallel.pool import VoicePool
 from .parallel.voicebank import VoiceBank  # noqa: F401
 from .ugens.buffer import Buffer, BufferReader  # noqa: F401
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn  # noqa: F401
+from .ugens.modal import ModalResonator  # noqa: F401
 from .ugens.physical import PluckedString  # noqa: F401
 from .ugens.delay import (  # noqa: F401
     AllpassDelay,
