@@ -90,6 +90,8 @@ from .parallel.pallas_bank import (
     PallasWavetableVoiceBank,
 )
 from .models.voices import AdditiveVoice, FMCascade, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice
+from .models import ModalVoice, PluckedVoice
+from .utils.codec import read_sound_file, write_flac, write_mp3, write_ogg
 
 __version__ = "0.1.0"
 
