@@ -91,6 +91,7 @@ from .parallel.pallas_bank import (
 )
 from .models.voices import AdditiveVoice, FMCascade, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice
 from .models import ModalVoice, PluckedVoice
+from .ugens.granular import GrainPlayer
 from .utils.codec import read_sound_file, write_flac, write_mp3, write_ogg
 
 __version__ = "0.1.0"

@@ -55,8 +55,11 @@ from .parallel.pool import VoicePool
 from .parallel.voicebank import VoiceBank  # noqa: F401
 from .ugens.buffer import Buffer, BufferReader  # noqa: F401
 from .ugens.closure import ClosureUGen, ugen_from_sample_fn  # noqa: F401
+from .ugens.granular import GrainPlayer  # noqa: F401
 from .ugens.modal import ModalResonator  # noqa: F401
 from .ugens.physical import PluckedString  # noqa: F401
+from .models import ModalVoice, PluckedVoice  # noqa: F401
+from .utils.codec import write_flac  # noqa: F401
 from .ugens.delay import (  # noqa: F401
     AllpassDelay,
     AllpassFeedbackDelay,

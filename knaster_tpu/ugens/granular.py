@@ -1,0 +1,229 @@
+"""Granular synthesis (beyond reference — knaster has no granular engine;
+its closest primitive is BufferReader, ugens/buffer.rs:21-190, whose
+pointer/rate semantics the per-grain readers follow).
+
+``GrainPlayer`` renders a cloud of short windowed buffer excerpts
+("grains") from a shared source :class:`~knaster_tpu.ugens.buffer.Buffer`.
+A deterministic scheduler spawns grains at ``density`` Hz into a
+fixed pool of ``grains`` slots (round-robin reuse); every per-grain
+random quantity (position/rate jitter, stereo spread) comes from a
+counter-keyed Threefry hash, so renders are reproducible for a given
+``seed`` and independent of block size — the same determinism contract
+as the noise UGens (see ugens/noise.py).
+
+TPU mapping: one ``lax.scan`` over the block; all per-grain state rides
+the carry as ``[G]`` lanes, so slot updates are one-hot selects and the
+mix is a lane reduction. Source reads are two gathers per sample
+(linear interpolation), the same access pattern as BufferReader.
+Spawns are sample-accurate: the countdown scheduler fires between any
+two samples, and the ``t_spawn`` trigger forces a grain at its exact
+frame (and re-anchors the scheduler), so sequenced granular lines ride
+the engine's event machinery like any other trigger.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ugen import AudioCtx, UGen
+from ..primitives.params import pfloat, pinteger, ptrigger
+from .buffer import Buffer
+
+_WINDOWS = ("hann", "triangle", "rect")
+
+
+class GrainPlayer(UGen):
+    """Granular cloud over a shared source buffer (stereo out).
+
+    Parameters (all block-rate-smoothable, sampled at the spawn frame for
+    per-grain frozen quantities):
+
+    - ``density``: grains per second (scheduler rate). Capped at the
+      sample rate (at most one spawn per frame).
+    - ``grain_dur``: grain length in seconds.
+    - ``rate``: playback rate inside each grain (1.0 = natural speed,
+      scaled by buffer/server sample-rate ratio like BufferReader).
+    - ``pos``: source position in seconds where grains start.
+    - ``pos_jitter``: uniform ± spread (seconds) added to ``pos``.
+    - ``rate_jitter``: per-grain pitch spread in octaves: the frozen rate
+      is ``rate * 2**(u * rate_jitter)`` with u uniform in [-1, 1].
+    - ``pan_spread``: per-grain equal-power pan position spread (0 = all
+      grains center, 1 = full stereo field).
+    - ``amp``: live output gain (applied per sample, not frozen).
+    - ``t_spawn``: trigger — force-spawn a grain at this exact frame and
+      re-anchor the scheduler's countdown.
+
+    ``loop=True`` wraps source reads around the buffer end; otherwise
+    out-of-range reads are silent. Reads use channel ``channel`` of the
+    source (a granular cloud is a mono->stereo texture; feed per-channel
+    players for true stereo sources).
+    """
+
+    params = (
+        pfloat("density", 10.0, range=(0.01, 48000.0), logarithmic=True),
+        pfloat("grain_dur", 0.1, range=(0.0005, 10.0), logarithmic=True),
+        pfloat("rate", 1.0, range=(-8.0, 8.0)),
+        pfloat("pos", 0.0),
+        pfloat("pos_jitter", 0.0),
+        pfloat("rate_jitter", 0.0, range=(0.0, 4.0)),
+        pfloat("pan_spread", 1.0, range=(0.0, 1.0)),
+        pfloat("amp", 1.0),
+        ptrigger("t_spawn"),
+    )
+
+    def __init__(
+        self,
+        buffer: Buffer,
+        grains: int = 32,
+        seed: int = 0,
+        window: str = "hann",
+        loop: bool = True,
+        channel: int = 0,
+        **defaults,
+    ):
+        if window not in _WINDOWS:
+            raise ValueError(f"window must be one of {_WINDOWS}")
+        if not 1 <= grains <= 1024:
+            raise ValueError("grains must be in [1, 1024]")
+        if not 0 <= channel < buffer.channels:
+            raise ValueError(f"channel {channel} out of range for "
+                             f"{buffer.channels}-channel buffer")
+        self.buffer = buffer
+        self.grains = int(grains)
+        self.seed = int(seed)
+        self.window = window
+        self.loop = bool(loop)
+        self.channel = int(channel)
+        self.inputs = 0
+        self.outputs = 2
+        self.pdefaults = dict(defaults)
+
+    def init(self, ctx: AudioCtx):
+        G = self.grains
+        dtype = ctx.dtype
+        return {
+            # scheduler: samples until the next natural spawn
+            "countdown": jnp.zeros((), dtype),
+            # grains spawned so far (Threefry key + round-robin slot)
+            "counter": jnp.zeros((), jnp.uint32),
+            # per-slot grain state; dur == 0 marks a free slot
+            "age": jnp.zeros((G,), jnp.int32),
+            "dur": jnp.zeros((G,), dtype),
+            "src0": jnp.zeros((G,), dtype),
+            "step": jnp.zeros((G,), dtype),
+            "gl": jnp.zeros((G,), dtype),
+            "gr": jnp.zeros((G,), dtype),
+        }
+
+    def _window(self, ph, dtype):
+        if self.window == "hann":
+            return (np.float32(0.5)
+                    - np.float32(0.5) * jnp.cos(np.float32(2 * np.pi) * ph)
+                    ).astype(dtype)
+        if self.window == "triangle":
+            return (np.float32(1.0)
+                    - jnp.abs(np.float32(2.0) * ph - np.float32(1.0))
+                    ).astype(dtype)
+        return jnp.ones_like(ph)
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        G = self.grains
+        dtype = ctx.dtype
+        sr = float(ctx.sample_rate)
+        bsr = float(self.buffer.sample_rate)
+        base_step = self.buffer.buf_rate_scale(ctx.sample_rate)
+        n_frames = self.buffer.frames
+        buf0 = jnp.asarray(self.buffer.data[self.channel].astype(dtype))
+        lanes = jnp.arange(G, dtype=jnp.uint32)
+        key = jax.random.key(self.seed)
+        half_pi = np.float32(np.pi / 2)
+
+        # per-sample spawn-time quantities (cheap, vectorized outside the
+        # scan; the scan selects sample i's row on spawn)
+        period = sr / jnp.clip(params["density"].astype(dtype), 0.01, sr)
+        dur_smp = jnp.maximum(params["grain_dur"].astype(dtype) * sr, 1.0)
+        pos_f = params["pos"].astype(dtype) * bsr
+        posj_f = params["pos_jitter"].astype(dtype) * bsr
+        rate_p = params["rate"].astype(dtype) * np.float32(base_step)
+        ratej = params["rate_jitter"].astype(dtype)
+        spread = params["pan_spread"].astype(dtype)
+
+        def step_fn(carry, x):
+            countdown, counter, age, dur, src0, step, gl, gr = carry
+
+            countdown = countdown - np.float32(1.0)
+            due = (countdown <= 0.0) | x["t_spawn"]
+            # re-anchor on trigger; accumulate the fractional phase on
+            # natural spawns so mean density is exact
+            countdown = jnp.where(
+                due,
+                jnp.where(x["t_spawn"], x["period"], countdown + x["period"]),
+                countdown,
+            )
+
+            # deterministic per-grain randomness keyed by the spawn counter
+            u = jax.random.uniform(
+                jax.random.fold_in(key, counter), (3,),
+                minval=-1.0, maxval=1.0
+            ).astype(dtype)
+            slot_hit = (lanes == counter % np.uint32(G)) & due
+
+            new_src0 = x["pos"] + x["posj"] * u[0]
+            new_step = x["rate"] * jnp.exp2(u[1] * x["ratej"])
+            pan = u[2] * x["spread"]
+            angle = (pan * np.float32(0.5) + np.float32(0.5)) * half_pi
+
+            age = jnp.where(slot_hit, 0, age + 1)
+            dur = jnp.where(slot_hit, x["dur"], dur)
+            src0 = jnp.where(slot_hit, new_src0, src0)
+            step = jnp.where(slot_hit, new_step, step)
+            gl = jnp.where(slot_hit, jnp.cos(angle), gl)
+            gr = jnp.where(slot_hit, jnp.sin(angle), gr)
+            counter = counter + due.astype(jnp.uint32)
+
+            a = age.astype(dtype)
+            active = a < dur
+            ph = a / dur
+            w = jnp.where(active, self._window(ph, dtype), 0.0)
+            src = src0 + a * step
+            idx = jnp.floor(src)
+            frac = src - idx
+            idx = idx.astype(jnp.int32)
+            if self.loop:
+                i0 = jnp.mod(idx, n_frames)
+                i1 = jnp.mod(idx + 1, n_frames)
+                valid = active
+            else:
+                i0 = jnp.clip(idx, 0, n_frames - 1)
+                i1 = jnp.clip(idx + 1, 0, n_frames - 1)
+                valid = active & (idx >= 0) & (idx < n_frames - 1)
+            s = buf0[i0] * (np.float32(1.0) - frac) + buf0[i1] * frac
+            sig = jnp.where(valid, w * s, 0.0)
+            outl = jnp.sum(sig * gl) * x["amp"]
+            outr = jnp.sum(sig * gr) * x["amp"]
+            carry = (countdown, counter, age, dur, src0, step, gl, gr)
+            return carry, (outl, outr)
+
+        xs = {
+            "t_spawn": params["t_spawn"],
+            "period": period,
+            "dur": dur_smp,
+            "pos": pos_f,
+            "posj": posj_f,
+            "rate": rate_p,
+            "ratej": ratej,
+            "spread": spread,
+            "amp": params["amp"].astype(dtype),
+        }
+        carry0 = (state["countdown"], state["counter"], state["age"],
+                  state["dur"], state["src0"], state["step"],
+                  state["gl"], state["gr"])
+        carry, (outl, outr) = jax.lax.scan(step_fn, carry0, xs)
+        (countdown, counter, age, dur, src0, step, gl, gr) = carry
+        new_state = {
+            "countdown": countdown, "counter": counter, "age": age,
+            "dur": dur, "src0": src0, "step": step, "gl": gl, "gr": gr,
+        }
+        return new_state, jnp.stack([outl, outr])

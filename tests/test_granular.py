@@ -1,0 +1,236 @@
+"""GrainPlayer: numpy-model parity, determinism, partition invariance,
+sample-accurate t_spawn, loop semantics, slot reuse, in-graph use."""
+
+import numpy as np
+import pytest
+
+import knaster_tpu as kt
+from knaster_tpu.core.ugen import AudioCtx
+from knaster_tpu.ugens.granular import GrainPlayer
+
+
+SR = 48000
+
+
+def _buffer(n=4800, sr=SR):
+    t = np.arange(n, dtype=np.float32)
+    data = np.sin(2 * np.pi * 220.0 * t / sr).astype(np.float32) * 0.5
+    return kt.Buffer(data, sr)
+
+
+def _render(player, n, ctx=None, param_overrides=None, tspawn_frames=()):
+    """Drive the UGen directly, block by block."""
+    ctx = ctx or AudioCtx(sample_rate=SR, block_size=64, dtype=np.float32)
+    B = ctx.block_size
+    state = player.init(ctx)
+    blocks = []
+    names = [p.name for p in player.params]
+    defaults = {p.name: player.pdefaults.get(p.name, p.default)
+                for p in player.params}
+    if param_overrides:
+        defaults.update(param_overrides)
+    for b in range(0, n, B):
+        params = {}
+        for name in names:
+            if name == "t_spawn":
+                row = np.zeros(B, dtype=bool)
+                for f in tspawn_frames:
+                    if b <= f < b + B:
+                        row[f - b] = True
+                params[name] = row
+            else:
+                params[name] = np.full(B, defaults[name], np.float32)
+        state, out = player.process(ctx, state, np.zeros((0, B)), params)
+        blocks.append(np.asarray(out))
+    return np.concatenate(blocks, axis=1)[:, :n]
+
+
+def _numpy_model(buf, n, G, density, grain_dur, rate, pos, amp=1.0,
+                 window="hann", loop=True, tspawn_frames=(), sr=SR):
+    """Jitter-free reference model of the scheduler + grain readers."""
+    bsr = buf.sample_rate
+    base_step = bsr / sr
+    period = sr / np.clip(density, 0.01, sr)
+    dur = max(grain_dur * sr, 1.0)
+    src_base = pos * bsr
+    step = rate * base_step
+    data = buf.data[0].astype(np.float64)
+    nf = len(data)
+
+    countdown = 0.0
+    age = np.zeros(G)
+    gdur = np.zeros(G)
+    counter = 0
+    outl = np.zeros(n)
+    outr = np.zeros(n)
+    for i in range(n):
+        countdown -= 1.0
+        forced = i in tspawn_frames
+        due = countdown <= 0.0 or forced
+        if due:
+            countdown = period if forced else countdown + period
+            slot = counter % G
+            age += 1
+            age[slot] = 0
+            gdur[slot] = dur
+            counter += 1
+        else:
+            age += 1
+        active = (age < gdur) & (gdur > 0)
+        ph = np.where(gdur > 0, age / np.maximum(gdur, 1e-9), 0.0)
+        if window == "hann":
+            w = 0.5 - 0.5 * np.cos(2 * np.pi * ph)
+        elif window == "triangle":
+            w = 1.0 - np.abs(2 * ph - 1.0)
+        else:
+            w = np.ones_like(ph)
+        src = src_base + age * step
+        idx = np.floor(src).astype(int)
+        frac = src - idx
+        if loop:
+            i0, i1 = idx % nf, (idx + 1) % nf
+            valid = active
+        else:
+            i0 = np.clip(idx, 0, nf - 1)
+            i1 = np.clip(idx + 1, 0, nf - 1)
+            valid = active & (idx >= 0) & (idx < nf - 1)
+        s = data[i0] * (1 - frac) + data[i1] * frac
+        sig = np.where(valid, w * s, 0.0)
+        # jitter-free: pan = 0 -> angle pi/4
+        g = np.cos(np.pi / 4)
+        outl[i] = sig.sum() * g * amp
+        outr[i] = sig.sum() * g * amp
+    return np.stack([outl, outr])
+
+
+def test_matches_numpy_model_jitter_free():
+    buf = _buffer()
+    G = 8
+    player = GrainPlayer(buf, grains=G, density=40.0, grain_dur=0.02,
+                         rate=1.0, pos=0.01, pos_jitter=0.0,
+                         rate_jitter=0.0, pan_spread=0.0)
+    n = 2048
+    got = _render(player, n)
+    want = _numpy_model(buf, n, G, density=40.0, grain_dur=0.02, rate=1.0,
+                        pos=0.01)
+    assert np.max(np.abs(got - want)) < 1e-4
+    assert np.max(np.abs(got)) > 1e-3  # actually made sound
+
+
+def test_rate_and_window_variants():
+    buf = _buffer()
+    for window in ("triangle", "rect"):
+        for rate in (0.5, 2.0):
+            player = GrainPlayer(buf, grains=4, density=25.0,
+                                 grain_dur=0.015, rate=rate, pos=0.02,
+                                 pos_jitter=0.0, rate_jitter=0.0,
+                                 pan_spread=0.0, window=window)
+            n = 1024
+            got = _render(player, n)
+            want = _numpy_model(buf, n, 4, density=25.0, grain_dur=0.015,
+                                rate=rate, pos=0.02, window=window)
+            assert np.max(np.abs(got - want)) < 1e-4, (window, rate)
+
+
+def test_block_partition_invariance_with_jitter():
+    buf = _buffer()
+    n = 512
+    outs = []
+    for B in (16, 128):
+        player = GrainPlayer(buf, grains=16, density=200.0, grain_dur=0.01,
+                             pos_jitter=0.005, rate_jitter=1.0,
+                             pan_spread=1.0, seed=7)
+        ctx = AudioCtx(sample_rate=SR, block_size=B, dtype=np.float32)
+        outs.append(_render(player, n, ctx=ctx))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_seed_determinism():
+    buf = _buffer()
+    mk = lambda s: GrainPlayer(buf, grains=8, density=100.0, grain_dur=0.01,
+                               pos_jitter=0.01, pan_spread=1.0, seed=s)
+    a = _render(mk(3), 512)
+    b = _render(mk(3), 512)
+    c = _render(mk(4), 512)
+    np.testing.assert_array_equal(a, b)
+    assert np.max(np.abs(a - c)) > 1e-6
+
+
+def test_t_spawn_sample_accurate():
+    buf = _buffer()
+    # density so low the scheduler only fires once at sample 0; a forced
+    # spawn at frame 100 must start its grain exactly there
+    player = GrainPlayer(buf, grains=4, density=0.01, grain_dur=0.002,
+                         pos=0.01, pos_jitter=0.0, rate_jitter=0.0,
+                         pan_spread=0.0)
+    n = 400
+    got = _render(player, n, tspawn_frames=(100,))
+    want = _numpy_model(buf, n, 4, density=0.01, grain_dur=0.002, rate=1.0,
+                        pos=0.01, tspawn_frames=(100,))
+    assert np.max(np.abs(got - want)) < 1e-4
+    first_grain_len = int(0.002 * SR)  # 96 samples
+    # grain 0 dies at 96; the region before the forced spawn is silent
+    assert np.max(np.abs(got[:, first_grain_len + 1:100])) == 0.0
+    assert np.max(np.abs(got[:, 101:101 + first_grain_len - 1])) > 0.0
+
+
+def test_loop_wrap_vs_silence():
+    buf = _buffer(n=1000)
+    common = dict(grains=2, density=0.01, grain_dur=0.004, rate=1.0,
+                  pos=1000 / SR - 0.001, pos_jitter=0.0, rate_jitter=0.0,
+                  pan_spread=0.0)
+    n = 256
+    looped = _render(GrainPlayer(buf, loop=True, **common), n)
+    clipped = _render(GrainPlayer(buf, loop=False, **common), n)
+    # the grain (192 samples) runs off the 1000-frame buffer ~48 samples in
+    assert np.max(np.abs(looped[:, 60:150])) > 0.0
+    assert np.max(np.abs(clipped[:, 60:150])) == 0.0
+
+
+def test_slot_reuse_steals_oldest():
+    buf = _buffer()
+    # 2 slots, spawn every 100 samples, grains last 480 samples: every
+    # spawn steals a live slot — must stay finite and keep making sound
+    player = GrainPlayer(buf, grains=2, density=480.0, grain_dur=0.01,
+                         pos_jitter=0.0, rate_jitter=0.0, pan_spread=0.0)
+    out = _render(player, 2048)
+    assert np.all(np.isfinite(out))
+    assert np.max(np.abs(out[:, 1024:])) > 1e-4
+
+
+def test_in_graph_with_scheduled_events():
+    graph, proc = kt.knaster(outputs=2, block_size=64)
+    buf = _buffer()
+
+    def build(g):
+        gp = g.push(GrainPlayer(buf, grains=8, density=0.01,
+                                grain_dur=0.002, pos_jitter=0.0,
+                                pan_spread=0.0))
+        gp.to_graph_out()
+        return gp
+
+    gp = graph.edit(build)
+    gp.param("t_spawn").trig_at(kt.Seconds.from_samples(200, SR))
+    audio = np.asarray(proc.render(frames=512))
+    grain = int(0.002 * SR)
+    assert audio.shape == (2, 512)
+    # scheduler's sample-0 grain, then silence, then the scheduled grain
+    assert np.max(np.abs(audio[:, grain + 1:200])) == 0.0
+    assert np.max(np.abs(audio[:, 201:201 + grain - 1])) > 0.0
+
+
+def test_amp_is_live_not_frozen():
+    buf = _buffer()
+    player = GrainPlayer(buf, grains=4, density=50.0, grain_dur=0.02,
+                         pos_jitter=0.0, rate_jitter=0.0, pan_spread=0.0)
+    a = _render(player, 512)
+    player2 = GrainPlayer(buf, grains=4, density=50.0, grain_dur=0.02,
+                          pos_jitter=0.0, rate_jitter=0.0, pan_spread=0.0)
+    b = _render(player2, 512, param_overrides={"amp": 0.25})
+    np.testing.assert_allclose(b, a * 0.25, atol=1e-6)
+
+
+def test_prelude_export():
+    assert kt.GrainPlayer is GrainPlayer
+    from knaster_tpu.prelude import GrainPlayer as P2
+    assert P2 is GrainPlayer
