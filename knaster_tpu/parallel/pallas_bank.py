@@ -461,49 +461,61 @@ def _extra_specs(pl, extras, TR):
     ]
 
 
+def _sin_poly(u):
+    """sin(u) for u in [-pi/2, pi/2]: the same degree-9 odd minimax
+    polynomial as the quantized sine (error <= 1.2e-7)."""
+    u2 = u * u
+    p = _SIN_C[4]
+    p = p * u2 + _SIN_C[3]
+    p = p * u2 + _SIN_C[2]
+    p = p * u2 + _SIN_C[1]
+    return (p * u2 + _SIN_C[0]) * u
+
+
 def _pan_fast_operands(bank, fstate, dtype):
-    """Event-free blocks avoid per-sample pan transcendentals: the pan ramp
-    is linear, so its equal-power angle is linear too, and cos/sin of a
-    linear angle is a phasor rotation. Stage 7 tiles per block: the phasor
-    at sample 0, the per-sample rotation (identity when pan isn't ramping —
-    the common case is then *exact*), the post-ramp target gains, and the
-    ramp end frame. 6 transcendentals per block instead of 2 per sample."""
+    """Event-free blocks avoid per-sample pan transcendentals: the pan
+    ramp is linear, so its equal-power angle is linear too, and the kernel
+    evaluates cos/sin of the linear angle with its own odd polynomial
+    (``_sin_poly``, error <= 1.2e-7) — CARRY-FREE, which matters more than
+    the op count: the previous phasor-rotation pack carried two extra
+    [TR, LANES] rows across the fully-unrolled sample loop and measured
+    33.2G vs this formulation's 52.9G voice-samples/s on the v5e
+    (benchmarks/kernel_probe.py). 5 tiles per block: angle at sample 0,
+    d(angle)/d(sample), the post-ramp target gains (host cos/sin — the
+    steady state stays *exact*), and the ramp end frame."""
     i = bank.float_index("pan")
     fvals, ftgt, fstep, fel, fdur, _ = fstate
-    # value at this block's sample 0 from the anchored trajectory (the
-    # rotation approximates mid-ramp gains anyway; the post-ramp target
-    # gains — the steady state — are exact)
     v0 = jnp.where(fel[i] >= fdur[i], ftgt[i],
                    fvals[i] + fstep[i] * fel[i].astype(dtype))
     a0 = (v0 * 0.5 + 0.5) * _HALF_PI
     da = fstep[i] * np.float32(np.pi / 4.0)  # d(angle)/d(sample)
     at = (ftgt[i] * 0.5 + 0.5) * _HALF_PI
     g2 = lambda x: _grid2(bank, x.astype(dtype))
-    return [g2(jnp.cos(a0)), g2(jnp.sin(a0)),
-            g2(jnp.cos(da)), g2(jnp.sin(da)),
-            g2(jnp.cos(at)), g2(jnp.sin(at)),
+    return [g2(a0), g2(da), g2(jnp.cos(at)), g2(jnp.sin(at)),
             g2((fdur[i] - fel[i]).astype(dtype))]
 
 
-N_PAN_FAST = 7
+N_PAN_FAST = 5
 
 
-def _pan_gains(i_f, g, carry):
+def _pan_gains(i_f, g):
     """Per-sample equal-power pan gains.
 
     Eventful blocks (``g`` is a 10-tile ramp group): materialize pan and
-    take cos/sin exactly like Pan2. Fast blocks (``g`` is the 7-tile
-    rotation pack): select the rotating phasor until the ramp ends, the
-    precomputed target gains after. Returns (panl, panr, carry')."""
+    take cos/sin exactly like Pan2. Fast blocks (``g`` is the 5-tile
+    linear-angle pack): polynomial cos/sin of the per-sample angle until
+    the ramp ends (exact to 1.2e-7 at every mid-ramp sample — the old
+    rotation pack only approximated those), the exact precomputed target
+    gains after. Returns (panl, panr)."""
     if len(g) == N_EVENTFUL:
         angle = (_mat(i_f, g) * np.float32(0.5) + np.float32(0.5)) * _HALF_PI
-        return jnp.cos(angle), jnp.sin(angle), carry
-    dc_ref, ds_ref, lt_ref, rt_ref, rem_ref = g[2], g[3], g[4], g[5], g[6]
-    cl, sl = carry
-    panl = jnp.where(i_f >= rem_ref[:], lt_ref[:], cl)
-    panr = jnp.where(i_f >= rem_ref[:], rt_ref[:], sl)
-    dc, ds = dc_ref[:], ds_ref[:]
-    return panl, panr, (cl * dc - sl * ds, sl * dc + cl * ds)
+        return jnp.cos(angle), jnp.sin(angle)
+    a0_ref, da_ref, lt_ref, rt_ref, rem_ref = g
+    angle = a0_ref[:] + da_ref[:] * i_f
+    ended = i_f >= rem_ref[:]
+    panl = jnp.where(ended, lt_ref[:], _sin_poly(_HALF_PI - angle))
+    panr = jnp.where(ended, rt_ref[:], _sin_poly(angle))
+    return panl, panr
 
 
 # --------------------------------------------------------------------------
@@ -535,7 +547,7 @@ def _sine_kernel(B, W, ng, f2pi, unroll, *refs):
          phase_out) = base[8:]
 
     def body(i, carry):
-        phase, stage, t, rscale, pan_c = carry
+        phase, stage, t, rscale = carry
         i_f = i.astype(jnp.float32)
         if trig_free:
             env, stage, t_next = _env_asr_free(
@@ -555,19 +567,18 @@ def _sine_kernel(B, W, ng, f2pi, unroll, *refs):
         phase = phase + _to_inc(freq * f2pi)
 
         sig = osc * gain
-        panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
+        panl, panr = _pan_gains(i_f, PAN)
         # two mono [B, LANES] outs, not one [B, 2, LANES]: a trailing
         # (2, LANES) pair maps to (sublane, lane) and wastes 6/8 of every
         # 8-sublane store tile
         outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
         outr_ref[0, i, :] = jnp.sum(sig * panr, axis=0)
-        return phase, stage, t_next, rscale, pan_c
+        return phase, stage, t_next, rscale
 
-    pan_c = (PAN[0][:], PAN[1][:]) if np_ == N_PAN_FAST else None
-    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
     # fully unrolled on hardware: Mosaic's loop overhead costs ~20% at this
     # body size (the CPU interpreter keeps the rolled loop: cheap to trace)
-    phase, stage, t, rscale, _ = _sample_loop(B, body, carry, unroll)
+    phase, stage, t, rscale = _sample_loop(B, body, carry, unroll)
     phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
@@ -1139,7 +1150,7 @@ def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
     zero = np.float32(0.0)
 
     def body(i, carry):
-        phase, stage, t, rscale, pan_c = carry
+        phase, stage, t, rscale = carry
         i_f = i.astype(jnp.float32)
         if trig_free:
             env, stage, t_next = _env_asr_free(
@@ -1175,17 +1186,16 @@ def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
         if not trig_free:
             gain = gain * act_ref[:]
         sig = acc * gain
-        panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
+        panl, panr = _pan_gains(i_f, PAN)
         # two mono outs for store-tile efficiency (see _sine_kernel)
         outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
         outr_ref[0, i, :] = jnp.sum(sig * panr, axis=0)
-        return phase, stage, t_next, rscale, pan_c
+        return phase, stage, t_next, rscale
 
-    pan_c = (PAN[0][:], PAN[1][:]) if np_ == N_PAN_FAST else None
-    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
     # measured: unrolling this kernel is a net loss (the harmonic loop
     # already fills the VPU; 64x body duplication only bloats the program)
-    phase, stage, t, rscale, _ = _sample_loop(B, body, carry, unroll)
+    phase, stage, t, rscale = _sample_loop(B, body, carry, unroll)
     phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
