@@ -15,8 +15,14 @@ and the per-sample store of an (8, LANES) block into a [B, 8, LANES] out
 buffer is exactly one full native tile — aligned, no RMW. XLA finishes
 the (cheap, once-per-block) sum outside the kernel.
 
+Round-3 outcome: the ``panpoly`` variant probed here (carry-free polynomial
+pan) measured 52.9G vs the carried rotation pack's 33.2G and IS the
+production kernel now; this probe keeps the remaining variants for A/B
+against it.
+
 Usage:  python benchmarks/kernel_probe.py [variants...]
-Variants: sine_base fm_base sine_p8 fm_p8 (default: all)
+Variants: sine_base fm_base sine_p8 fm_p8 sine_nopan
+          sub_base sub_nocoef sub_scform (default: sine/fm base + p8)
 """
 
 import functools
@@ -65,7 +71,7 @@ def _slope_rate(raw_step, state0, per_iter_samples, lo=200, hi=2200):
 def _mk_bank(kind):
     from knaster_tpu import AudioCtx
     from knaster_tpu.parallel.pallas_bank import (
-        PallasFMVoiceBank, PallasSineVoiceBank)
+        PallasFMVoiceBank, PallasSineVoiceBank, PallasSubtractiveVoiceBank)
 
     ctx = AudioCtx(sample_rate=SR, block_size=BLOCK, dtype=np.float32)
     rng = np.random.default_rng(0)
@@ -76,6 +82,11 @@ def _mk_bank(kind):
     if kind == "sine":
         defaults["pan"] = rng.uniform(-1.0, 1.0, N_VOICES).astype(np.float32)
         bank = PallasSineVoiceBank(N_VOICES, voice_defaults=defaults)
+    elif kind == "sub":
+        defaults["freq"] = rng.uniform(60.0, 400.0, N_VOICES).astype(np.float32)
+        defaults["cutoff"] = rng.uniform(400.0, 6000.0, N_VOICES).astype(np.float32)
+        defaults["q"] = rng.uniform(0.6, 3.0, N_VOICES).astype(np.float32)
+        bank = PallasSubtractiveVoiceBank(N_VOICES, voice_defaults=defaults)
     else:
         defaults["ratio"] = np.full(N_VOICES, 2.0, np.float32)
         defaults["index"] = np.full(N_VOICES, 1.5, np.float32)
@@ -116,6 +127,9 @@ def _rowsum8(x):
 
 
 def _sine_kernel_p8(B, ng, f2pi, unroll, *refs):
+    """Production body (carry-free polynomial pan) + deferred cross-sublane
+    reduce: stores [8, LANES] partial sums per sample (one full native tile,
+    no RMW), XLA finishes the sum outside the kernel."""
     import jax.numpy as jnp
     from knaster_tpu.parallel.pallas_bank import (
         N_PAN_FAST, _env_asr_free, _mat, _pan_gains, _sample_loop,
@@ -129,7 +143,7 @@ def _sine_kernel_p8(B, ng, f2pi, unroll, *refs):
         refs[2 * ng + N_PAN_FAST:]
 
     def body(i, carry):
-        phase, stage, t, rscale, pan_c = carry
+        phase, stage, t, rscale = carry
         i_f = i.astype(jnp.float32)
         env, stage, t_next = _env_asr_free(stage, t, rscale, atk_ref[:],
                                            rel_ref[:])
@@ -138,14 +152,13 @@ def _sine_kernel_p8(B, ng, f2pi, unroll, *refs):
         osc = _sin_quant(phase)
         phase = phase + _to_inc(freq * f2pi)
         sig = osc * gain
-        panl, panr, pan_c = _pan_gains(i_f, PAN, pan_c)
+        panl, panr = _pan_gains(i_f, PAN)
         outl_ref[0, i] = _rowsum8(sig * panl)
         outr_ref[0, i] = _rowsum8(sig * panr)
-        return phase, stage, t_next, rscale, pan_c
+        return phase, stage, t_next, rscale
 
-    pan_c = (PAN[0][:], PAN[1][:])
-    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:], pan_c)
-    phase, stage, t, rscale, _ = _sample_loop(B, body, carry, unroll)
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    phase, stage, t, rscale = _sample_loop(B, body, carry, unroll)
     phase_out[:] = phase
     stage_out[:] = stage
     t_out[:] = t
@@ -180,79 +193,6 @@ def _sine_kernel_nopan(B, ng, f2pi, unroll, *refs):
     stage_out[:] = stage
     t_out[:] = t
     rscale_out[:] = rscale
-
-
-_HALF_PI_F = np.float32(np.pi / 2)
-
-
-def _sin_poly(u):
-    """sin(u) for u in [-pi/2, pi/2] via the same degree-9 odd minimax
-    polynomial the quantized sine uses (error <= 1.2e-7)."""
-    from knaster_tpu.parallel.pallas_bank import _SIN_C
-    u2 = u * u
-    p = _SIN_C[4]
-    p = p * u2 + _SIN_C[3]
-    p = p * u2 + _SIN_C[2]
-    p = p * u2 + _SIN_C[1]
-    return (p * u2 + _SIN_C[0]) * u
-
-
-def _sine_kernel_panpoly(B, ng, f2pi, unroll, *refs):
-    """Carry-free pan: per-sample angle = clamp-at-target linear ramp;
-    gains = sin(angle) / sin(pi/2 - angle) with the kernel's own odd
-    polynomial. Exact per-sample equal-power gains even mid-ramp (the
-    production rotation pack approximates those), and two fewer
-    [TR, LANES] carries across the unrolled sample loop.
-    PAN pack here: (a0, da, at, rem) — 4 refs."""
-    import jax.numpy as jnp
-    from knaster_tpu.parallel.pallas_bank import (
-        _env_asr_free, _mat, _sample_loop, _sin_quant, _to_inc)
-
-    FREQ = refs[0:ng]
-    AMP = refs[ng:2 * ng]
-    a0_ref, da_ref, at_ref, rem_ref = refs[2 * ng:2 * ng + 4]
-    (stage_ref, t_ref, rscale_ref, atk_ref, rel_ref, phase_ref,
-     outl_ref, outr_ref, stage_out, t_out, rscale_out, phase_out) = \
-        refs[2 * ng + 4:]
-
-    def body(i, carry):
-        phase, stage, t, rscale = carry
-        i_f = i.astype(jnp.float32)
-        env, stage, t_next = _env_asr_free(stage, t, rscale, atk_ref[:],
-                                           rel_ref[:])
-        gain = env * _mat(i_f, AMP)
-        osc = _sin_quant(phase)
-        phase = phase + _to_inc(_mat(i_f, FREQ) * f2pi)
-        sig = osc * gain
-        angle = jnp.where(i_f >= rem_ref[:], at_ref[:],
-                          a0_ref[:] + da_ref[:] * i_f)
-        panr = _sin_poly(angle)
-        panl = _sin_poly(_HALF_PI_F - angle)
-        outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
-        outr_ref[0, i, :] = jnp.sum(sig * panr, axis=0)
-        return phase, stage, t_next, rscale
-
-    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
-    phase, stage, t, rscale = _sample_loop(B, body, carry, unroll)
-    phase_out[:] = phase
-    stage_out[:] = stage
-    t_out[:] = t
-    rscale_out[:] = rscale
-
-
-def _pan_poly_operands(bank, fstate, dtype):
-    """(a0, da, at, rem) tiles for the panpoly kernel."""
-    import jax.numpy as jnp
-    from knaster_tpu.parallel.pallas_bank import _grid2, _HALF_PI
-    i = bank.float_index("pan")
-    fvals, ftgt, fstep, fel, fdur, _ = fstate
-    v0 = jnp.where(fel[i] >= fdur[i], ftgt[i],
-                   fvals[i] + fstep[i] * fel[i].astype(dtype))
-    a0 = (v0 * 0.5 + 0.5) * _HALF_PI
-    da = fstep[i] * np.float32(np.pi / 4.0)
-    at = (ftgt[i] * 0.5 + 0.5) * _HALF_PI
-    g2 = lambda x: _grid2(bank, x.astype(dtype))
-    return [g2(a0), g2(da), g2(at), g2((fdur[i] - fel[i]).astype(dtype))]
 
 
 def _fm_kernel_p8(B, ng, f2pi, unroll, *refs):
@@ -290,6 +230,153 @@ def _fm_kernel_p8(B, ng, f2pi, unroll, *refs):
     t_out[:] = t
 
 
+# ---------------------------------------------------------------------------
+# subtractive coefficient variants: where does the 18.5G ceiling come from?
+# ---------------------------------------------------------------------------
+
+def _sub_kernel_var(mode, B, ng, inv_sr, unroll, *refs):
+    """Trig-free _sub_kernel with swappable SVF coefficient math.
+
+    ``nocoef``: g/k hoisted out of the sample loop from the sample-0 params —
+    NOT exact under cutoff/q ramps; an upper bound on what any coefficient
+    optimization could gain.
+    ``scform``: per-sample, one divide total — g = s/c with the kernel's own
+    odd polynomial (``_sin_poly``), and a1/a2/a3 = Q*(c^2, s*c, s^2) / (Q + s*c)
+    (algebraically identical to 1/(1+g(g+k)) etc.; replaces tan + 2 divides
+    with 2 polys, at ~1e-7 relative coefficient error)."""
+    import jax.numpy as jnp
+    from knaster_tpu.parallel.pallas_bank import (
+        _HALF_PI, _env_asr_free, _mat, _sample_loop, _sin_poly)
+
+    FREQ = refs[0:ng]
+    CUT = refs[ng:2 * ng]
+    Q = refs[2 * ng:3 * ng]
+    AMP = refs[3 * ng:4 * ng]
+    (t_ref, ic1_ref, ic2_ref, stage_ref, et_ref, rscale_ref,
+     atk_ref, rel_ref,
+     out_ref, t_out, ic1_out, ic2_out, stage_out, et_out, rscale_out) = \
+        refs[4 * ng:]
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    two = np.float32(2.0)
+    pi_inv_sr = np.float32(np.pi) * inv_sr
+
+    def blep(t, dt):
+        safe_dt = jnp.maximum(dt, np.float32(1e-9))
+        a = t / safe_dt - one
+        b = (t - one) / safe_dt + one
+        return jnp.where(
+            t < dt, -(a * a), jnp.where(t > one - dt, b * b, zero)
+        )
+
+    if mode == "nocoef":
+        g0 = jnp.tan(pi_inv_sr * _mat(np.float32(0.0), CUT))
+        k0 = one / _mat(np.float32(0.0), Q)
+        a1_h = one / (one + g0 * (g0 + k0))
+        a2_h = g0 * a1_h
+        a3_h = g0 * a2_h
+
+    def body(i, carry):
+        t, ic1, ic2, stage, et, rscale = carry
+        i_f = i.astype(jnp.float32)
+        env, stage, et_next = _env_asr_free(
+            stage, et, rscale, atk_ref[:], rel_ref[:]
+        )
+        dt = jnp.clip(_mat(i_f, FREQ) * inv_sr, 0.0, 0.5)
+        _t = t + np.float32(0.5)
+        _t = _t - jnp.floor(_t)
+        saw = two * _t - one - blep(_t, dt)
+        t = t + dt
+        t = t - jnp.floor(t)
+
+        if mode == "nocoef":
+            a1, a2, a3 = a1_h, a2_h, a3_h
+        else:
+            x = pi_inv_sr * _mat(i_f, CUT)
+            s = _sin_poly(x)
+            c = _sin_poly(_HALF_PI - x)
+            q = _mat(i_f, Q)
+            sc = s * c
+            d = q / (q + sc)
+            a1 = d * (c * c)
+            a2 = d * sc
+            a3 = d * (s * s)
+        v3 = saw - ic2
+        v1 = a1 * ic1 + a2 * v3
+        v2 = ic2 + a2 * ic1 + a3 * v3
+        ic1 = two * v1 - ic1
+        ic2 = two * v2 - ic2
+
+        gain = env * _mat(i_f, AMP)
+        out_ref[0, i, :] = jnp.sum(v2 * gain, axis=0)
+        return t, ic1, ic2, stage, et_next, rscale
+
+    carry = (t_ref[:], ic1_ref[:], ic2_ref[:], stage_ref[:], et_ref[:],
+             rscale_ref[:])
+    t, ic1, ic2, stage, et, rscale = _sample_loop(B, body, carry, unroll)
+    t_out[:] = t
+    ic1_out[:] = ic1
+    ic2_out[:] = ic2
+    stage_out[:] = stage
+    et_out[:] = et
+    rscale_out[:] = rscale
+
+
+def _process_sub(bank, ctx, state, mode):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from knaster_tpu.parallel.pallas_bank import (
+        LANES, N_FAST, _bank_setup, _extra_specs, _fold_act, _op_specs,
+        _unroll, pltpu)
+
+    B = ctx.block_size
+    R = bank.n_voices // LANES
+    TR = bank.tile_rows
+    n_tiles = R // TR
+    dtype = ctx.dtype
+
+    fstate, ivals, active, ramp_ops, ng, atk, rel, act, idle = _bank_setup(
+        bank, ctx, state, None)
+    assert ng == N_FAST
+    inv_sr = np.float32(1.0 / ctx.sample_rate)
+    ramp_ops = _fold_act(bank, ramp_ops, act)
+    extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
+              state["et"], state["rscale"], atk, rel)
+    tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    interpret = jax.devices()[0].platform == "cpu"
+    outs = pl.pallas_call(
+        functools.partial(_sub_kernel_var, mode, B, ng, inv_sr,
+                          _unroll(B, interpret)),
+        grid=(n_tiles,),
+        in_specs=_op_specs(pl, ramp_ops, TR) + _extra_specs(pl, extras, TR),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
+        ) + (jax.ShapeDtypeStruct((R, LANES), dtype),) * 6,
+        out_specs=(
+            pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ) + (tile(),) * 6,
+        interpret=interpret,
+    )(*ramp_ops, *extras)
+    partial_mix, t, ic1, ic2, stage, et, rscale = outs
+    out = jnp.sum(partial_mix, axis=(0, 2))[None, :]
+    fvals, ftarget, fstep, felapsed, fdur, fsdur = bank._advance_ramps(
+        fstate, B)
+    new_state = dict(state)
+    new_state.update({
+        "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
+        "felapsed": felapsed, "fdur": fdur, "fsdur": fsdur,
+        "ivals": ivals, "active": active,
+        "idle": idle | (stage.reshape(-1) == 0),
+        "t": t, "ic1": ic1, "ic2": ic2, "stage": stage, "et": et,
+        "rscale": rscale,
+    })
+    return new_state, out
+
+
 def _process_p8(kind, bank, ctx, state, no_in, mode="p8"):
     import jax
     import jax.numpy as jnp
@@ -325,14 +412,6 @@ def _process_p8(kind, bank, ctx, state, no_in, mode="p8"):
             outspecs = [pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM)]
             outshapes = [jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype)]
-        elif mode == "panpoly":
-            kern = _sine_kernel_panpoly
-            ramp_ops = ramp_ops[:2 * N_FAST] + _pan_poly_operands(
-                bank, fstate, dtype)
-            mono = lambda: pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
-                                        memory_space=pltpu.VMEM)
-            outspecs = [mono(), mono()]
-            outshapes = [jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype)] * 2
         else:
             kern = _sine_kernel_p8
             ramp_ops = ramp_ops[:2 * N_FAST] + _pan_fast_operands(
@@ -401,13 +480,15 @@ def _process_p8(kind, bank, ctx, state, no_in, mode="p8"):
 
 def bench_variant(kind, mode):
     ctx, bank, state, no_in = _mk_bank(kind)
+    variant = (
+        (lambda s: _process_sub(bank, ctx, s, mode)) if kind == "sub"
+        else (lambda s: _process_p8(kind, bank, ctx, s, no_in, mode)))
 
     # parity check vs the production kernel before timing
     import jax
     st_a, out_a = jax.jit(
         lambda s: bank.process(ctx, s, no_in, {}, events=None))(state)
-    st_b, out_b = jax.jit(
-        lambda s: _process_p8(kind, bank, ctx, s, no_in, mode))(state)
+    st_b, out_b = jax.jit(variant)(state)
     a = np.asarray(out_a)
     b = np.asarray(out_b)
     if mode == "nopan":  # mono variant: compare the summed bus
@@ -416,10 +497,7 @@ def bench_variant(kind, mode):
     print(f"  {kind}_{mode} parity vs base: max|d| = {da:.3e}",
           file=sys.stderr)
 
-    def step(st):
-        return _process_p8(kind, bank, ctx, st, no_in, mode)
-
-    return _slope_rate(step, state, N_VOICES * BLOCK)
+    return _slope_rate(variant, state, N_VOICES * BLOCK)
 
 
 def main():

@@ -525,8 +525,8 @@ def _pan_gains(i_f, g):
 def _sine_kernel(B, W, ng, f2pi, unroll, *refs):
     """Fused SineVoice: SinWt (u32 phase, table-quantized jnp.sin), EnvAsr,
     equal-power Pan2, stereo mix. refs: ramp groups for freq and amp (``ng``
-    tiles each) and the pan group (9-tile ramp group when eventful, 7-tile
-    rotation pack otherwise), then stage, t, rscale, atk, rel, active,
+    tiles each) and the pan group (10-tile ramp group when eventful, 5-tile
+    linear-angle pack otherwise), then stage, t, rscale, atk, rel, active,
     W restart words, W release words, phase; outs: partial mix
     [1, B, 2, LANES], stage, t, rscale, phase."""
     np_ = N_EVENTFUL if ng == N_EVENTFUL else N_PAN_FAST

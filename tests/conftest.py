@@ -37,11 +37,29 @@ if not os.environ.get("KNASTER_TEST_TPU"):
     # persistent compilation cache: the suite is dominated by CPU jit
     # compiles of programs that are identical across runs
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(__file__), ".jax_cache"),
-        )
+        _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        # crash sentinel: if the previous run died mid-write (SIGKILL from a
+        # harness timeout), a cache entry can be truncated, and deserializing
+        # it SEGFAULTS jax (observed: get_executable_and_time crash). Wipe
+        # the cache whenever the last run didn't exit cleanly.
+        _sentinel = os.path.join(_cache_dir, ".suite_running")
+        if os.path.exists(_sentinel):
+            import shutil
+
+            shutil.rmtree(_cache_dir, ignore_errors=True)
+        os.makedirs(_cache_dir, exist_ok=True)
+        with open(_sentinel, "w") as _f:
+            _f.write(str(os.getpid()))
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
+        pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        os.remove(os.path.join(os.path.dirname(__file__), ".jax_cache",
+                               ".suite_running"))
+    except OSError:
         pass
