@@ -22,7 +22,15 @@ against it.
 
 Usage:  python benchmarks/kernel_probe.py [variants...]
 Variants: sine_base fm_base sine_p8 fm_p8 sine_nopan
-          sub_base sub_nocoef sub_scform (default: sine/fm base + p8)
+          sub_base sub_nocoef sub_scform sub_scblep
+          wt_base wt_hmax (default: sine/fm base + p8)
+
+Round-3 outcomes measured with this probe and now IN production kernels:
+``panpoly`` (carry-free polynomial pan, 33.2G -> 52.9G), ``sub_scform``
+(one-divide SVF coefficients, 19.5G -> 39.4G), ``wt_hmax`` (hoisted
+per-harmonic Nyquist thresholds, 12.18G -> 13.15G, bit-identical) — so
+the ``base`` modes now measure those winners and the variant modes are
+kept as A/B references against them.
 """
 
 import functools
@@ -82,6 +90,14 @@ def _mk_bank(kind):
     if kind == "sine":
         defaults["pan"] = rng.uniform(-1.0, 1.0, N_VOICES).astype(np.float32)
         bank = PallasSineVoiceBank(N_VOICES, voice_defaults=defaults)
+    elif kind == "wt":
+        from knaster_tpu.parallel.pallas_bank import PallasWavetableVoiceBank
+
+        defaults["freq"] = rng.uniform(100.0, 2000.0, N_VOICES).astype(np.float32)
+        defaults["pan"] = rng.uniform(-1.0, 1.0, N_VOICES).astype(np.float32)
+        bank = PallasWavetableVoiceBank(
+            N_VOICES, harmonics=(1.0 / np.arange(1, 17)).astype(np.float32),
+            voice_defaults=defaults)
     elif kind == "sub":
         defaults["freq"] = rng.uniform(60.0, 400.0, N_VOICES).astype(np.float32)
         defaults["cutoff"] = rng.uniform(400.0, 6000.0, N_VOICES).astype(np.float32)
@@ -243,7 +259,10 @@ def _sub_kernel_var(mode, B, ng, inv_sr, unroll, *refs):
     ``scform``: per-sample, one divide total — g = s/c with the kernel's own
     odd polynomial (``_sin_poly``), and a1/a2/a3 = Q*(c^2, s*c, s^2) / (Q + s*c)
     (algebraically identical to 1/(1+g(g+k)) etc.; replaces tan + 2 divides
-    with 2 polys, at ~1e-7 relative coefficient error)."""
+    with 2 polys, at ~1e-7 relative coefficient error).
+    ``scblep``: scform + polyBLEP over a shared reciprocal — blep's
+    t/dt - 1 and (t-1)/dt + 1 become t*r - 1 / (t-1)*r + 1 with r = 1/dt
+    (one divide instead of two; ~1 ULP on corrected samples)."""
     import jax.numpy as jnp
     from knaster_tpu.parallel.pallas_bank import (
         _HALF_PI, _env_asr_free, _mat, _sample_loop, _sin_poly)
@@ -263,8 +282,13 @@ def _sub_kernel_var(mode, B, ng, inv_sr, unroll, *refs):
 
     def blep(t, dt):
         safe_dt = jnp.maximum(dt, np.float32(1e-9))
-        a = t / safe_dt - one
-        b = (t - one) / safe_dt + one
+        if mode == "scblep":
+            r = one / safe_dt
+            a = t * r - one
+            b = (t - one) * r + one
+        else:
+            a = t / safe_dt - one
+            b = (t - one) / safe_dt + one
         return jnp.where(
             t < dt, -(a * a), jnp.where(t > one - dt, b * b, zero)
         )
@@ -377,6 +401,134 @@ def _process_sub(bank, ctx, state, mode):
     return new_state, out
 
 
+def _wt_kernel_var(mode, B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
+    """Event-free wavetable-kernel variants (vs pallas_bank._wt_kernel).
+
+    ``hmax``: hoist the per-harmonic Nyquist test — ``freq*(h+1) <= nyq``
+    becomes ``freq <= f32(nyq/(h+1))`` against a baked constant, removing
+    one multiply per harmonic per sample (boundary rounding may differ by
+    1 ULP of freq at the exact Nyquist crossing)."""
+    import jax.numpy as jnp
+    from knaster_tpu.parallel.pallas_bank import (
+        _env_asr_free, _mat, _pan_gains, _sample_loop, _theta_full, _to_inc)
+
+    FREQ = refs[0:ng]
+    AMP = refs[ng:2 * ng]
+    PAN = refs[2 * ng:2 * ng + 5]  # N_PAN_FAST rotation pack
+    (phase_ref, stage_ref, t_ref, rscale_ref, atk_ref, rel_ref,
+     outl_ref, outr_ref, phase_out, stage_out, t_out, rscale_out) = \
+        refs[2 * ng + 5:]
+    H = len(acoef)
+    zero = np.float32(0.0)
+    thr = [np.float32(nyq / float(h + 1)) for h in range(H)]
+
+    def body(i, carry):
+        phase, stage, t, rscale = carry
+        i_f = i.astype(jnp.float32)
+        env, stage, t_next = _env_asr_free(
+            stage, t, rscale, atk_ref[:], rel_ref[:])
+        freq = _mat(i_f, FREQ)
+        theta = _theta_full(phase)
+        s1 = jnp.sin(theta)
+        c1 = jnp.cos(theta)
+        phase = phase + _to_inc(freq * f2pi)
+        s, c = s1, c1
+        acc = jnp.where(freq <= thr[0],
+                        np.float32(acoef[0]) * s + np.float32(bcoef[0]) * c,
+                        zero)
+        for h in range(1, H):
+            s, c = s * c1 + c * s1, c * c1 - s * s1
+            part = np.float32(acoef[h]) * s + np.float32(bcoef[h]) * c
+            if mode == "hmax":
+                m = freq <= thr[h]
+            else:
+                m = freq * np.float32(h + 1) <= np.float32(nyq)
+            acc = acc + jnp.where(m, part, zero)
+        gain = env * _mat(i_f, AMP)
+        sig = acc * gain
+        panl, panr = _pan_gains(i_f, PAN)
+        outl_ref[0, i, :] = jnp.sum(sig * panl, axis=0)
+        outr_ref[0, i, :] = jnp.sum(sig * panr, axis=0)
+        return phase, stage, t_next, rscale
+
+    carry = (phase_ref[:], stage_ref[:], t_ref[:], rscale_ref[:])
+    phase, stage, t, rscale = _sample_loop(B, body, carry, unroll)
+    phase_out[:] = phase
+    stage_out[:] = stage
+    t_out[:] = t
+    rscale_out[:] = rscale
+
+
+def _process_wt(bank, ctx, state, mode):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from knaster_tpu.parallel.pallas_bank import (
+        FRACTIONAL_PART, LANES, N_FAST, TABLE_SIZE, _bank_setup,
+        _extra_specs, _fold_act, _op_specs, _pan_fast_operands, _unroll,
+        pltpu)
+
+    B = ctx.block_size
+    R = bank.n_voices // LANES
+    TR = bank.tile_rows
+    n_tiles = R // TR
+    dtype = ctx.dtype
+
+    fstate, ivals, active, ramp_ops, ng, atk, rel, act, idle = _bank_setup(
+        bank, ctx, state, None)
+    assert ng == N_FAST
+    f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+    ramp_ops = _fold_act(bank, ramp_ops, act)
+    ramp_ops = ramp_ops[:2 * ng] + _pan_fast_operands(bank, fstate, dtype)
+    extras = (state["phase"], state["stage"], state["t"], state["rscale"],
+              atk, rel)
+    phi = bank.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+    acoef = tuple(float(x) for x in
+                  (bank.mags * np.cos(phi)).astype(np.float32))
+    bcoef = tuple(float(x) for x in
+                  (bank.mags * np.sin(phi)).astype(np.float32))
+    tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    interpret = jax.devices()[0].platform == "cpu"
+    outs = pl.pallas_call(
+        functools.partial(_wt_kernel_var, mode, B, ng, f2pi, acoef, bcoef,
+                          float(ctx.sample_rate / 2.0),
+                          _unroll(B, interpret)),
+        grid=(n_tiles,),
+        in_specs=_op_specs(pl, ramp_ops, TR) + _extra_specs(pl, extras, TR),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
+            jax.ShapeDtypeStruct((n_tiles, B, LANES), dtype),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), dtype),
+            jax.ShapeDtypeStruct((R, LANES), dtype),
+            jax.ShapeDtypeStruct((R, LANES), dtype),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile(), tile(), tile(), tile(),
+        ),
+        interpret=interpret,
+    )(*ramp_ops, *extras)
+    outl, outr, phase, stage, t, rscale = outs
+    out = jnp.stack([jnp.sum(outl, axis=(0, 2)), jnp.sum(outr, axis=(0, 2))])
+    fvals, ftarget, fstep, felapsed, fdur, fsdur = bank._advance_ramps(
+        fstate, B)
+    new_state = dict(state)
+    new_state.update({
+        "fvals": fvals, "ftarget": ftarget, "fstep": fstep,
+        "felapsed": felapsed, "fdur": fdur, "fsdur": fsdur,
+        "ivals": ivals, "active": active,
+        "idle": idle | (stage.reshape(-1) == 0),
+        "phase": phase, "stage": stage, "t": t, "rscale": rscale,
+    })
+    return new_state, out
+
+
 def _process_p8(kind, bank, ctx, state, no_in, mode="p8"):
     import jax
     import jax.numpy as jnp
@@ -480,9 +632,12 @@ def _process_p8(kind, bank, ctx, state, no_in, mode="p8"):
 
 def bench_variant(kind, mode):
     ctx, bank, state, no_in = _mk_bank(kind)
-    variant = (
-        (lambda s: _process_sub(bank, ctx, s, mode)) if kind == "sub"
-        else (lambda s: _process_p8(kind, bank, ctx, s, no_in, mode)))
+    if kind == "sub":
+        variant = lambda s: _process_sub(bank, ctx, s, mode)
+    elif kind == "wt":
+        variant = lambda s: _process_wt(bank, ctx, s, mode)
+    else:
+        variant = lambda s: _process_p8(kind, bank, ctx, s, no_in, mode)
 
     # parity check vs the production kernel before timing
     import jax

@@ -133,6 +133,9 @@ _BENCH_TO_FN = {
     "sampler_bank": "sampler_bank",
     "fm_cascade_model": "fm_cascade_model",
     "wavetable_bank": "wavetable_bank",
+    "subtractive_bank": "subtractive_bank",
+    "modal_bank": "modal_bank",
+    "granular": "granular",
     "generic_bank": "generic_bank",
     "voicebank": "voicebank",
 }
@@ -681,6 +684,164 @@ def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     }))
 
 
+def bench_subtractive_bank(n_voices=131072):
+    """BASELINE config #2 at bank scale: polyBLEP saw -> SVF lowpass (per-
+    sample coefficients, sample-accurate sweeps) -> ASR envelope, fused
+    Pallas kernel. Regression anchor for the one-divide sc-form SVF
+    coefficients (DESIGN_NOTES "SVF coefficients"; 19.5G -> 39.4G on the
+    v5e). Measured like bench_fm_bank: ONE jitted on-device scan of 750
+    blocks whose per-block mean is FETCHED."""
+    import time
+
+    import jax
+
+    from knaster_tpu import AudioCtx, PallasSubtractiveVoiceBank
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": rng.uniform(55, 880, n_voices).astype(np.float32),
+        "cutoff": rng.uniform(400, 8000, n_voices).astype(np.float32),
+        "q": rng.uniform(0.7, 4.0, n_voices).astype(np.float32),
+        "amp": np.full(n_voices, 1e-4, np.float32),
+    }
+    bank = PallasSubtractiveVoiceBank(n_voices, voice_defaults=defaults,
+                                      event_capacity=4096)
+    st = bank.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+
+    @jax.jit
+    def trig_step(s, ev):
+        return bank.process(ctx, s, no_in, {}, events=ev)[:2]
+
+    ev = bank.node_events_from_lists(
+        [(0, v, bank.trig_index("t_restart"), 1, 0.0) for v in range(4096)]
+    )
+    st, out = trig_step(st, ev)
+    _ = np.asarray(out)
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)  # force real execution
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
+    emit(({
+        "bench": "subtractive_bank",
+        "config": f"{n_voices}voices_pallas",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    }))
+
+
+def bench_granular(grains=64, density=400.0, block=64):
+    """GrainPlayer program rate (beyond reference — knaster has no granular
+    engine): one grain-cloud node, G concurrent grain slots over a 1 s
+    source buffer at `density` grains/s with position/pitch/pan jitter.
+    Measured like the graph workloads: the no-events program in ONE
+    on-device scan whose mean is fetched; slope over two scan lengths."""
+    from knaster_tpu import (AudioProcessor, AudioProcessorOptions,
+                             Buffer, GrainPlayer)
+
+    src = Buffer(np.sin(2 * np.pi * 220.0 / 48000.0
+                        * np.arange(48000)).astype(np.float32)[None, :],
+                 sample_rate=48000)
+    opts = AudioProcessorOptions(block_size=block, sample_rate=48000)
+    g, proc = AudioProcessor.new(0, 2, opts)
+
+    def build(gg):
+        gp = gg.push(GrainPlayer(src, grains=grains, density=density,
+                                 grain_dur=0.08, pos_jitter=0.3,
+                                 rate_jitter=0.5, amp=0.2))
+        gp.to_graph_out()
+
+    g.edit(build)
+    rate = _program_rate(proc)
+    emit(({
+        "bench": "granular",
+        "config": f"{grains}grains_{int(density)}hz_block{block}",
+        "value": round(rate),
+        "unit": "samples/s",
+        "program_realtime_x": round(rate / 48000, 1),
+    }))
+
+
+def bench_modal_bank(n_voices=65536):
+    """Modal mallet ensemble at fused-kernel scale: ModalVoice (12-mode bell
+    preset) on the generic PallasVoiceBank — 12 rotation-decay modes per
+    voice with per-sample coefficients (audio-rate freq/decay modulation is
+    exact), EnvAr mallet, Pan2. Beyond-reference model family; the heaviest
+    per-sample body in the library (3 hardware transcendentals per mode per
+    sample). Measured like bench_fm_bank: ONE jitted on-device scan of 750
+    blocks whose per-block mean is FETCHED."""
+    import time
+
+    import jax
+
+    from knaster_tpu import AudioCtx, ModalVoice, PallasVoiceBank
+    from knaster_tpu.ugens.modal import ModalResonator
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    rng = np.random.default_rng(0)
+    defaults = {
+        "freq": (330.0 * 2 ** rng.uniform(-1.5, 1.5, n_voices)).astype(np.float32),
+        "decay": rng.uniform(0.5, 6.0, n_voices).astype(np.float32),
+        "pan": rng.uniform(-1, 1, n_voices).astype(np.float32),
+        "amp": np.full(n_voices, 0.01, np.float32),
+    }
+    bank = PallasVoiceBank(ModalVoice(ModalResonator.bell(330.0)), n_voices,
+                           voice_defaults=defaults, event_capacity=4096)
+    st = bank.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+
+    @jax.jit
+    def strike_step(s, ev):
+        return bank.process(ctx, s, no_in, {}, events=ev)[:2]
+
+    ev = bank.node_events_from_lists(
+        [(0, v, bank.trig_index("t_strike"), 1, 0.0) for v in range(4096)]
+    )
+    st, out = strike_step(st, ev)
+    _ = np.asarray(out)
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)  # force real execution
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
+    emit(({
+        "bench": "modal_bank",
+        "config": f"{n_voices}voices_mosaic_modal12",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    }))
+
+
 def bench_generic_bank(n_voices=131072):
     """Generic PallasVoiceBank (mosaic_voice harness) on FMVoice — must hold
     the hand-written PallasFMVoiceBank's performance class (measured ratio
@@ -926,6 +1087,9 @@ ALL = {
     "sampler_bank": bench_sampler_bank,
     "fm_cascade_model": bench_fm_cascade_model,
     "wavetable_bank": bench_wavetable_bank,
+    "subtractive_bank": bench_subtractive_bank,
+    "modal_bank": bench_modal_bank,
+    "granular": bench_granular,
     "generic_bank": bench_generic_bank,
     "voicebank": bench_voicebank,
 }

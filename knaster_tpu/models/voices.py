@@ -344,7 +344,8 @@ class SubtractiveVoice(UGen):
         import numpy as np
 
         from ..parallel.generic_bank import MosaicVoiceSpec
-        from ..parallel.pallas_bank import _env_asr, _env_asr_free
+        from ..parallel.pallas_bank import (_env_asr, _env_asr_free,
+                                            _svf_low_coeffs)
 
         inv_sr = np.float32(1.0 / ctx.sample_rate)
         pi_inv_sr = np.float32(np.pi) * inv_sr
@@ -382,12 +383,9 @@ class SubtractiveVoice(UGen):
             t = t + dt
             t = t - jnp.floor(t)
 
-            # SVF lowpass coefficients per sample (svf.rs set_coeffs, Low)
-            g = jnp.tan(pi_inv_sr * P["cutoff"])
-            k = one / P["q"]
-            a1 = one / (one + g * (g + k))
-            a2 = g * a1
-            a3 = g * a2
+            # SVF lowpass coefficients per sample (one-divide sc-form,
+            # bit-identical to the hand kernel; see _svf_low_coeffs)
+            a1, a2, a3 = _svf_low_coeffs(pi_inv_sr * P["cutoff"], P["q"])
             # SVF step (svf.rs process_sample, m = (0, 0, 1))
             v3 = saw - ic2
             v1 = a1 * ic1 + a2 * v3
@@ -661,9 +659,14 @@ class AdditiveVoice(UGen):
         phi = self.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
         A = (self.mags * np.cos(phi)).astype(np.float32)
         Bc = (self.mags * np.sin(phi)).astype(np.float32)
-        nyq = np.float32(ctx.sample_rate / 2.0)
-        hvec = np.arange(1, self.n_harmonics + 1, dtype=np.float32)
-        alive = (freq[:, None] * hvec[None, :] <= nyq).astype(dtype)  # [B, H]
+        # hoisted per-harmonic Nyquist thresholds: mask = freq <= nyq/h with
+        # the division done once in f64 and rounded to f32 (one compare per
+        # harmonic per sample instead of multiply+compare — measured +8% on
+        # the wavetable kernel, kernel_probe wt_hmax; all three wavetable
+        # paths use the identical thresholds so parity stays bit-exact)
+        hvec = np.arange(1, self.n_harmonics + 1, dtype=np.float64)
+        thr = (np.float64(ctx.sample_rate / 2.0) / hvec).astype(np.float32)
+        alive = (freq[:, None] <= thr[None, :]).astype(dtype)  # [B, H]
         s, c = s1, c1
         osc = (A[0] * s + Bc[0] * c) * alive[:, 0]
         for h in range(1, self.n_harmonics):
@@ -709,8 +712,10 @@ class AdditiveVoice(UGen):
         phi = self.offsets.astype(np.float64) * (2.0 * np.pi / 2.0**32)
         acoef = (self.mags * np.cos(phi)).astype(np.float32)
         bcoef = (self.mags * np.sin(phi)).astype(np.float32)
-        nyq = np.float32(ctx.sample_rate / 2.0)
         H = self.n_harmonics
+        # same hoisted f64-divided thresholds as AdditiveVoice.process
+        thr = [np.float32(np.float64(ctx.sample_rate / 2.0) / (h + 1))
+               for h in range(H)]
         zero = np.float32(0.0)
         half = np.float32(0.5)
 
@@ -731,19 +736,18 @@ class AdditiveVoice(UGen):
             c1 = jnp.cos(theta)
             phase = phase + _to_inc(freq * f2pi)
 
-            # per-sample AA mask, same comparison as AdditiveVoice.process
-            # (freq * h in f32 <= nyquist) so the boundary rounds identically
+            # per-sample AA mask against the hoisted thresholds, same
+            # constants as AdditiveVoice.process so the boundary rounds
+            # identically (one compare per harmonic, no multiply)
             s, c = s1, c1
             acc = jnp.where(
-                freq <= nyq,
+                freq <= thr[0],
                 np.float32(acoef[0]) * s + np.float32(bcoef[0]) * c, zero
             )
             for h in range(1, H):
                 s, c = s * c1 + c * s1, c * c1 - s * s1
                 part = np.float32(acoef[h]) * s + np.float32(bcoef[h]) * c
-                acc = acc + jnp.where(
-                    freq * np.float32(h + 1) <= nyq, part, zero
-                )
+                acc = acc + jnp.where(freq <= thr[h], part, zero)
 
             sig = acc * (env * P["amp"])
             angle = (P["pan"] * half + half) * _HALF_PI
@@ -1295,3 +1299,89 @@ class ModalVoice(UGen):
             "struck": struck & ~fire,
         }
         return new_state, out, done
+
+    def mosaic_voice(self, ctx: AudioCtx):
+        """Per-sample kernel body for the generic PallasVoiceBank: a whole
+        mallet ensemble as ONE fused kernel — M rotation-decay modes per
+        voice unrolled over the mode axis, EnvAr mallet, exact Pan2.
+
+        Mirrors ``ModalResonator.process`` op-for-op per mode (the affine
+        scan evaluates the same recurrence ``s[t] = R(theta) s[t-1] + (x, 0)``
+        through a combine tree, so kernel-vs-vmap divergence is the tree's
+        own ~1e-7/block fma reordering, same as the chain kernel). The one
+        algebraic substitution: the vmap path divides ``ln(1e-3)`` by
+        ``n60 = max(decay*rel_m*sr, 1e-4)`` per MODE (M divides/sample);
+        here ``1/decay`` is computed ONCE per sample and each mode's exp
+        argument is ``(K/(rel_m*sr)) * (1/decay)`` — one extra f32 rounding
+        (~1 ULP on the exp argument; the n60 clamp only matters where
+        exp underflows to 0 either way, decay <= 1e-4/(rel_m*sr) s)."""
+        import numpy as np
+
+        from ..parallel.generic_bank import MosaicVoiceSpec
+        from ..parallel.pallas_bank import _HALF_PI, _env_ar, _env_ar_free
+        from ..ugens.modal import _LN10_M3
+
+        res = self.res
+        M = res.n_modes
+        sr = np.float32(ctx.sample_rate)
+        exc_d = self.exciter.pdefaults
+        atk = np.float32(1.0 / max(exc_d["attack_time"] * ctx.sample_rate, 1.0))
+        rel = np.float32(1.0 / max(exc_d["release_time"] * ctx.sample_rate, 1.0))
+        inv_area = np.float32(1.0 / max(self._half * ctx.sample_rate, 1.0))
+        c2pi = np.float32(2.0 * np.pi) / sr
+        pi_f = np.float32(np.pi)
+        half = np.float32(0.5)
+        zero = np.float32(0.0)
+        one = np.float32(1.0)
+        # per-mode baked constants (ratios/gains/decays are static config)
+        ratios = [np.float32(res.ratios[m]) for m in range(M)]
+        k_exp = [np.float32(np.float32(_LN10_M3)
+                            / (np.float32(res.decays[m]) * sr))
+                 for m in range(M)]
+        gains = [np.float32(res.gains[m]) for m in range(M)]
+        g2 = [np.float32(float(res.gains[m]) ** 2) for m in range(M)]
+        thr2 = np.float32(self.done_threshold ** 2)
+
+        def body(i_f, carry, P, T):
+            stage, t = carry["stage"], carry["t"]
+            strike = T["t_strike"]
+            if strike is None:
+                pulse, stage, t = _env_ar_free(stage, t, atk, rel)
+                struck = carry["struck"]
+            else:
+                pulse, stage, t = _env_ar(stage, t, strike, atk, rel)
+                struck = jnp.maximum(carry["struck"],
+                                     strike.astype(jnp.float32))
+            x = pulse * (P["amp"] * inv_area)
+            inv_decay = one / P["decay"]
+            freq = P["freq"]
+            new = {"stage": stage, "t": t, "struck": struck}
+            acc = zero
+            for m in range(M):
+                # same f32 grouping as ModalResonator: (2pi/sr) * (freq*ratio)
+                theta = c2pi * (freq * ratios[m])
+                r = jnp.exp(k_exp[m] * inv_decay)
+                r = jnp.where(theta < pi_f, r, zero)
+                cth = r * jnp.cos(theta)
+                sth = r * jnp.sin(theta)
+                s0, s1 = carry[f"s{m}a"], carry[f"s{m}b"]
+                s0n = cth * s0 - sth * s1 + x
+                s1n = sth * s0 + cth * s1
+                new[f"s{m}a"], new[f"s{m}b"] = s0n, s1n
+                acc = acc + gains[m] * s1n
+            angle = (P["pan"] * half + half) * _HALF_PI
+            return new, (acc * jnp.cos(angle), acc * jnp.sin(angle))
+
+        def idle_of(c):
+            e2 = zero
+            for m in range(M):
+                e2 = e2 + g2[m] * (c[f"s{m}a"] * c[f"s{m}a"]
+                                   + c[f"s{m}b"] * c[f"s{m}b"])
+            return (c["struck"] > zero) & (e2 < thr2) & (c["stage"] == zero)
+
+        carry = {"stage": (ctx.dtype, 0.0), "t": (ctx.dtype, 0.0),
+                 "struck": (ctx.dtype, 0.0)}
+        for m in range(M):
+            carry[f"s{m}a"] = (ctx.dtype, 0.0)
+            carry[f"s{m}b"] = (ctx.dtype, 0.0)
+        return MosaicVoiceSpec(carry=carry, body=body, idle_of=idle_of)

@@ -43,6 +43,7 @@ from .pallas_bank import (
     N_FAST,
     _bank_setup,
     _cap_tile_rows,
+    _eventful_tile_rows,
     _check_block,
     _extra_specs,
     _grid3,
@@ -275,6 +276,8 @@ class PallasVoiceBank(VoiceBank):
                                                 self.trig_index(name)))
                 for name in self._trig_names
             )
+            TR = _eventful_tile_rows(TR, R, len(self._float_names))
+            n_tiles = R // TR
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)

@@ -461,6 +461,26 @@ def _extra_specs(pl, extras, TR):
     ]
 
 
+def _eventful_tile_rows(TR, R, n_float_params):
+    """Half-size voice tiles for EVENTFUL kernels with >= 4 float params.
+
+    The eventful program's per-slot burst-breakpoint fold keeps live
+    temporaries proportional to (float params x tile rows); measured on the
+    v5e: the subtractive kernel (4 float params) at 64-row tiles needs a
+    16.95M scoped-VMEM stack vs Mosaic's 16M limit (V=131072, B=64, burst
+    depth 3) while the sine kernel's 3 params fit (soak-validated). Only
+    the eventful program shrinks — the event-free steady-state program
+    (the perf path) keeps the full `_cap_tile_rows` tile. Halving preserves
+    grid divisibility (TR | R implies TR/2 | R); tiles must stay multiples
+    of 8 (Mosaic sublane rule), else the tile is left as-is (small banks
+    whose temps fit anyway)."""
+    if n_float_params >= 4 and TR > 8:
+        half = TR // 2
+        if half % 8 == 0 and R % half == 0:
+            return half
+    return TR
+
+
 def _sin_poly(u):
     """sin(u) for u in [-pi/2, pi/2]: the same degree-9 odd minimax
     polynomial as the quantized sine (error <= 1.2e-7)."""
@@ -470,6 +490,23 @@ def _sin_poly(u):
     p = p * u2 + _SIN_C[2]
     p = p * u2 + _SIN_C[1]
     return (p * u2 + _SIN_C[0]) * u
+
+
+def _svf_low_coeffs(x, q):
+    """SVF lowpass coefficients (svf.rs set_coeffs, Low type) in the
+    one-divide form: with s = sin(x), c = cos(x) (x = pi*cutoff/sr in
+    [0, pi/2), so no range reduction), g = s/c gives
+
+        a1 = 1/(1+g(g+1/q)) = q*c^2/(q+s*c),  a2 = g*a1,  a3 = g*a2.
+
+    Algebraically identical to the tan form; evaluated with ``_sin_poly``
+    (<=1.2e-7) and ONE divide instead of tan + two divides. Kernel-only:
+    SvfFilter (the engine UGen) keeps the literal tan form."""
+    s = _sin_poly(x)
+    c = _sin_poly(_HALF_PI - x)
+    sc = s * c
+    d = q / (q + sc)
+    return d * (c * c), d * sc, d * (s * s)
 
 
 def _pan_fast_operands(bank, fstate, dtype):
@@ -857,6 +894,8 @@ class PallasFMVoiceBank(VoiceBank):
             )
             extras = (state["phm"], state["phc"], state["stage"], state["t"],
                       atk, rel, act, restart_w)
+            TR = _eventful_tile_rows(TR, R, 4)  # freq, ratio, index, amp
+            n_tiles = R // TR
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -903,9 +942,16 @@ def _sub_kernel(B, W, ng, inv_sr, unroll, *refs):
     """Subtractive voice: polyBLEP saw -> SVF lowpass -> ASR envelope.
 
     Per-sample parity with the vmap path: dt = freq/sr from the materialized
-    per-sample freq, and the SVF coefficients (tan-based, svf.rs set_coeffs
-    Low type) are recomputed per sample exactly like SvfFilter, whose
-    coefficients always track the parameter arrays."""
+    per-sample freq, and the SVF coefficients (svf.rs set_coeffs Low type)
+    are recomputed per sample so filter sweeps are sample-accurate like
+    SvfFilter. The coefficients use the one-divide algebraic form
+    (``_svf_low_coeffs``): with s = sin(x), c = cos(x), x = pi*cutoff/sr,
+    a1/a2/a3 = Q*(c^2, s*c, s^2) / (Q + s*c) — identical to the tan form
+    1/(1+g(g+k)) exactly, evaluated with the kernel's odd polynomial
+    (<=1.2e-7): replaces tan + two divides with two polys. Measured 19.5G
+    -> 39.4G voice-samples/s on the v5e (benchmarks/kernel_probe.py
+    sub_scform; output diff vs the tan form 4.1e-8, far under the 1e-5
+    kernel-vs-vmap tolerance — SvfFilter itself keeps the tan form)."""
     trig_free = ng == N_FAST
     FREQ = refs[0:ng]
     CUT = refs[ng:2 * ng]
@@ -958,12 +1004,10 @@ def _sub_kernel(B, W, ng, inv_sr, unroll, *refs):
         t = t + dt
         t = t - jnp.floor(t)
 
-        # SVF lowpass coefficients per sample (svf.rs set_coeffs, Low type)
-        g = jnp.tan(pi_inv_sr * _mat(i_f, CUT))
-        k = one / _mat(i_f, Q)
-        a1 = one / (one + g * (g + k))
-        a2 = g * a1
-        a3 = g * a2
+        # SVF lowpass coefficients per sample (one-divide sc-form; see
+        # _svf_low_coeffs)
+        a1, a2, a3 = _svf_low_coeffs(pi_inv_sr * _mat(i_f, CUT),
+                                     _mat(i_f, Q))
         # SVF step (svf.rs process_sample, m = (0, 0, 1))
         v3 = saw - ic2
         v1 = a1 * ic1 + a2 * v3
@@ -1079,6 +1123,8 @@ class PallasSubtractiveVoiceBank(VoiceBank):
             extras = (state["t"], state["ic1"], state["ic2"], state["stage"],
                       state["et"], state["rscale"],
                       atk, rel, act, restart_w, release_w)
+            TR = _eventful_tile_rows(TR, R, 4)  # freq, cutoff, q, amp
+            n_tiles = R // TR
 
         tile = lambda: pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -1148,6 +1194,12 @@ def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
          rscale_out) = base[9:]
     H = len(acoef)
     zero = np.float32(0.0)
+    # hoisted per-harmonic Nyquist thresholds (f64 divide, f32 round — the
+    # same constants as AdditiveVoice.process so the boundary rounds
+    # identically): one compare per harmonic per sample instead of
+    # multiply+compare. Measured +8% (12.18G -> 13.15G, kernel_probe
+    # wt_hmax, bit-identical output on the probe bank).
+    thr = [np.float32(np.float64(nyq) / (h + 1)) for h in range(H)]
 
     def body(i, carry):
         phase, stage, t, rscale = carry
@@ -1169,18 +1221,14 @@ def _wt_kernel(B, W, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
         c1 = jnp.cos(theta)
         phase = phase + _to_inc(freq * f2pi)
 
-        # per-sample AA mask, same comparison as AdditiveVoice (freq * h
-        # in f32 <= nyquist) so the boundary rounds identically
         s, c = s1, c1
-        acc = jnp.where(freq <= np.float32(nyq),
+        acc = jnp.where(freq <= thr[0],
                         np.float32(acoef[0]) * s + np.float32(bcoef[0]) * c,
                         zero)
         for h in range(1, H):
             s, c = s * c1 + c * s1, c * c1 - s * s1
             part = np.float32(acoef[h]) * s + np.float32(bcoef[h]) * c
-            acc = acc + jnp.where(
-                freq * np.float32(h + 1) <= np.float32(nyq), part, zero
-            )
+            acc = acc + jnp.where(freq <= thr[h], part, zero)
 
         gain = env * _mat(i_f, AMP)
         if not trig_free:

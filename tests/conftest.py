@@ -34,32 +34,42 @@ if not os.environ.get("KNASTER_TEST_TPU"):
         pass
     assert jax.devices()[0].platform == "cpu"
 
-    # persistent compilation cache: the suite is dominated by CPU jit
-    # compiles of programs that are identical across runs
-    try:
-        _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-        # crash sentinel: if the previous run died mid-write (SIGKILL from a
-        # harness timeout), a cache entry can be truncated, and deserializing
-        # it SEGFAULTS jax (observed: get_executable_and_time crash). Wipe
-        # the cache whenever the last run didn't exit cleanly.
-        _sentinel = os.path.join(_cache_dir, ".suite_running")
-        if os.path.exists(_sentinel):
-            import shutil
+    # NO persistent compilation cache here, on purpose. The cache was tried
+    # (round 3) and produced three distinct native crashes mid-suite on this
+    # jaxlib: SIGSEGV deserializing a truncated entry (handled with a crash
+    # sentinel), then SIGABRT in put_executable_and_time / SIGSEGV in
+    # get_executable_and_time whenever executable.(de)serialize() ran while
+    # ANOTHER thread compiled, and finally — with every compile behind one
+    # RLock — the same SIGABRT in the MAIN thread's locked cache write while
+    # an engine worker thread merely EXECUTED a program (the processor
+    # pre-warms carry programs and streams render on daemon threads, so
+    # concurrent execution is inherent to this suite). CPU executable
+    # serialization is not thread-safe against concurrent client activity in
+    # this jaxlib, and that cannot be fixed from Python: tests recompile.
+    import shutil
 
-            shutil.rmtree(_cache_dir, ignore_errors=True)
-        os.makedirs(_cache_dir, exist_ok=True)
-        with open(_sentinel, "w") as _f:
-            _f.write(str(os.getpid()))
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    shutil.rmtree(os.path.join(os.path.dirname(__file__), ".jax_cache"),
+                  ignore_errors=True)
+
+    # ...and native CPU compiles themselves are not safe against CONCURRENT
+    # native compiles either (the engine pre-warms carry programs on daemon
+    # worker threads across many tests): with the cache gone, a full-suite
+    # run still SIGSEGVed in backend_compile_and_load in the MAIN thread
+    # mid-suite. Serialize every compile through one lock — pxla calls
+    # compile_or_get_cached as a module attribute, so setattr is enough.
+    # CPU test compiles are subsecond; losing compile overlap is fine here.
+    try:
+        import threading
+
+        from jax._src import compiler as _compiler
+
+        _compile_lock = threading.RLock()
+        _orig_cogc = _compiler.compile_or_get_cached
+
+        def _locked_cogc(*a, **k):
+            with _compile_lock:
+                return _orig_cogc(*a, **k)
+
+        _compiler.compile_or_get_cached = _locked_cogc
     except Exception:
-        pass
-
-
-def pytest_sessionfinish(session, exitstatus):
-    try:
-        os.remove(os.path.join(os.path.dirname(__file__), ".jax_cache",
-                               ".suite_running"))
-    except OSError:
         pass

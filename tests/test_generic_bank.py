@@ -349,6 +349,74 @@ def test_generic_additive_matches_vmap():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_generic_modal_matches_vmap():
+    """ModalVoice body: M rotation-decay modes unrolled over the mode axis,
+    EnvAr mallet, exact Pan2 — a mallet ensemble as one fused kernel. The
+    vmap path evaluates the same recurrence through affine_scan_2x2_rows'
+    combine tree, so parity is fma-reordering-bounded (~1e-7/block), plus
+    the documented one-rounding exp-argument regrouping (mosaic_voice
+    docstring)."""
+    from knaster_tpu import ModalVoice
+    from knaster_tpu.ugens.modal import ModalResonator
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 256
+    rng = np.random.default_rng(23)
+    d = {"freq": rng.uniform(200, 900, V).astype(np.float32),
+         "amp": np.full(V, 0.2, np.float32),
+         "pan": rng.uniform(-1, 1, V).astype(np.float32),
+         "decay": rng.uniform(0.2, 3.0, V).astype(np.float32)}
+    mk = lambda: ModalVoice(ModalResonator.bell(440.0), strike_ms=1.5,
+                            done_threshold=1e-4)
+    gb = PallasVoiceBank(mk(), V, voice_defaults=d, tile_rows=2,
+                         event_capacity=1024)
+    vb = VoiceBank(mk(), V, voice_defaults=d, event_capacity=1024)
+    ts = gb.trig_index("t_strike")
+    fi = {n: gb.float_index(n) for n in ("freq", "decay", "amp")}
+    sched = {
+        0: [(0, v, ts, 1, 0.0) for v in range(0, V, 3)],
+        1: [(17, 5, fi["freq"], 0, 555.0),    # mid-block retune while ringing
+            (26, 7, fi["decay"], 0, 0.05),    # choke a voice
+            (40, 9, ts, 1, 0.0)],             # sample-accurate re-strike
+        2: [(0, 9, fi["amp"], 4, 150.0),      # smoothing ramp
+            (10, 9, ts, 1, 0.0)],
+        3: None,
+        4: [(50, 3, fi["freq"], 0, 30000.0)], # all modes cross Nyquist
+        5: None,
+    }
+    a, b, sa, sb = _run_pair(gb, vb, ctx, sched, 6)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(sa["idle"]), np.asarray(sb["idle"]))
+
+
+def test_generic_modal_pool_reclaims():
+    """Choked modal voices go idle in-kernel (struck & quiet & mallet done)
+    so VoicePool auto-release works at fused-bank scale."""
+    from knaster_tpu import ModalVoice
+    from knaster_tpu.ugens.modal import ModalResonator
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 128
+    d = {"decay": np.full(V, 0.004, np.float32),
+         "amp": np.full(V, 0.3, np.float32)}
+    gb = PallasVoiceBank(
+        ModalVoice(ModalResonator.bar(300.0), strike_ms=0.5,
+                   done_threshold=1e-3),
+        V, voice_defaults=d, tile_rows=1, event_capacity=256)
+    st = gb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    ev = gb.node_events_from_lists(
+        [(0, v, gb.trig_index("t_strike"), 1, 0.0) for v in range(8)])
+    st, _ = gb.process(ctx, st, no_in, {}, events=ev)[:2]
+    assert not np.asarray(st["idle"])[:8].any()
+    for _ in range(40):  # ~53 ms: a 4 ms T60 bar is long gone
+        st, _ = gb.process(ctx, st, no_in, {}, events=None)[:2]
+    idle = np.asarray(st["idle"])
+    assert idle[:8].all()
+    assert not idle[8:].any()  # never-struck voices are not reclaimable
+
+
 def test_sharded_generic_bank_matches_unsharded():
     """make_local shards the generic bank over the mesh like any bank."""
     import jax
