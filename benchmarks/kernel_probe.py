@@ -407,7 +407,15 @@ def _wt_kernel_var(mode, B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
     ``hmax``: hoist the per-harmonic Nyquist test — ``freq*(h+1) <= nyq``
     becomes ``freq <= f32(nyq/(h+1))`` against a baked constant, removing
     one multiply per harmonic per sample (boundary rounding may differ by
-    1 ULP of freq at the exact Nyquist crossing)."""
+    1 ULP of freq at the exact Nyquist crossing).
+
+    ``cheb``: hmax + the angle-addition harmonic ladder
+    (s,c <- s*c1 + c*s1, c*c1 - s*s1: 4 mul + 2 addsub per harmonic)
+    replaced by the Chebyshev three-term recurrence
+    (x_{h+1} = 2*c1*x_h - x_{h-1} for both rails: 2 mul + 2 sub), with
+    2*c1 computed once per sample. Algebraically identical; floats differ
+    by the recurrence's rounding path (error grows ~linearly in h, still
+    ~1e-6 at H=16)."""
     import jax.numpy as jnp
     from knaster_tpu.parallel.pallas_bank import (
         _env_asr_free, _mat, _pan_gains, _sample_loop, _theta_full, _to_inc)
@@ -436,10 +444,17 @@ def _wt_kernel_var(mode, B, ng, f2pi, acoef, bcoef, nyq, unroll, *refs):
         acc = jnp.where(freq <= thr[0],
                         np.float32(acoef[0]) * s + np.float32(bcoef[0]) * c,
                         zero)
+        if mode == "cheb":
+            two_c1 = c1 + c1
+            sm, cm = jnp.zeros_like(s1), jnp.ones_like(c1)  # sin0, cos0
         for h in range(1, H):
-            s, c = s * c1 + c * s1, c * c1 - s * s1
+            if mode == "cheb":
+                s, sm = two_c1 * s - sm, s
+                c, cm = two_c1 * c - cm, c
+            else:
+                s, c = s * c1 + c * s1, c * c1 - s * s1
             part = np.float32(acoef[h]) * s + np.float32(bcoef[h]) * c
-            if mode == "hmax":
+            if mode in ("hmax", "cheb"):
                 m = freq <= thr[h]
             else:
                 m = freq * np.float32(h + 1) <= np.float32(nyq)

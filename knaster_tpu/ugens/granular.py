@@ -11,10 +11,22 @@ counter-keyed Threefry hash, so renders are reproducible for a given
 ``seed`` and independent of block size — the same determinism contract
 as the noise UGens (see ugens/noise.py).
 
-TPU mapping: one ``lax.scan`` over the block; all per-grain state rides
-the carry as ``[G]`` lanes, so slot updates are one-hot selects and the
-mix is a lane reduction. Source reads are two gathers per sample
-(linear interpolation), the same access pattern as BufferReader.
+TPU mapping: only the spawn *scheduler* is a serial recurrence (a
+two-scalar ``lax.scan``: countdown + spawn counter). Everything else is
+reconstructed closed-form as fully parallel ``[B, G]`` compute: spawn j
+in the block lands in slot ``(counter0 + j) mod G`` (round-robin), so
+the last spawn governing slot g at sample i has the closed-form index
+``offs + G * floor((n_i - 1 - offs) / G)`` with ``offs = (g - g0) mod G``
+and ``n_i`` the scheduler's applied-spawn count — one small gather per
+per-slot quantity instead of a one-hot select per sample, grain
+randomness as a batched Threefry table instead of one hash per sample
+on the scan's critical path, and the two interpolation reads as one
+``[B, G]`` gather pair instead of B serial G-lane gathers. Measured on
+the v5e this is the difference between 2.0x and double-digit realtime
+(benchmarks/suite.py granular); ``_process_scan`` keeps the original
+per-sample recurrence and a test pins parity between the two (carried
+state bit-identical; outputs to ULP scale — the window cos evaluates
+at different SIMD widths between the paths).
 Spawns are sample-accurate: the countdown scheduler fires between any
 two samples, and the ``t_spawn`` trigger forces a grain at its exact
 frame (and re-anchors the scheduler), so sequenced granular lines ride
@@ -128,20 +140,13 @@ class GrainPlayer(UGen):
                     ).astype(dtype)
         return jnp.ones_like(ph)
 
-    def process(self, ctx: AudioCtx, state, inputs, params):
-        G = self.grains
+    def _spawn_quantities(self, ctx: AudioCtx, params):
+        """Per-sample spawn-time quantities (vectorized over the block);
+        spawns read sample i's row."""
         dtype = ctx.dtype
         sr = float(ctx.sample_rate)
         bsr = float(self.buffer.sample_rate)
         base_step = self.buffer.buf_rate_scale(ctx.sample_rate)
-        n_frames = self.buffer.frames
-        buf0 = jnp.asarray(self.buffer.data[self.channel].astype(dtype))
-        lanes = jnp.arange(G, dtype=jnp.uint32)
-        key = jax.random.key(self.seed)
-        half_pi = np.float32(np.pi / 2)
-
-        # per-sample spawn-time quantities (cheap, vectorized outside the
-        # scan; the scan selects sample i's row on spawn)
         period = sr / jnp.clip(params["density"].astype(dtype), 0.01, sr)
         dur_smp = jnp.maximum(params["grain_dur"].astype(dtype) * sr, 1.0)
         pos_f = params["pos"].astype(dtype) * bsr
@@ -149,6 +154,137 @@ class GrainPlayer(UGen):
         rate_p = params["rate"].astype(dtype) * np.float32(base_step)
         ratej = params["rate_jitter"].astype(dtype)
         spread = params["pan_spread"].astype(dtype)
+        return period, dur_smp, pos_f, posj_f, rate_p, ratej, spread
+
+    def _read_source(self, src, active, dtype):
+        """Linear-interpolated source read with loop/clip semantics; `src`
+        and `active` are any matching shape."""
+        n_frames = self.buffer.frames
+        buf0 = jnp.asarray(self.buffer.data[self.channel].astype(dtype))
+        idx = jnp.floor(src)
+        frac = src - idx
+        idx = idx.astype(jnp.int32)
+        if self.loop:
+            i0 = jnp.mod(idx, n_frames)
+            i1 = jnp.mod(idx + 1, n_frames)
+            valid = active
+        else:
+            i0 = jnp.clip(idx, 0, n_frames - 1)
+            i1 = jnp.clip(idx + 1, 0, n_frames - 1)
+            valid = active & (idx >= 0) & (idx < n_frames - 1)
+        s = buf0[i0] * (np.float32(1.0) - frac) + buf0[i1] * frac
+        return s, valid
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        """Closed-form vectorized path (see module docstring); carries
+        bit-identical state vs :meth:`_process_scan` (the per-sample
+        recurrence), outputs equal to ULP scale."""
+        G = self.grains
+        dtype = ctx.dtype
+        key = jax.random.key(self.seed)
+        half_pi = np.float32(np.pi / 2)
+        half = np.float32(0.5)
+        (period, dur_smp, pos_f, posj_f, rate_p, ratej,
+         spread) = self._spawn_quantities(ctx, params)
+        B = period.shape[0]
+        i_ar = jnp.arange(B, dtype=jnp.int32)
+
+        # phase 1 — the only true recurrence: the countdown scheduler.
+        # Two scalar carries; emits each sample's due flag and the
+        # pre-increment spawn counter (the Threefry key and slot of a
+        # spawn at that sample).
+        def sched(carry, x):
+            countdown, counter = carry
+            countdown = countdown - np.float32(1.0)
+            due = (countdown <= 0.0) | x["t"]
+            countdown = jnp.where(
+                due,
+                jnp.where(x["t"], x["p"], countdown + x["p"]),
+                countdown,
+            )
+            return ((countdown, counter + due.astype(jnp.uint32)),
+                    (due, counter))
+
+        (countdown_end, counter_end), (due, ctr_pre) = jax.lax.scan(
+            sched, (state["countdown"], state["counter"]),
+            {"t": params["t_spawn"], "p": period})
+
+        # phase 2 — everything else is parallel. Event j (the j-th spawn in
+        # this block) happens at sample s_of_e[j] and lands in slot
+        # (counter0 + j) mod G.
+        ctr0 = state["counter"]
+        e_local = (ctr_pre - ctr0).astype(jnp.int32)   # spawns before i
+        n_applied = e_local + due.astype(jnp.int32)    # spawns applied at i
+        s_of_e = jnp.zeros(B, jnp.int32).at[
+            jnp.where(due, e_local, B)].set(i_ar, mode="drop")
+
+        # per-event randomness: a batched Threefry table, same values as
+        # fold_in(key, counter) at each spawn
+        ev_ctr = ctr0 + jnp.arange(B, dtype=jnp.uint32)
+        u = jax.vmap(
+            lambda c: jax.random.uniform(jax.random.fold_in(key, c), (3,),
+                                         minval=-1.0, maxval=1.0)
+        )(ev_ctr).astype(dtype)                        # [B, 3]
+        ev_dur = dur_smp[s_of_e]
+        ev_src0 = pos_f[s_of_e] + posj_f[s_of_e] * u[:, 0]
+        ev_step = rate_p[s_of_e] * jnp.exp2(u[:, 1] * ratej[s_of_e])
+        pan = u[:, 2] * spread[s_of_e]
+        angle = (pan * half + half) * half_pi
+        ev_gl = jnp.cos(angle)
+        ev_gr = jnp.sin(angle)
+
+        # last event governing slot g at sample i, closed form: events
+        # hitting slot g are j = offs, offs+G, offs+2G, ... with
+        # offs = (g - counter0) mod G; the latest with j < n_applied[i] is
+        # offs + G * floor((n-1-offs)/G) (valid iff n > offs).
+        g0 = (ctr0 % np.uint32(G)).astype(jnp.int32)
+        offs = jnp.mod(jnp.arange(G, dtype=jnp.int32) - g0, G)[None, :]
+        n_bg = n_applied[:, None]
+        has = n_bg > offs                              # [B, G]
+        j = jnp.clip(offs + G * ((n_bg - 1 - offs) // G), 0, B - 1)
+
+        dur = jnp.where(has, ev_dur[j], state["dur"][None, :])
+        src0 = jnp.where(has, ev_src0[j], state["src0"][None, :])
+        step = jnp.where(has, ev_step[j], state["step"][None, :])
+        gl = jnp.where(has, ev_gl[j], state["gl"][None, :])
+        gr = jnp.where(has, ev_gr[j], state["gr"][None, :])
+        age = jnp.where(has, i_ar[:, None] - s_of_e[j],
+                        state["age"][None, :] + (i_ar[:, None] + 1))
+
+        # identical per-(sample, slot) formulas as the scan body
+        a = age.astype(dtype)
+        active = a < dur
+        ph = a / dur
+        w = jnp.where(active, self._window(ph, dtype), 0.0)
+        src = src0 + a * step
+        s, valid = self._read_source(src, active, dtype)
+        sig = jnp.where(valid, w * s, 0.0)
+        amp = params["amp"].astype(dtype)
+        outl = jnp.sum(sig * gl, axis=1) * amp
+        outr = jnp.sum(sig * gr, axis=1) * amp
+
+        new_state = {
+            "countdown": countdown_end, "counter": counter_end,
+            "age": age[-1], "dur": dur[-1], "src0": src0[-1],
+            "step": step[-1], "gl": gl[-1], "gr": gr[-1],
+        }
+        return new_state, jnp.stack([outl, outr])
+
+    def _process_scan(self, ctx: AudioCtx, state, inputs, params):
+        """The original per-sample recurrence (one ``lax.scan`` over the
+        block, ``[G]``-lane carry, one-hot slot updates). Kept as the
+        executable specification: tests assert the vectorized ``process``
+        is bit-identical to this path."""
+        G = self.grains
+        dtype = ctx.dtype
+        n_frames = self.buffer.frames
+        buf0 = jnp.asarray(self.buffer.data[self.channel].astype(dtype))
+        lanes = jnp.arange(G, dtype=jnp.uint32)
+        key = jax.random.key(self.seed)
+        half_pi = np.float32(np.pi / 2)
+
+        (period, dur_smp, pos_f, posj_f, rate_p, ratej,
+         spread) = self._spawn_quantities(ctx, params)
 
         def step_fn(carry, x):
             countdown, counter, age, dur, src0, step, gl, gr = carry

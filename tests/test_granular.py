@@ -230,6 +230,54 @@ def test_amp_is_live_not_frozen():
     np.testing.assert_allclose(b, a * 0.25, atol=1e-6)
 
 
+def test_vectorized_matches_scan_bit_exact():
+    """The closed-form [B, G] reconstruction (process) matches the
+    per-sample scan recurrence (_process_scan) across blocks, with jitter,
+    forced spawns and slot stealing. Integer state (counter, age) is
+    bit-identical; float state and outputs match to ULP scale — XLA fuses
+    fma and picks SIMD widths differently between the two program shapes
+    (observed: 2 ULP on src0's pos + posj*u, <=5e-7 on the output sum),
+    same formulas, different compiler rounding."""
+    buf = _buffer(n=1000)
+    ctx = AudioCtx(sample_rate=SR, block_size=64, dtype=np.float32)
+    B = ctx.block_size
+    player = GrainPlayer(buf, grains=6, density=300.0, grain_dur=0.012,
+                         pos=0.004, pos_jitter=0.003, rate_jitter=1.0,
+                         pan_spread=1.0, seed=11)
+    sa = player.init(ctx)
+    sb = player.init(ctx)
+    names = [p.name for p in player.params]
+    defaults = {p.name: player.pdefaults.get(p.name, p.default)
+                for p in player.params}
+    rng = np.random.default_rng(5)
+    for b in range(8):
+        params = {}
+        for name in names:
+            if name == "t_spawn":
+                row = np.zeros(B, dtype=bool)
+                if b in (1, 4):  # forced spawns, incl. mid-block
+                    row[rng.integers(0, B)] = True
+                params[name] = row
+            else:
+                params[name] = np.full(B, defaults[name], np.float32)
+        # block-rate param wiggle so spawn-time freezing is exercised
+        params["density"] = params["density"] * (1.0 + 0.3 * (b % 3))
+        sa, oa = player.process(ctx, sa, np.zeros((0, B)), params)
+        sb, ob = player._process_scan(ctx, sb, np.zeros((0, B)), params)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=2e-6, err_msg=f"block {b}")
+        for k in sa:
+            va, vb = np.asarray(sa[k]), np.asarray(sb[k])
+            if np.issubdtype(va.dtype, np.integer):
+                np.testing.assert_array_equal(
+                    va, vb, err_msg=f"state[{k}] block {b}")
+            else:
+                np.testing.assert_allclose(
+                    va, vb, rtol=2e-6, atol=1e-6,
+                    err_msg=f"state[{k}] block {b}")
+    assert np.abs(np.asarray(oa)).max() > 1e-4
+
+
 def test_prelude_export():
     assert kt.GrainPlayer is GrainPlayer
     from knaster_tpu.prelude import GrainPlayer as P2
