@@ -102,12 +102,15 @@ def make_process(mode):
             gr = jnp.where(has, ev_gr[0], state["gr"][None, :])
             age = jnp.where(has, i_ar[:, None] - s_of_e[0],
                             state["age"][None, :] + (i_ar[:, None] + 1))
-        elif mode in ("evmm", "all"):
+        elif mode in ("evmm", "evhp", "all"):
             tab = jnp.stack([ev_dur, ev_src0, ev_step, ev_gl, ev_gr,
                              s_of_e.astype(dtype)], axis=1)    # [B, 6]
             onehot = (j.reshape(-1, 1) ==
                       jnp.arange(Bn, dtype=jnp.int32)[None, :]).astype(dtype)
-            vals = (onehot @ tab).reshape(Bn, G, 6)            # [B, G, 6]
+            prec = (jax.lax.Precision.HIGHEST if mode == "evhp"
+                    else jax.lax.Precision.DEFAULT)
+            vals = jnp.matmul(onehot, tab,
+                              precision=prec).reshape(Bn, G, 6)  # [B, G, 6]
             dur = jnp.where(has, vals[..., 0], state["dur"][None, :])
             src0 = jnp.where(has, vals[..., 1], state["src0"][None, :])
             step = jnp.where(has, vals[..., 2], state["step"][None, :])
@@ -186,11 +189,11 @@ def run(fn, label, n=750):
 # parity first (pair/evmm must match vec exactly on the buffer values)
 ref = make_process("vec")
 sref, oref = jax.jit(lambda s: ref(ctx, s, None, params))(state0)
-for m in ("pair", "evmm", "unroll", "all"):
+for m in ("pair", "evmm", "evhp", "unroll", "all"):
     fn = make_process(m)
     sm, om = jax.jit(lambda s: fn(ctx, s, None, params))(state0)
     d = float(np.max(np.abs(np.asarray(om) - np.asarray(oref))))
     print(f"parity {m} vs vec: max|d| = {d:.3e}", flush=True)
 
-for m in ("vec", "nobuf", "noev", "pair", "evmm", "unroll", "all"):
+for m in ("evmm", "evhp"):
     run(make_process(m), m)

@@ -17,13 +17,15 @@ reconstructed closed-form as fully parallel ``[B, G]`` compute: spawn j
 in the block lands in slot ``(counter0 + j) mod G`` (round-robin), so
 the last spawn governing slot g at sample i has the closed-form index
 ``offs + G * floor((n_i - 1 - offs) / G)`` with ``offs = (g - g0) mod G``
-and ``n_i`` the scheduler's applied-spawn count — one small gather per
-per-slot quantity instead of a one-hot select per sample, grain
-randomness as a batched Threefry table instead of one hash per sample
-on the scan's critical path, and the two interpolation reads as one
-``[B, G]`` gather pair instead of B serial G-lane gathers. Measured on
-the v5e this is the difference between 2.0x and double-digit realtime
-(benchmarks/suite.py granular); ``_process_scan`` keeps the original
+and ``n_i`` the scheduler's applied-spawn count — the six per-slot event
+tables route through ONE one-hot matmul on the MXU (bit-exact at HIGHEST
+precision; gathers above a size cap) instead of a one-hot select per
+sample, grain randomness is a batched Threefry table instead of one hash
+per sample on the scan's critical path, and the two interpolation reads
+are one ``[B, G]`` gather pair instead of B serial G-lane gathers.
+Measured on the v5e this is the difference between 2.0x and 11.2x
+realtime at 64 grain slots (benchmarks/_gran_probe.py, suite.py
+granular); ``_process_scan`` keeps the original
 per-sample recurrence and a test pins parity between the two (carried
 state bit-identical; outputs to ULP scale — the window cos evaluates
 at different SIMD widths between the paths).
@@ -44,6 +46,13 @@ from ..primitives.params import pfloat, pinteger, ptrigger
 from .buffer import Buffer
 
 _WINDOWS = ("hann", "triangle", "rect")
+
+# Size cap (elements) on the one-hot event-routing matrix [B*G, B]: below
+# it the event tables route through one MXU matmul (bit-exact at HIGHEST
+# precision, ~2.6x the gather path); above it — superblocked programs with
+# large trace-time B — fall back to gathers instead of materializing a
+# quadratic matrix. 2^24 f32 = 67 MB (B=512 at G=64).
+_EVMM_MAX_ONEHOT = 1 << 24
 
 
 class GrainPlayer(UGen):
@@ -243,12 +252,37 @@ class GrainPlayer(UGen):
         has = n_bg > offs                              # [B, G]
         j = jnp.clip(offs + G * ((n_bg - 1 - offs) // G), 0, B - 1)
 
-        dur = jnp.where(has, ev_dur[j], state["dur"][None, :])
-        src0 = jnp.where(has, ev_src0[j], state["src0"][None, :])
-        step = jnp.where(has, ev_step[j], state["step"][None, :])
-        gl = jnp.where(has, ev_gl[j], state["gl"][None, :])
-        gr = jnp.where(has, ev_gr[j], state["gr"][None, :])
-        age = jnp.where(has, i_ar[:, None] - s_of_e[j],
+        # Gathering the six event tables at [B, G] indices is the measured
+        # bottleneck of this path (TPU gathers serialize): routing them
+        # through ONE one-hot matmul on the MXU instead — onehot(j)
+        # [B*G, B] @ stacked tables [B, 6] at HIGHEST precision — is
+        # bit-exact vs the gathers (exact 0/1 rows, full-f32 passes) and
+        # measured 4.3x -> 11.2x realtime at G=64, B=64 on the v5e
+        # (benchmarks/_gran_probe.py evhp). The one-hot is [B*G, B], so for
+        # superblocked programs (large trace-time B) fall back to gathers
+        # above a size cap rather than materialize a quadratic matrix.
+        if B * G * B <= _EVMM_MAX_ONEHOT:
+            tab = jnp.stack([ev_dur, ev_src0, ev_step, ev_gl, ev_gr,
+                             s_of_e.astype(dtype)], axis=1)      # [B, 6]
+            onehot = (j.reshape(-1, 1) ==
+                      jnp.arange(B, dtype=jnp.int32)[None, :]).astype(dtype)
+            vals = jnp.matmul(
+                onehot, tab,
+                precision=jax.lax.Precision.HIGHEST).reshape(B, G, 6)
+            ev_dur_j, ev_src0_j, ev_step_j = (vals[..., 0], vals[..., 1],
+                                              vals[..., 2])
+            ev_gl_j, ev_gr_j = vals[..., 3], vals[..., 4]
+            s_of_e_j = vals[..., 5].astype(jnp.int32)
+        else:
+            ev_dur_j, ev_src0_j, ev_step_j = ev_dur[j], ev_src0[j], ev_step[j]
+            ev_gl_j, ev_gr_j, s_of_e_j = ev_gl[j], ev_gr[j], s_of_e[j]
+
+        dur = jnp.where(has, ev_dur_j, state["dur"][None, :])
+        src0 = jnp.where(has, ev_src0_j, state["src0"][None, :])
+        step = jnp.where(has, ev_step_j, state["step"][None, :])
+        gl = jnp.where(has, ev_gl_j, state["gl"][None, :])
+        gr = jnp.where(has, ev_gr_j, state["gr"][None, :])
+        age = jnp.where(has, i_ar[:, None] - s_of_e_j,
                         state["age"][None, :] + (i_ar[:, None] + 1))
 
         # identical per-(sample, slot) formulas as the scan body

@@ -1,6 +1,7 @@
 """GrainPlayer: numpy-model parity, determinism, partition invariance,
 sample-accurate t_spawn, loop semantics, slot reuse, in-graph use."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -228,6 +229,38 @@ def test_amp_is_live_not_frozen():
                           pos_jitter=0.0, rate_jitter=0.0, pan_spread=0.0)
     b = _render(player2, 512, param_overrides={"amp": 0.25})
     np.testing.assert_allclose(b, a * 0.25, atol=1e-6)
+
+
+def test_evmm_and_gather_paths_identical(monkeypatch):
+    """The one-hot-matmul event routing (HIGHEST precision) and the gather
+    fallback (large trace-time B) are bit-identical — same state, same
+    output, for the same blocks."""
+    import knaster_tpu.ugens.granular as gran
+    buf = _buffer(n=1000)
+    ctx = AudioCtx(sample_rate=SR, block_size=64, dtype=np.float32)
+    B = ctx.block_size
+    player = GrainPlayer(buf, grains=8, density=400.0, grain_dur=0.01,
+                         pos_jitter=0.002, rate_jitter=0.8, pan_spread=1.0,
+                         seed=3)
+    names = [p.name for p in player.params]
+    defaults = {p.name: player.pdefaults.get(p.name, p.default)
+                for p in player.params}
+    params = {n: (np.zeros(B, bool) if n == "t_spawn"
+                  else np.full(B, defaults[n], np.float32)) for n in names}
+    outs, states = [], []
+    for cap in (1 << 24, 0):   # matmul path, then forced gather fallback
+        monkeypatch.setattr(gran, "_EVMM_MAX_ONEHOT", cap)
+        s = player.init(ctx)
+        acc = []
+        for _ in range(4):
+            s, o = player.process(ctx, s, np.zeros((0, B)), params)
+            acc.append(np.asarray(o))
+        outs.append(np.concatenate(acc, axis=1))
+        states.append(jax.tree.map(np.asarray, s))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    for k in states[0]:
+        np.testing.assert_array_equal(states[0][k], states[1][k],
+                                      err_msg=f"state[{k}]")
 
 
 def test_vectorized_matches_scan_bit_exact():
