@@ -144,11 +144,32 @@ def build_galactic(block=64):
     return proc
 
 
+def build_granular(block=64):
+    from knaster_tpu import (AudioProcessor, AudioProcessorOptions, Buffer,
+                             GrainPlayer)
+
+    src = Buffer(np.sin(2 * np.pi * 220.0 / 48000.0
+                        * np.arange(48000)).astype(np.float32)[None, :],
+                 sample_rate=48000)
+    g, proc = AudioProcessor.new(
+        0, 2, AudioProcessorOptions(block_size=block))
+
+    def build(gg):
+        gp = gg.push(GrainPlayer(src, grains=64, density=400.0,
+                                 grain_dur=0.08, pos_jitter=0.3,
+                                 rate_jitter=0.5, amp=0.2))
+        gp.to_graph_out()
+
+    g.edit(build)
+    return proc
+
+
 WORKLOADS = {
     "sines_const_b16": lambda: build_sines(16),
     "sines_const_b128": lambda: build_sines(128),
     "fm_cascade_b64": build_fm_cascade,
     "galactic_chain_b64": build_galactic,
+    "granular_b64": build_granular,
 }
 
 
