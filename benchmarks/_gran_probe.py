@@ -64,7 +64,7 @@ def make_process(mode):
             return ((countdown, counter + due.astype(jnp.uint32)),
                     (due, counter))
 
-        unroll = Bn if mode in ("unroll", "all") else 1
+        unroll = Bn if mode in ("unroll", "all", "allhp", "norand", "nowin") else 1
         (countdown_end, counter_end), (due, ctr_pre) = jax.lax.scan(
             sched, (state["countdown"], state["counter"]),
             {"t": p["t_spawn"], "p": period}, unroll=unroll)
@@ -80,6 +80,8 @@ def make_process(mode):
             lambda c: jax.random.uniform(jax.random.fold_in(key, c), (3,),
                                          minval=-1.0, maxval=1.0)
         )(ev_ctr).astype(dtype)
+        if mode == "norand":
+            u = jnp.zeros((Bn, 3), dtype)
         ev_dur = dur_smp[s_of_e]
         ev_src0 = pos_f[s_of_e] + posj_f[s_of_e] * u[:, 0]
         ev_step = rate_p[s_of_e] * jnp.exp2(u[:, 1] * ratej[s_of_e])
@@ -102,12 +104,12 @@ def make_process(mode):
             gr = jnp.where(has, ev_gr[0], state["gr"][None, :])
             age = jnp.where(has, i_ar[:, None] - s_of_e[0],
                             state["age"][None, :] + (i_ar[:, None] + 1))
-        elif mode in ("evmm", "evhp", "all"):
+        elif mode in ("evmm", "evhp", "all", "allhp", "norand", "nowin"):
             tab = jnp.stack([ev_dur, ev_src0, ev_step, ev_gl, ev_gr,
                              s_of_e.astype(dtype)], axis=1)    # [B, 6]
             onehot = (j.reshape(-1, 1) ==
                       jnp.arange(Bn, dtype=jnp.int32)[None, :]).astype(dtype)
-            prec = (jax.lax.Precision.HIGHEST if mode == "evhp"
+            prec = (jax.lax.Precision.HIGHEST if mode in ("evhp", "allhp", "norand", "nowin")
                     else jax.lax.Precision.DEFAULT)
             vals = jnp.matmul(onehot, tab,
                               precision=prec).reshape(Bn, G, 6)  # [B, G, 6]
@@ -130,7 +132,8 @@ def make_process(mode):
         a = age.astype(dtype)
         active = a < dur
         ph = a / dur
-        w = jnp.where(active, gp._window(ph, dtype), 0.0)
+        w = (active.astype(dtype) if mode == "nowin"
+             else jnp.where(active, gp._window(ph, dtype), 0.0))
         src = src0 + a * step
         idx = jnp.floor(src)
         frac = src - idx
@@ -139,7 +142,7 @@ def make_process(mode):
         valid = active
         if mode == "nobuf":
             s = frac
-        elif mode in ("pair", "all"):
+        elif mode in ("pair", "all", "allhp", "norand", "nowin"):
             gathered = jax.lax.gather(
                 jnp.concatenate([buf0, buf0[:1]]),        # i0+1 may wrap
                 i0.reshape(-1, 1),
@@ -195,5 +198,5 @@ for m in ("pair", "evmm", "evhp", "unroll", "all"):
     d = float(np.max(np.abs(np.asarray(om) - np.asarray(oref))))
     print(f"parity {m} vs vec: max|d| = {d:.3e}", flush=True)
 
-for m in ("evmm", "evhp"):
+for m in ("allhp", "norand", "nowin"):
     run(make_process(m), m)
