@@ -962,6 +962,9 @@ class SamplerVoice(UGen):
             ipos = jnp.floor(pos)
             frac = pos - ipos
             ipos = ipos.astype(jnp.int32)
+            # Two plain gathers: tap-pairing via slice_sizes=(2,) is
+            # bit-exact but perf-neutral — gather cost ∝ elements fetched
+            # (DESIGN_NOTES "Gathers bill per element").
             if self.loop:
                 idx = jnp.mod(ipos, L)
                 idx1 = jnp.mod(ipos + 1, L)

@@ -170,16 +170,11 @@ class GrainPlayer(UGen):
         and `active` are any matching shape. The returned sample is only
         meaningful where ``valid`` is set (callers mask with it).
 
-        Both interpolation taps come from ONE ``lax.gather`` with
-        ``slice_sizes=(2,)`` over the buffer extended by its first frame
-        (so tap ``i0 + 1`` stays in range when ``i0`` wraps at the end) —
-        TPU gathers serialize, so halving the gather count is the single
-        biggest win of the probe sweep (benchmarks/_gran_probe.py "pair",
-        part of 8.8x -> 12.4x rt at G=64). Bit-exact on valid samples:
-        every (i0, i1) tap pair the two-gather form produced is either
-        exactly (i0, i0 + 1) in the extended buffer or masked by
-        ``valid`` (clip mode reads past ``n - 2`` are invalid; loop mode
-        wraps ``i1`` to frame 0, which is the appended element)."""
+        Two plain gathers, deliberately: fusing both interpolation taps
+        into one ``lax.gather`` with ``slice_sizes=(2,)`` is bit-exact but
+        measured perf-NEUTRAL on the v5e — TPU gather cost scales with
+        total elements fetched, not gather-op count (DESIGN_NOTES
+        "Gathers bill per element"), so keep the simpler form."""
         n_frames = self.buffer.frames
         buf0 = jnp.asarray(self.buffer.data[self.channel].astype(dtype))
         idx = jnp.floor(src)
@@ -187,19 +182,13 @@ class GrainPlayer(UGen):
         idx = idx.astype(jnp.int32)
         if self.loop:
             i0 = jnp.mod(idx, n_frames)
+            i1 = jnp.mod(idx + 1, n_frames)
             valid = active
         else:
             i0 = jnp.clip(idx, 0, n_frames - 1)
+            i1 = jnp.clip(idx + 1, 0, n_frames - 1)
             valid = active & (idx >= 0) & (idx < n_frames - 1)
-        pair = jax.lax.gather(
-            jnp.concatenate([buf0, buf0[:1]]),
-            i0.reshape(-1, 1),
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(),
-                start_index_map=(0,)),
-            slice_sizes=(2,), mode="clip").reshape(*i0.shape, 2)
-        s = (pair[..., 0] * (np.float32(1.0) - frac)
-             + pair[..., 1] * frac)
+        s = buf0[i0] * (np.float32(1.0) - frac) + buf0[i1] * frac
         return s, valid
 
     def process(self, ctx: AudioCtx, state, inputs, params):
