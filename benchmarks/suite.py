@@ -131,6 +131,7 @@ _BENCH_TO_FN = {
     "fm_voice_bank": "fm_bank",
     "plucked_bank": "plucked_bank",
     "sampler_bank": "sampler_bank",
+    "sampler_resample": "sampler_resample",
     "fm_cascade_model": "fm_cascade_model",
     "wavetable_bank": "wavetable_bank",
     "subtractive_bank": "subtractive_bank",
@@ -613,6 +614,59 @@ def bench_sampler_bank(n_voices=16384):
     })
 
 
+
+def bench_sampler_resample(n_voices=16384):
+    """Pitched (arbitrary bounded-rate) sample playback bank
+    (SamplerVoice resample=True): per-chunk contiguous tile windows +
+    one-hot in-window matmuls — bit-identical to the gather path at a
+    fraction of its cost (DESIGN_NOTES "Windowed resampling")."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from knaster_tpu import AudioCtx, VoiceBank
+    from knaster_tpu.models.voices import SamplerVoice
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    n = 48000
+    tone = np.sin(2 * np.pi * 220.0 * np.arange(n) / 48000.0).astype(
+        np.float32)
+    rng = np.random.default_rng(11)
+    rates = rng.uniform(0.5, 1.99, n_voices).astype(np.float32)
+    bank = VoiceBank(
+        SamplerVoice(tone, loop=True, resample=True), n_voices,
+        voice_defaults={"amp": np.full(n_voices, 0.01, np.float32),
+                        "rate": rates})
+    st = bank.init(ctx)
+    no_in = jnp.zeros((0, 64), np.float32)
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
+    emit({
+        "bench": "sampler_resample",
+        "config": f"{n_voices}voices_bounded_rate_windowed",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    })
+
+
 def bench_wavetable_bank(n_voices=131072, n_harmonics=16):
     """Arbitrary band-limited wavetable voices (OscWt at bank scale):
     fused Pallas additive-synthesis kernel, saw table, H partials.
@@ -1085,6 +1139,7 @@ ALL = {
     "fm_bank": bench_fm_bank,
     "plucked_bank": bench_plucked_bank,
     "sampler_bank": bench_sampler_bank,
+    "sampler_resample": bench_sampler_resample,
     "fm_cascade_model": bench_fm_cascade_model,
     "wavetable_bank": bench_wavetable_bank,
     "subtractive_bank": bench_subtractive_bank,
@@ -1107,7 +1162,8 @@ if __name__ == "__main__":
         else:
             names.append(args[i]); i += 1
     names = names or ["sines_const", "wrappers", "galactic", "fm_bank",
-                      "plucked_bank", "sampler_bank", "fm_cascade_model",
+                      "plucked_bank", "sampler_bank", "sampler_resample",
+                      "fm_cascade_model",
                       "wavetable_bank", "generic_bank"]
     for n in names:
         ALL[n]()

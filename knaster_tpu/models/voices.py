@@ -778,6 +778,20 @@ class SamplerVoice(UGen):
     elementwise math. Divergences from BufferReader (documented): the loop
     boundary is rounded to whole frames, and one restart per block per voice
     (the most recent wins).
+
+    Three read paths (same position trajectory; DESIGN_NOTES "Gathers
+    bill per element" + "Windowed resampling"):
+      * default — two element gathers per sample; any rate incl. negative;
+        gather-bound (~1.4k rt voices on a v5e at 48 k-frame buffers).
+      * ``tiled=True`` — UNIT rate only; contiguous tile reads + barrel
+        roll; ~26x the gather path.
+      * ``resample=True`` — rate clamped to [0, ``max_rate``]; per-chunk
+        contiguous tile windows + one-hot in-window matmuls at HIGHEST
+        precision (an exact gather): BIT-identical to the gather path at
+        ~20x its throughput (28.4k vs 1.45k rt voices on a v5e), for pitched sample playback at bank scale.
+        Above ``_RS_BLOCK_CAP`` trace-time frames (long superblocks) it
+        falls back to the gather read — seamless, because the paths are
+        bit-identical.
     """
 
     inputs = 0
@@ -794,7 +808,8 @@ class SamplerVoice(UGen):
                  pan: float = 0.0, loop: bool = True,
                  start_s: float = 0.0, end_s: float = -1.0,
                  attack: float = 0.005, release: float = 0.05,
-                 tiled: bool = False):
+                 tiled: bool = False, resample: bool = False,
+                 max_rate: float = 2.0):
         import numpy as np
 
         data = np.asarray(buffer.data if hasattr(buffer, "data") else buffer)
@@ -813,6 +828,17 @@ class SamplerVoice(UGen):
         # sample rate, checked in init). 15-30x the gather path at bank
         # scale; drum machines and one-shot samplers are unit-rate anyway.
         self.tiled = bool(tiled)
+        # resample=True: BOUNDED-rate gather-free playback (DESIGN_NOTES
+        # "Windowed resampling") — rate is clamped to [0, max_rate]; the
+        # block's read window spans <= max_rate*B+1 source frames, so a few
+        # contiguous tiles row-fetched per voice cover every tap and the
+        # in-window two-tap read is a one-hot matmul at HIGHEST precision
+        # (an exact gather, granular precedent) — bit-identical to the
+        # gather path, without the per-element HBM gather cost.
+        self.resample = bool(resample)
+        if self.tiled and self.resample:
+            raise ValueError("tiled and resample are mutually exclusive")
+        self.max_rate = float(max_rate)
         self.pdefaults = {"rate": float(rate), "amp": float(amp),
                           "pan": float(pan)}
         self.env = EnvAsr(attack, release)
@@ -823,7 +849,8 @@ class SamplerVoice(UGen):
 
     def batch_key(self):
         return (type(self), id(self._data), self._start, self._loop_len,
-                self.loop, self._attack, self._release, self.tiled)
+                self.loop, self._attack, self._release, self.tiled,
+                self.resample, self.max_rate)
 
     def init(self, ctx: AudioCtx):
         import numpy as np
@@ -845,6 +872,8 @@ class SamplerVoice(UGen):
             self.block_invariant = False
             self.superblock_cap = self._loop_len
             self._ext_cache = {}
+        if self.resample:
+            self._rs_cache = {}
         return {
             "pos_int": jnp.zeros((), jnp.int32),  # frames into the loop
             "pos_frac": jnp.zeros((), ctx.dtype),
@@ -930,6 +959,135 @@ class SamplerVoice(UGen):
             pos_int = jnp.minimum(end_pos, L)
         return sig, pos_int, frac, playing
 
+    # -------------------------------------------------- windowed resampling
+
+    _RS_BLOCK_CAP = 256  # above this trace-time B, fall back to gathers
+
+    def _rs_tiles(self, B: int, C: int, dtype):
+        """Extended loop-baked source reshaped to [rows, C] (trace-time,
+        cached per (B, C)). Covers every unwrapped read position
+        ipos+1 <= L + max_rate*B + 1 (pos_int wraps to [0, L) only at
+        block ends). Loop mode tiles the source periodically (== the
+        gather path's mod-L indexing, even when the window wraps the loop
+        more than once); one-shot appends src[L-1] once (the gather
+        path's idx1 clamp at ipos == L-1 — every farther read is masked
+        by ``alive``) then zeros."""
+        import numpy as np
+
+        key = (B, C)
+        if key not in self._rs_cache:
+            nT = int(np.ceil(self.max_rate)) + 2
+            src = self._data[self._start:self._start + self._loop_len]
+            L = self._loop_len
+            frames = L + int(np.ceil(self.max_rate * B)) + C + 2
+            rows = -(-frames // C) + nT + 1
+            if self.loop:
+                ext = np.resize(src, rows * C)
+            else:
+                ext = np.concatenate(
+                    [src, src[-1:],
+                     np.zeros(max(rows * C - L - 1, 0), np.float32)]
+                )[: rows * C]
+            self._rs_cache[key] = ext.reshape(rows, C)
+        return jnp.asarray(self._rs_cache[key], dtype)
+
+    def _read_resample(self, ctx: AudioCtx, state, params):
+        """Gather-free bounded-rate read (DESIGN_NOTES "Windowed
+        resampling"): positions are the gather path's trajectory verbatim;
+        taps come from per-chunk contiguous tile windows via one-hot
+        matmuls at HIGHEST precision — an exact gather, so the output is
+        BIT-IDENTICAL to the gather path while fetching only contiguous
+        rows from HBM."""
+        import numpy as np
+        from jax import lax
+
+        B = ctx.block_size
+        dtype = ctx.dtype
+        L = self._loop_len
+        C = B
+        for cand in (16, 8):
+            if B % cand == 0 and B > cand:
+                C = cand
+                break
+        nc = B // C
+        nT = int(np.ceil(self.max_rate)) + 2
+        W = nT * C
+        tiles = self._rs_tiles(B, C, dtype)
+
+        base = np.float32(self._buf_sr / ctx.sample_rate)
+        step = jnp.clip(params["rate"][0] * base, 0.0,
+                        np.float32(self.max_rate))
+        t = jnp.arange(B, dtype=dtype)
+        cont = (state["pos_int"].astype(dtype) + state["pos_frac"]
+                + step * t)
+        fcont = jnp.floor(cont)
+        icont = fcont.astype(jnp.int32).reshape(nc, C)
+        q_cont = icont[:, 0] // C  # [nc]
+
+        def window(qrow):
+            return jnp.concatenate(
+                [tiles[qrow + k] for k in range(nT)], axis=-1)
+
+        j = jnp.arange(W)
+
+        if ctx.no_events:
+            playing = state["playing"]
+            win = window(q_cont)  # [nc, W]
+            w = icont - (q_cont * C)[:, None]
+            frac = (cont - fcont).reshape(nc, C)
+            ipos = icont
+        else:
+            trig = params["t_restart"]
+            any_trig = jnp.any(trig)
+            tf = jnp.max(jnp.where(trig, jnp.arange(B), -1))
+            playing = state["playing"] | any_trig
+            fresh = step * (t - tf.astype(dtype))
+            after = (any_trig & (t >= tf)).reshape(nc, C)
+            ffresh = jnp.floor(fresh)
+            ifresh = ffresh.astype(jnp.int32).reshape(nc, C)
+            q_fresh = jnp.maximum(ifresh[:, 0], 0) // C
+            # [cont window | fresh window] per chunk; the seam is never
+            # read (w+1 stays inside its own window, see DESIGN_NOTES)
+            win = jnp.concatenate(
+                [window(q_cont), window(q_fresh)], axis=-1)
+            W = 2 * W
+            j = jnp.arange(W)
+            w = jnp.where(after,
+                          ifresh - (q_fresh * C)[:, None] + nT * C,
+                          icont - (q_cont * C)[:, None])
+            pos = jnp.where(after.reshape(-1), fresh, cont)
+            frac = (pos - jnp.floor(pos)).reshape(nc, C)
+            ipos = jnp.where(after, ifresh, icont)
+
+        m0 = (w[:, :, None] == j[None, None, :]).astype(dtype)
+        s0 = jnp.einsum("ncw,nw->nc", m0, win,
+                        precision=lax.Precision.HIGHEST)
+        s1 = jnp.einsum("ncw,nw->nc", m0, jnp.roll(win, -1, axis=-1),
+                        precision=lax.Precision.HIGHEST)
+        sig = (s0 + (s1 - s0) * frac).reshape(B)
+
+        ipos_flat = ipos.reshape(B)
+        if self.loop:
+            alive = playing & jnp.ones((B,), bool)
+        else:
+            alive = playing & (ipos_flat < L)
+        sig = jnp.where(alive, sig, jnp.zeros_like(sig))
+
+        # end-of-block pointer: the gather path's advance verbatim
+        end_cont = (state["pos_int"].astype(dtype) + state["pos_frac"]
+                    + step * B)
+        if ctx.no_events:
+            end_pos = end_cont
+        else:
+            end_fresh = step * (B - tf.astype(dtype))
+            end_pos = jnp.where(any_trig, end_fresh, end_cont)
+        e_int = jnp.floor(end_pos)
+        pos_frac = (end_pos - e_int).astype(dtype)
+        pos_int = e_int.astype(jnp.int32)
+        if self.loop:
+            pos_int = jnp.mod(pos_int, L)
+        return sig, pos_int, pos_frac, playing
+
     def process(self, ctx: AudioCtx, state, inputs, params):
         import numpy as np
 
@@ -941,10 +1099,16 @@ class SamplerVoice(UGen):
             sig, pos_int, pos_frac, playing = self._read_tiled(
                 ctx, state, params
             )
+        elif self.resample and B <= self._RS_BLOCK_CAP:
+            sig, pos_int, pos_frac, playing = self._read_resample(
+                ctx, state, params
+            )
         else:
             buf = jnp.asarray(self._data, dtype)
             base = np.float32(self._buf_sr / ctx.sample_rate)
             step = params["rate"][0] * base  # block-rate pitch
+            if self.resample:  # B > _RS_BLOCK_CAP fallback: same clamp
+                step = jnp.clip(step, 0.0, np.float32(self.max_rate))
             t = jnp.arange(B, dtype=dtype)
 
             trig = params["t_restart"]

@@ -1066,3 +1066,132 @@ def test_sampler_voice_tiled_validation():
 
     with pytest.raises(ValueError):  # wrong sample rate
         SamplerVoice(FakeBuf(), tiled=True).init(ctx)
+
+
+def _run_sampler(voice, trig_frames, n_blocks, rate, B=64, no_events=False):
+    ctx = AudioCtx(SR, B, np.float32, no_events=no_events)
+    st = voice.init(ctx)
+    outs = []
+    for b in range(n_blocks):
+        p = {"rate": np.full(B, rate, np.float32),
+             "amp": np.ones(B, np.float32),
+             "pan": np.full(B, -1.0, np.float32),
+             "t_restart": np.zeros(B, bool),
+             "t_release": np.zeros(B, bool)}
+        for (bb, f) in trig_frames:
+            if bb == b and not no_events:
+                p["t_restart"][f] = True
+        st, out, _ = voice.process(ctx, st, np.zeros((0, B), np.float32), p)
+        outs.append(np.asarray(out)[0])
+    return np.concatenate(outs)
+
+
+def test_sampler_voice_resample_matches_gather_path():
+    """resample=True (windowed bounded-rate read, DESIGN_NOTES 'Windowed
+    resampling') is BIT-exact vs the gather path: the one-hot in-window
+    matmul at HIGHEST precision is an exact gather, and the position
+    trajectory is the gather path's verbatim. Loop wrap, one-shot end
+    masking, mid-block restarts, fractional rates."""
+    from knaster_tpu import SamplerVoice
+
+    rng = np.random.default_rng(5)
+    buf = rng.standard_normal(300).astype(np.float32)
+    for loop in (True, False):
+        for rate in (0.73, 1.31, 1.99):
+            ref = _run_sampler(
+                SamplerVoice(buf, loop=loop, attack=0.0, release=0.01),
+                [(0, 5), (4, 33)], 8, rate)
+            got = _run_sampler(
+                SamplerVoice(buf, loop=loop, attack=0.0, release=0.01,
+                             resample=True),
+                [(0, 5), (4, 33)], 8, rate)
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_sampler_voice_resample_edges():
+    """Tiny loops (the window wraps the loop more than once), the
+    no-events fast program, the rate clamp, and the B > block-cap gather
+    fallback all stay bit-exact."""
+    from knaster_tpu import SamplerVoice
+
+    rng = np.random.default_rng(6)
+    # window wraps a 17-frame loop several times per block
+    for L in (17, 50):
+        buf = rng.standard_normal(L).astype(np.float32)
+        ref = _run_sampler(
+            SamplerVoice(buf, loop=True, attack=0.0, release=0.01),
+            [(0, 3)], 6, 1.99)
+        got = _run_sampler(
+            SamplerVoice(buf, loop=True, attack=0.0, release=0.01,
+                         resample=True),
+            [(0, 3)], 6, 1.99)
+        np.testing.assert_array_equal(got, ref)
+
+    buf = rng.standard_normal(300).astype(np.float32)
+    # fast program (ctx.no_events): steady-state continuation bit-matches
+    outs = []
+    for kw in ({}, {"resample": True}):
+        v = SamplerVoice(buf, loop=True, attack=0.0, release=0.01, **kw)
+        ctx = AudioCtx(SR, 64, np.float32)
+        st = v.init(ctx)
+        p = {"rate": np.full(64, 1.31, np.float32),
+             "amp": np.ones(64, np.float32),
+             "pan": np.full(64, -1.0, np.float32),
+             "t_restart": np.zeros(64, bool),
+             "t_release": np.zeros(64, bool)}
+        p["t_restart"][0] = True
+        st, _, _ = v.process(ctx, st, np.zeros((0, 64), np.float32), p)
+        fast = AudioCtx(SR, 64, np.float32, no_events=True)
+        p2 = dict(p)
+        p2["t_restart"] = np.zeros(64, bool)
+        chunks = []
+        for _ in range(5):
+            st, o, _ = v.process(fast, st, np.zeros((0, 64), np.float32), p2)
+            chunks.append(np.asarray(o)[0])
+        outs.append(np.concatenate(chunks))
+    np.testing.assert_array_equal(outs[1], outs[0])
+
+    # rate above max_rate clamps (documented divergence from the gather
+    # path), identically in the windowed read and the B > cap fallback
+    v = SamplerVoice(buf, loop=True, attack=0.0, release=0.01,
+                     resample=True)
+    ref2 = SamplerVoice(buf, loop=True, attack=0.0, release=0.01)
+    np.testing.assert_array_equal(
+        _run_sampler(v, [(0, 3)], 8, 5.0, B=64),
+        _run_sampler(ref2, [(0, 3)], 8, 2.0, B=64))
+    np.testing.assert_array_equal(
+        _run_sampler(v, [(0, 3)], 2, 5.0, B=512),
+        _run_sampler(ref2, [(0, 3)], 2, 2.0, B=512))
+
+
+def test_sampler_voice_resample_bank():
+    """Resample sampler voices inside a VoiceBank (per-voice rates +
+    sample-accurate restarts through the bank event path) bit-match the
+    gather-path bank."""
+    from knaster_tpu import SamplerVoice
+
+    n = 4800
+    tone = np.sin(2 * np.pi * 330.0 * np.arange(n) / SR).astype(np.float32)
+    rates = np.array([0.5, 0.99, 1.31, 1.87], np.float32)
+
+    def render(**kw):
+        g, proc = AudioProcessor.new(0, 2, OPTS)
+
+        def build(gg):
+            bank = gg.push(VoiceBank(
+                SamplerVoice(tone, loop=True, attack=0.001, release=0.05,
+                             **kw),
+                4,
+                voice_defaults={"amp": np.full(4, 0.1, np.float32),
+                                "rate": rates}))
+            bank.to_graph_out()
+            return bank
+
+        bank = g.edit(build)
+        for v in range(4):
+            bank.voice_param("t_restart").trig(v)
+        return proc.render(frames=2048)
+
+    ref = render()
+    got = render(resample=True)
+    np.testing.assert_array_equal(got, ref)
