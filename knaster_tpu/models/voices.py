@@ -787,8 +787,9 @@ class SamplerVoice(UGen):
         roll; ~26x the gather path.
       * ``resample=True`` — rate clamped to [0, ``max_rate``]; per-chunk
         contiguous tile windows + one-hot in-window matmuls at HIGHEST
-        precision (an exact gather): BIT-identical to the gather path at
-        ~20x its throughput (28.4k vs 1.45k rt voices on a v5e), for pitched sample playback at bank scale.
+        precision (an exact gather): BIT-identical to the gather path
+        at ~20x its throughput (28.4k vs 1.45k rt voices on a v5e) —
+        pitched sample playback at bank scale.
         Above ``_RS_BLOCK_CAP`` trace-time frames (long superblocks) it
         falls back to the gather read — seamless, because the paths are
         bit-identical.
@@ -1025,6 +1026,12 @@ class SamplerVoice(UGen):
         q_cont = icont[:, 0] // C  # [nc]
 
         def window(qrow):
+            # one-shot pos_int keeps advancing past L (gather-path
+            # parity), so a fully-dead chunk's qrow can point past the
+            # zero tail; clamp so the read never relies on backend OOB
+            # semantics — affected lanes are masked by ``alive``, so the
+            # output is unchanged
+            qrow = jnp.minimum(qrow, tiles.shape[0] - nT)
             return jnp.concatenate(
                 [tiles[qrow + k] for k in range(nT)], axis=-1)
 
