@@ -137,6 +137,7 @@ _BENCH_TO_FN = {
     "subtractive_bank": "subtractive_bank",
     "modal_bank": "modal_bank",
     "granular": "granular",
+    "granular_bank": "granular_bank",
     "generic_bank": "generic_bank",
     "voicebank": "voicebank",
 }
@@ -832,6 +833,49 @@ def bench_granular(grains=64, density=400.0, block=64):
     }))
 
 
+def bench_granular_bank(players=64, grains=64, density=400.0, block=64):
+    """A texture of `players` grain clouds in ONE graph: same-config
+    GrainPlayers over a shared source auto-batch (batch_key, seed in
+    state) into a single vmapped closed-form engine — players*grains
+    concurrent grain slots. Emits realtime_players (players at >=1x)."""
+    from knaster_tpu import (AudioProcessor, AudioProcessorOptions,
+                             Buffer, GrainPlayer)
+
+    src = Buffer(np.sin(2 * np.pi * 220.0 / 48000.0
+                        * np.arange(48000)).astype(np.float32)[None, :],
+                 sample_rate=48000)
+    opts = AudioProcessorOptions(block_size=block, sample_rate=48000)
+    g, proc = AudioProcessor.new(0, 2, opts)
+    rng = np.random.default_rng(7)
+
+    def build(gg):
+        for i in range(players):
+            gp = gg.push(GrainPlayer(
+                src, grains=grains, seed=i,
+                density=float(density * 2 ** rng.uniform(-0.5, 0.5)),
+                grain_dur=0.08, pos_jitter=0.3, rate_jitter=0.5,
+                amp=0.2 / players,
+            ))
+            gp.to_graph_out()
+
+    g.edit(build)
+    proc._ensure_compiled()
+    batched = max(
+        (len(it) for k, it in proc.compiled.plan if k == "batch"),
+        default=0,
+    )
+    rate = _program_rate(proc)
+    emit(({
+        "bench": "granular_bank",
+        "config": f"{players}x{grains}grains_block{block}",
+        "value": round(rate),
+        "unit": "samples/s",
+        "program_realtime_x": round(rate / 48000, 1),
+        "realtime_players": round(players * rate / 48000),
+        "batched_players": batched,
+    }))
+
+
 def bench_modal_bank(n_voices=65536):
     """Modal mallet ensemble at fused-kernel scale: ModalVoice (12-mode bell
     preset) on the generic PallasVoiceBank — 12 rotation-decay modes per
@@ -1145,6 +1189,7 @@ ALL = {
     "subtractive_bank": bench_subtractive_bank,
     "modal_bank": bench_modal_bank,
     "granular": bench_granular,
+    "granular_bank": bench_granular_bank,
     "generic_bank": bench_generic_bank,
     "voicebank": bench_voicebank,
 }

@@ -145,6 +145,139 @@ def main():
             ("pan",),
         )
 
+    # ---- chain-kernel stage families: Pallas executor vs scan executor
+    # on hardware (graph/chain_kernel.py; every family must actually
+    # enter the kernel — silent validation-valve fallbacks fail the check)
+    import knaster_tpu.graph.chain_kernel as ck
+    import knaster_tpu.graph.compile as C
+    from knaster_tpu import (
+        AudioProcessor,
+        AudioProcessorOptions,
+        EnvAsr,
+        Pan2,
+        PolyBlep,
+        SampleDelay,
+        SinWt,
+        WhiteNoise,
+    )
+    from knaster_tpu.ugens.polyblep import Waveform
+
+    def _build_sin(gg, hs):
+        prev = None
+        for i in range(12):
+            s = gg.push(SinWt(100.0 + 3.0 * i))
+            if prev is not None:
+                mod = (prev * 100.0) + 200.0
+                gg.connect_param(gg.handle(mod.channels[0][1]), 0, s, "freq")
+            prev = s
+            hs.append(s)
+        (prev * 0.1).to_graph_out()
+
+    def _build_env(gg, hs):
+        prev = None
+        for i in range(10):
+            e = gg.push(EnvAsr(attack_time=(50.3 + 7.1 * i) / 48000.0,
+                               release_time=95.5 / 48000.0))
+            hs.append(e)
+            prev = e if prev is None else prev + e
+        (prev * 0.05).to_graph_out()
+
+    def _build_polyblep(gg, hs):
+        waves = [Waveform.Sawtooth, Waveform.Sine, Waveform.Rectangle,
+                 Waveform.Triangle, Waveform.Square]
+        prev = None
+        for i in range(10):
+            s = gg.push(PolyBlep(waves[i % len(waves)], 80.0 + 11.0 * i))
+            if prev is not None:
+                mod = (prev * 30.0) + 110.0
+                gg.connect_param(gg.handle(mod.channels[0][1]), 0, s, "freq")
+            prev = s
+            hs.append(s)
+        (prev * 0.1).to_graph_out()
+
+    def _build_pan(gg, hs):
+        prev = gg.push(WhiteNoise(seed=3))
+        for i in range(10):
+            p = gg.push(Pan2(-0.4 + 0.08 * i))
+            prev.to(p)
+            prev = p.out([0]) + p.out([1])
+            hs.append(p)
+        (prev * 0.1).to_graph_out()
+
+    def _build_delay(gg, hs):
+        prev = gg.push(WhiteNoise(seed=9))
+        for i in range(10):
+            d = gg.push(SampleDelay(32.0 / 48000.0))
+            prev.to(d)
+            prev = d * 0.8
+            hs.append(d)
+        (prev * 0.5).to_graph_out()
+
+    def _env_events(hs, phase):
+        trig = "t_restart" if phase == 0 else "t_release"
+        for h in hs:
+            h.param(trig).trig()
+
+    def _delay_events(hs, phase):
+        if phase == 0:
+            for i, h in enumerate(hs):
+                h.param("delay_time").set((3.0 + 2.0 * i) / 48000.0)
+            hs[4].param("delay_time").smooth(20.0 / 48000.0, 0.004)
+
+    # (family, builder, per-phase event fn, tolerance). Library chain
+    # stages are transcendental-free or sin/cos-only; Mosaic-vs-XLA ULP
+    # differences bound the tolerances.
+    chain_fams = [
+        ("chain_sin", _build_sin, None, 1e-6),
+        ("chain_env", _build_env, _env_events, 1e-5),
+        ("chain_polyblep", _build_polyblep, None, 1e-3),
+        ("chain_pan", _build_pan, None, 1e-4),
+        ("chain_delay", _build_delay, _delay_events, 1e-6),
+    ]
+
+    def chain_run(builder, events_fn, tol, B):
+        def render(mode):
+            ck._MODE, engaged = mode, {"ok": 0}
+            real = ck.run
+
+            def spy(*a, **k):
+                r = real(*a, **k)
+                if r is not None:
+                    engaged["ok"] += 1
+                return r
+
+            ck.run = spy
+            try:
+                C.clear_program_cache()
+                g, proc = AudioProcessor.new(
+                    0, 1, AudioProcessorOptions(block_size=B)
+                )
+                hs = []
+                g.edit(lambda gg: builder(gg, hs))
+                outs = []
+                for phase in range(2):
+                    if events_fn is not None:
+                        events_fn(hs, phase)
+                    outs.append(np.asarray(proc.render(frames=4 * B)))
+                return np.concatenate(outs, axis=1), engaged["ok"]
+            finally:
+                ck.run = real
+                ck._MODE = None
+        a, hits = render("1")
+        b, _ = render("0")
+        assert hits >= 1, "kernel never engaged (Mosaic rejected?)"
+        assert np.abs(b).max() > 1e-4, "silent reference render"
+        d = float(np.abs(a - b).max())
+        assert d < tol, f"maxdiff {d}"
+
+    for fam, builder, events_fn, tol in chain_fams:
+        for B in blocks[:2] if quick else blocks:
+            check(
+                f"{fam}_B{B}",
+                lambda builder=builder, events_fn=events_fn, tol=tol, B=B:
+                    chain_run(builder, events_fn, tol, B),
+            )
+
     for fam, make, extra in pairs():
         for B in blocks:
             ctx = AudioCtx(48000, B, np.float32)

@@ -89,7 +89,7 @@ from .parallel.pallas_bank import (
     PallasSubtractiveVoiceBank,
     PallasWavetableVoiceBank,
 )
-from .models.voices import AdditiveVoice, FMCascade, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice
+from .models.voices import AdditiveVoice, EnvelopeVoice, FMCascade, FMVoice, SamplerVoice, SineVoice, SubtractiveVoice
 from .models import ModalVoice, PluckedVoice
 from .ugens.granular import GrainPlayer
 from .utils.codec import read_sound_file, write_flac, write_mp3, write_ogg
@@ -104,6 +104,7 @@ __all__ = [
     "AudioBackend",
     "OfflineBackend",
     "StreamBackend",
+    "EnvelopeVoice",
     "FMVoice",
     "PallasFMVoiceBank",
     "PallasSineVoiceBank",

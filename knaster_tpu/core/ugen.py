@@ -98,8 +98,8 @@ class UGen:
     block_invariant: bool = True
     # True when ``process`` can return a done mask (envelopes, buffer
     # readers, DoneOnTrig, user closures). The Pallas chain executor
-    # (graph/chain_kernel.py) hard-codes done=all-false, so it refuses any
-    # unit with this set even if it has a mosaic_stage.
+    # (graph/chain_kernel.py) then expects the unit's mosaic_stage body
+    # (if any) to return a third element: a [1, B] 0/1 done row.
     may_set_done: bool = False
     # Instance attributes that are runtime DATA, not trace config: excluded
     # from the structural signature (core/signature.py) so graphs differing
@@ -148,12 +148,15 @@ class UGen:
         kernel-shaped values: ``inputs`` [in_ch, B]; ``state`` leaves
         [1, n] (n = the leaf's flattened per-node size, scalars -> [1, 1]);
         ``params`` maps each float/int param name to a [1, B] row; ``out``
-        [outputs, B]. The body must be bit-equivalent to ``process`` under
-        the fast program's guarantees (no events: triggers never fire,
-        int-set masks are all-false) and restricted to Mosaic-supported
-        ops (elementwise/VPU math, static shapes, no gathers). Only UGens
-        that never raise done flags may implement it (the chain executor
-        refuses units with ``may_set_done`` set)."""
+        [outputs, B]. UGens with ``may_set_done`` return a third element:
+        a [1, B] done mask as 0/1 rows in ``ctx.dtype`` (bool planes don't
+        lower to kernel outputs) — the executor materializes it per stage
+        and feeds the host's free/mortality machinery exactly like the
+        scan executor's done masks. The body must be equivalent to
+        ``process`` under the fast program's guarantees (no events:
+        triggers never fire, int-set masks are all-false) and restricted
+        to Mosaic-supported ops (elementwise/VPU math, lane reductions,
+        static shapes, no gathers)."""
         return None
 
     # ---- introspection ----------------------------------------------------

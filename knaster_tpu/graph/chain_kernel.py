@@ -130,10 +130,11 @@ def needed_outputs(cg, cp) -> set:
 _VALIDATED: Dict[Tuple, bool] = {}
 
 
-def _validated(kernel_call, reps, operands, B) -> bool:
+def _validated(kernel_call, reps, operands, out_shapes, B) -> bool:
     key = (
         tuple(type(r).__qualname__ for r in reps),
         tuple((tuple(x.shape), str(x.dtype)) for x in operands),
+        tuple((tuple(s.shape), str(s.dtype)) for s in out_shapes),
         B,
         _unroll(),
     )
@@ -157,9 +158,10 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
     state_stack: {"j{j}": leaf pytree stacked [K, ...]}; par: {"j{j}":
     {name: [K, B] plane}} (bool planes are the fast program's all-false
     trigger/set rows and are skipped); carry0: {"{dj}_{c}": [B] row};
-    ext_rows: {abs-desc: [B] row}. Returns (new_state_stack, outs) with
-    outs[j] = [K, out_ch, B], or None when the plan is not kernel-eligible
-    (caller falls back to the lax.scan executor).
+    ext_rows: {abs-desc: [B] row}. Returns (new_state_stack, outs, dones)
+    with outs[j] = [K, out_ch, B] and dones[j] = [K, B] bool for offsets
+    whose unit ``may_set_done`` (None for the rest), or None when the plan
+    is not kernel-eligible (caller falls back to the lax.scan executor).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -168,12 +170,12 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
         return None
     K, p, B = len(cp.stages), cp.period, ctx.block_size
     fns = []
+    # offsets whose unit can raise done flags: their mosaic_stage body
+    # returns (new_state, out, done_row) with done_row a [1, B] 0/1 mask
+    # in ctx.dtype, materialized as a [K, B] plane (bool outputs don't
+    # lower; the caller re-masks with > 0.5)
+    done_capable = [bool(getattr(rep, "may_set_done", False)) for rep in reps]
     for rep in reps:
-        # structural guard for the documented convention: the kernel emits
-        # done=all-false, so done-capable UGens must never enter it even if
-        # someone gives one a mosaic_stage
-        if getattr(rep, "may_set_done", False):
-            return None
         fn = rep.mosaic_stage(ctx)
         if fn is None:
             return None
@@ -237,6 +239,12 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
          for (_i, shape, dtype) in items]
         for (_td, items) in state_entries
     ]
+    # done planes: [K, B] 0/1 rows per done-capable offset (always
+    # materialized — done flags feed the host's free/mortality machinery)
+    done_entries = [
+        add_out((K, B), ctx.dtype) if done_capable[j] else None
+        for j in range(p)
+    ]
 
     nbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in operands)
     nbytes += sum(
@@ -295,7 +303,11 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
                     treedef,
                     [in_refs[i][pl.ds(k, 1), :] for (i, _s, _d) in items],
                 )
-                new_st, out = fns[j](inp, st, prm)
+                if done_capable[j]:
+                    new_st, out, done_row = fns[j](inp, st, prm)
+                    out_refs[done_entries[j]][pl.ds(k, 1), :] = done_row
+                else:
+                    new_st, out = fns[j](inp, st, prm)
                 outs_local[j] = out
                 for c, oi in enumerate(out_entries[j]):
                     if oi is not None:
@@ -325,7 +337,9 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )
-    if not interpret and not _validated(kernel_call, reps, operands, B):
+    if not interpret and not _validated(
+        kernel_call, reps, operands, out_shapes, B
+    ):
         return None  # Mosaic rejected this kernel: scan executor instead
     results = kernel_call(*operands)
 
@@ -354,4 +368,8 @@ def run(cp, reps, ctx, state_stack, par, carry0, ext_rows, needed=None):
         new_state_stack[f"j{j}"] = jax.tree_util.tree_unflatten(
             treedef, leaves
         )
-    return new_state_stack, outs
+    dones = {
+        j: (results[di] > 0.5) if di is not None else None
+        for j, di in enumerate(done_entries)
+    }
+    return new_state_stack, outs, dones

@@ -1747,7 +1747,7 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                         needed=chain_kernel.needed_outputs(cg, cp),
                     )
                 if pallas_res is not None:
-                    st_stack, outs_stack = pallas_res
+                    st_stack, outs_stack, chain_dones = pallas_res
                     new_nodes[ckey] = st_stack
                     chain_out[ckey] = {
                         j: outs_stack[j] for j in range(p)
@@ -1756,12 +1756,26 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                         for j, n in enumerate(stage):
                             chain_loc[n] = (ckey, k, j)
                             if n in top_free_parent:
-                                # mosaic_stage implementors never raise done
-                                # flags: the done frame is the B sentinel
+                                dj = chain_dones.get(j)
                                 free_frames.append(
-                                    jnp.asarray(B, jnp.int32)
+                                    first_done_frame(dj[k])
+                                    if dj is not None
+                                    else jnp.asarray(B, jnp.int32)
                                 )
-                    done_parts.append(jnp.zeros((K * p,), bool))
+                    # same [K*p] layout as the scan executor's
+                    # jnp.any(done_stack, axis=2).reshape(-1)
+                    if any(d is not None for d in chain_dones.values()):
+                        cols = [
+                            jnp.any(chain_dones[j], axis=1)
+                            if chain_dones.get(j) is not None
+                            else jnp.zeros((K,), bool)
+                            for j in range(p)
+                        ]
+                        done_parts.append(
+                            jnp.stack(cols, axis=1).reshape(-1)
+                        )
+                    else:
+                        done_parts.append(jnp.zeros((K * p,), bool))
                     continue
 
                 def chain_body(carry, x):

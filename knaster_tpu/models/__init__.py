@@ -2,6 +2,7 @@
 
 from .voices import (
     AdditiveVoice,
+    EnvelopeVoice,
     FMCascade,
     FMVoice,
     ModalVoice,
@@ -13,6 +14,7 @@ from .voices import (
 
 __all__ = [
     "AdditiveVoice",
+    "EnvelopeVoice",
     "FMCascade",
     "FMVoice",
     "ModalVoice",

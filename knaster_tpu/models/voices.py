@@ -136,6 +136,140 @@ class SineVoice(UGen):
         )
 
 
+class EnvelopeVoice(UGen):
+    """Sine voice gated by a MULTI-SEGMENT :class:`Envelope` with
+    per-segment shapes, looping and live ``time_scale`` — the bank-scale
+    carrier for arbitrary envelope programs (reference
+    envelopes.rs:322-528; the 2-segment ASR/AR voices cover only
+    attack/release shapes).
+
+    The vmap path runs the engine's own ``Envelope.process`` scan
+    verbatim; the ``mosaic_voice`` body folds the trace-time segment
+    table as unrolled selects (``_make_env_multiseg``) so pool-managed
+    voices with 4+-segment envelopes run at fused-kernel scale. The
+    envelope-finished bit is the VoicePool idle latch on both paths."""
+
+    inputs = 0
+    outputs = 2
+    params = (
+        pfloat("freq", 440.0, kind=ParameterKind.FREQUENCY),
+        pfloat("amp", 0.0125),
+        pfloat("pan", 0.0),
+        # hint parity with Envelope.time_scale (envelopes.rs:469)
+        pfloat("time_scale", 1.0, range=(0.0, 20.0), logarithmic=True),
+        ptrigger("t_restart"),
+        ptrigger("t_stop"),
+    )
+
+    def __init__(self, envelope=None, freq: float = 440.0,
+                 amp: float = 0.0125, pan: float = 0.0,
+                 time_scale: float = 1.0):
+        from ..ugens.envelopes import Envelope
+
+        if envelope is None:
+            # default 4-segment pluck-ish program: rise, drop, sag, fade
+            envelope = Envelope(0.0, [
+                (0.01, 1.0), (0.05, 0.6), (0.2, 0.4, "sinusoidal"),
+                (0.3, 0.0),
+            ])
+        if not isinstance(envelope, Envelope):
+            raise ValueError("envelope must be an Envelope instance")
+        self.env = envelope
+        self.osc = SinWt(freq)
+        self.panner = Pan2(pan)
+        self.pdefaults = {
+            "freq": float(freq), "amp": float(amp), "pan": float(pan),
+            "time_scale": float(time_scale),
+        }
+
+    def init(self, ctx: AudioCtx):
+        return {
+            "osc": self.osc.init(ctx),
+            "env": self.env.init(ctx),
+        }
+
+    def process(self, ctx: AudioCtx, state, inputs, params):
+        B = ctx.block_size
+        no_in = jnp.zeros((0, B), ctx.dtype)
+        osc_state, osc_out, _ = normalize_process_result(
+            self.osc.process(
+                ctx, state["osc"], no_in,
+                {
+                    "freq": params["freq"],
+                    "phase_offset": jnp.zeros((B,), ctx.dtype),
+                    "reset_phase": jnp.zeros((B,), bool),
+                },
+            ),
+            ctx,
+        )
+        env_state, env_out, done = normalize_process_result(
+            self.env.process(
+                ctx, state["env"], no_in,
+                {
+                    "time_scale": params["time_scale"],
+                    "jump_to_segment": jnp.zeros((B,), jnp.int32),
+                    "t_restart": params["t_restart"],
+                    "t_stop": params["t_stop"],
+                },
+            ),
+            ctx,
+        )
+        sig = osc_out * env_out * params["amp"]
+        _, out = self.panner.process(ctx, {}, sig, {"pan": params["pan"]})
+        return {"osc": osc_state, "env": env_state}, out, done
+
+    def mosaic_voice(self, ctx: AudioCtx):
+        """Per-sample kernel body: SinWt phase + the unrolled segment-table
+        envelope fold + exact Pan2 gains. Carry mirrors the engine's
+        Envelope state (running/seg/time/from_value) as f32 rows."""
+        import numpy as np
+
+        from ..parallel.generic_bank import MosaicVoiceSpec
+        from ..parallel.pallas_bank import (
+            _HALF_PI, _make_env_multiseg, _sin_quant, _to_inc,
+        )
+        from ..ugens.wavetable import FRACTIONAL_PART, TABLE_SIZE
+
+        f2pi = np.float32(TABLE_SIZE * FRACTIONAL_PART / ctx.sample_rate)
+        segs = np.asarray(
+            [[1.0 / s.duration, s.duration, s.value]
+             for s in self.env.segments],
+            np.float32,
+        )
+        shapes = [s.shape for s in self.env.segments]
+        estep = _make_env_multiseg(
+            segs, self.env.looping, self.env.start_value, shapes
+        )
+        base_scale = np.float32(1.0 / ctx.sample_rate)
+        half = np.float32(0.5)
+
+        def body(i_f, carry, P, T):
+            phase = carry["phase"]
+            dt = P["time_scale"] * base_scale
+            env, erun, eseg, et, efrom, _fin = estep(
+                carry["erun"], carry["eseg"], carry["et"], carry["efrom"],
+                dt, T["t_restart"], T["t_stop"],
+            )
+            sig = _sin_quant(phase) * (env * P["amp"])
+            phase = phase + _to_inc(P["freq"] * f2pi)
+            angle = (P["pan"] * half + half) * _HALF_PI
+            new = {"phase": phase, "erun": erun, "eseg": eseg,
+                   "et": et, "efrom": efrom}
+            return new, (sig * jnp.cos(angle), sig * jnp.sin(angle))
+
+        return MosaicVoiceSpec(
+            carry={
+                "phase": (jnp.uint32, 0),
+                "erun": (ctx.dtype, 0.0),
+                "eseg": (ctx.dtype, 0.0),
+                "et": (ctx.dtype, 0.0),
+                "efrom": (ctx.dtype, float(self.env.start_value)),
+            },
+            body=body,
+            idle_of=lambda c: c["erun"] == 0.0,
+        )
+
+
 class FMVoice(UGen):
     """2-operator FM voice: modulator sine FMs a carrier sine, AR envelope.
 

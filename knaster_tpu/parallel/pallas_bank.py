@@ -295,6 +295,97 @@ def _env_ar(stage, t, restart, atk, rel):
     return env, stage, t_next
 
 
+def _make_env_multiseg(segments, looping, start_value, shapes=None):
+    """Multi-segment Envelope evaluator for mosaic voice bodies
+    (ugens/envelopes.py Envelope semantics, per sample).
+
+    ``segments`` is the trace-time [S, 3] (recip, duration, value) table
+    and ``shapes`` the per-segment shape codes — both voice constants, so
+    the per-segment lookup is an UNROLLED S-term select fold (no gathers)
+    and each segment evaluates only ITS shape's formula (the shape is a
+    python int at trace time). Returns
+    ``step(running, seg, t, from_v, time_scale_dt, restart, stop) ->
+    (out, running', seg', t', from_v', fin)`` on [rows, LANES] tiles;
+    ``restart``/``stop`` may be None (event-free blocks). ``fin`` is the
+    envelope-finished bit (non-looping end) — the VoicePool idle latch.
+    Carry uses f32 ``seg`` (exact small ints) like the AR/ASR stages."""
+    from ..ugens.envelopes import EnvelopeShape
+
+    segs = np.asarray(segments, np.float32)
+    S = segs.shape[0]
+    shapes = [EnvelopeShape.LINEAR] * S if shapes is None else list(shapes)
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    start_v = np.float32(start_value)
+
+    def segval(s, from_v, frac):
+        """_segment_value for segment s — shape known statically."""
+        to_v = np.float32(segs[s, 2])
+        frac = jnp.clip(frac, 0.0, 1.0)
+        shape = shapes[s]
+        if shape == EnvelopeShape.LINEAR:
+            return from_v + frac * (to_v - from_v)
+        if shape == EnvelopeShape.SINUSOIDAL:
+            return from_v + (to_v - from_v) * (
+                one - jnp.cos(np.float32(np.pi) * frac)) * np.float32(0.5)
+        if shape == EnvelopeShape.STEP:
+            return jnp.full_like(from_v, to_v)
+        # EXPONENTIAL: same-sign geometric, linear fallback across zero
+        lin = from_v + frac * (to_v - from_v)
+        fa = jnp.maximum(jnp.abs(from_v), np.float32(1e-12))
+        ta = np.float32(max(abs(float(to_v)), 1e-12))
+        geo = jnp.sign(from_v) * fa * jnp.exp(
+            frac * jnp.log(ta / fa))
+        return jnp.where(from_v * to_v > 0, geo, lin)
+
+    def table(seg, from_v, t):
+        """recip/dur/val and the shape-evaluated current value at ``t``,
+        via the unrolled select fold."""
+        recip = jnp.full_like(from_v, segs[0, 0])
+        dur = jnp.full_like(from_v, segs[0, 1])
+        val = jnp.full_like(from_v, segs[0, 2])
+        cur = segval(0, from_v, t * np.float32(segs[0, 0]))
+        for s in range(1, S):
+            m = seg == np.float32(s)
+            recip = jnp.where(m, np.float32(segs[s, 0]), recip)
+            dur = jnp.where(m, np.float32(segs[s, 1]), dur)
+            val = jnp.where(m, np.float32(segs[s, 2]), val)
+            cur = jnp.where(m, segval(s, from_v, t * np.float32(segs[s, 0])), cur)
+        return recip, dur, val, cur
+
+    def step(running, seg, t, from_v, dt, restart, stop):
+        if restart is not None:
+            seg = jnp.where(restart, zero, seg)
+            t = jnp.where(restart, zero, t)
+            from_v = jnp.where(restart, start_v, from_v)
+            running = jnp.where(restart, one, running)
+        _recip, dur, val, cur = table(seg, from_v, t)
+        if stop is not None:
+            frozen = stop & (running == one)
+            from_v = jnp.where(frozen, cur, from_v)
+            running = jnp.where(frozen, zero, running)
+        is_run = running == one
+        in_seg = t < dur
+        has_next = seg + one < np.float32(S)
+        out = jnp.where(is_run, jnp.where(in_seg, cur, val), from_v)
+        adv = is_run & ~in_seg & has_next
+        fin = is_run & ~in_seg & ~has_next
+        from_v = jnp.where(adv | fin, val, from_v)
+        t = jnp.where(
+            is_run & in_seg, t + dt, jnp.where(adv, t - dur + dt, t)
+        )
+        seg = jnp.where(adv, seg + one, seg)
+        if looping:
+            seg = jnp.where(fin, zero, seg)
+            t = jnp.where(fin, zero, t)
+            fin = jnp.zeros_like(fin)
+        else:
+            running = jnp.where(fin, zero, running)
+        return out, running, seg, t, from_v, fin
+
+    return step
+
+
 def _env_ar_free(stage, t, atk, rel):
     """``_env_ar`` without the restart trigger (see ``_env_asr_free``)."""
     one = np.float32(1.0)

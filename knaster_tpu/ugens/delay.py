@@ -36,6 +36,11 @@ class SampleDelay(UGen):
     def __init__(self, max_delay_length):
         self.max_delay_length = _as_seconds(max_delay_length)
 
+    def batch_key(self):
+        # equal max length => equal ring/state shapes: eligible for
+        # auto-batching and chain collapse
+        return (type(self), self.max_delay_length.to_secs_f64())
+
     def init(self, ctx: AudioCtx):
         n = max(1, int(self.max_delay_length.to_secs_f64() * ctx.sample_rate))
         self._length = n
@@ -60,6 +65,63 @@ class SampleDelay(UGen):
             step, (state["buf"], state["pos"]), {"in": inputs[0], "d": d}
         )
         return {"buf": buf, "pos": pos}, out[None, :]
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the per-sample ring
+        scan, vectorized. The ring is re-ordered oldest-first by a barrel
+        roll (log2(L) static rolls selected by the bits of ``pos``), the
+        per-sample read ``hist[L + i - d_i]`` becomes a one-hot select
+        over the [buf | input] row (sum of one nonzero — exact), and the
+        new ring content is rolled back to the scan's pos-anchored layout
+        so state stays interchangeable with the scan executor mid-render.
+        Exact for per-sample (audio-rate / mid-ramp) delay times."""
+        import math
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = ctx.block_size
+        sr = float(ctx.sample_rate)
+        L = max(1, int(self.max_delay_length.to_secs_f64() * sr))
+        nbits = max(1, math.ceil(math.log2(L))) if L > 1 else 1
+        W = L + B
+
+        def droll(x, s, left):
+            """Cyclic roll of a [1, n] row by traced scalar ``s`` (left or
+            right): static power-of-two rolls selected by s's bits."""
+            n = x.shape[1]
+            for k in range(nbits):
+                amt = (1 << k) % n
+                if left:
+                    amt = (n - amt) % n
+                if amt == 0:
+                    continue
+                bit = ((s >> k) & 1) == 1
+                x = jnp.where(bit, pltpu.roll(x, amt, axis=1), x)
+            return x
+
+        def fn(inputs, state, params):
+            buf = state["buf"]              # [1, L] ring
+            pos = state["pos"][0, 0]        # scalar i32
+            d = jnp.clip(
+                (params["delay_time"] * sr).astype(jnp.int32), 0, L - 1
+            )                                # [1, B]
+            ordered = droll(buf, pos, left=True)   # oldest-first
+            hist = jnp.concatenate([ordered, inputs[0:1, :]], axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+            idx = L + lane - d               # in [1, L+B-1]
+            wlane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+            onehot = (idx.reshape(B, 1) == wlane).astype(hist.dtype)
+            out = jnp.sum(onehot * hist, axis=1).reshape(1, B)
+            tail = hist[:, B:]               # last L samples, oldest-first
+            new_pos = pos + (B % L)          # pos < L, so one subtract wraps
+            new_pos = jnp.where(new_pos >= L, new_pos - L, new_pos)
+            new_buf = droll(tail, new_pos, left=False)
+            return (
+                {"buf": new_buf, "pos": new_pos.reshape(1, 1)},
+                out,
+            )
+
+        return fn
 
 
 class AllpassDelay(UGen):

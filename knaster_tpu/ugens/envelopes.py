@@ -47,6 +47,28 @@ def _rate_from_time(seconds, sr, dtype):
     return jnp.where(t == 0, jnp.ones_like(t), 1.0 / (t * sr))
 
 
+def _csum_lanes(x, B):
+    """Inclusive prefix sum over the lane axis of a [1, B] row by
+    Hillis-Steele doubling — Mosaic has no cumsum primitive. Float
+    association differs from jnp.cumsum (ULP-level vs the closed forms,
+    which are already documented as reassociation-sensitive)."""
+    s = 1
+    while s < B:
+        x = x + jnp.concatenate(
+            [jnp.zeros((1, s), x.dtype), x[:, : B - s]], axis=1
+        )
+        s *= 2
+    return x
+
+
+def _shift1(x, fill=0.0):
+    """[1, B] row shifted one lane right, ``fill`` in lane 0 — the
+    closed forms' concat([x0, v[:-1]]) in kernel shape."""
+    return jnp.concatenate(
+        [jnp.full((1, 1), fill, x.dtype), x[:, :-1]], axis=1
+    )
+
+
 class EnvAsr(UGen):
     """Attack-Sustain-Release envelope: linear attack, cubic release
     (envelopes.rs:19-163 EnvAsr). Marks done at the frame the release ends."""
@@ -195,6 +217,72 @@ class EnvAsr(UGen):
         new_state = {"stage": stage, "t": t, "release_scale": rscale}
         return new_state, out[None, :], done
 
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the event-free
+        closed form of ``_process_no_events`` with the cumsums as
+        Hillis-Steele lane scans, returning the done row the release end
+        produces. Rates are strictly positive, so the trajectories are
+        monotone and argmax/any reduce to last-lane tests."""
+        B = ctx.block_size
+        dtype = ctx.dtype
+        # python floats only: jnp scalars made here would be captured
+        # constants inside the pallas_call (rejected at trace time)
+        sr = float(ctx.sample_rate)
+
+        def fn(inputs, state, params):
+            one = jnp.ones((), dtype)
+            zero = jnp.zeros((), dtype)
+            atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
+            rel_rate = _rate_from_time(params["release_time"], sr, dtype)
+            stage0 = state["stage"]          # [1, 1] i32
+            t0 = state["t"]                  # [1, 1]
+            rscale = state["release_scale"]  # [1, 1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+            A = _csum_lanes(atk_rate, B)
+            inc_atk = t0 + A                 # t AFTER step i
+            e_atk = t0 + _shift1(A)          # t AT step i
+            crossed = inc_atk >= one
+            crossed_prev = jnp.concatenate(
+                [jnp.zeros((1, 1), bool), crossed[:, :-1]], axis=1
+            )
+            atk_any = crossed[:, B - 1:]     # [1, 1] — inc_atk increasing
+            out_atk = jnp.where(crossed_prev, one, e_atk)
+            t_atk_fin = jnp.where(atk_any, one, inc_atk[:, B - 1:])
+            stage_atk_fin = jnp.where(atk_any, SUSTAINING, ATTACKING)
+
+            R = _csum_lanes(rel_rate, B)
+            inc_rel = t0 - R
+            e_rel = t0 - _shift1(R)
+            alive = (lane == 0) | (e_rel > zero)
+            out_rel = jnp.where(alive, e_rel * e_rel * e_rel * rscale, zero)
+            done_rel = alive & (inc_rel <= zero)
+            rel_done = inc_rel[:, B - 1:] <= zero  # [1, 1] — decreasing
+            t_rel_fin = jnp.where(rel_done, zero, inc_rel[:, B - 1:])
+            stage_rel_fin = jnp.where(rel_done, STOPPED, RELEASING)
+
+            is_atk = stage0 == ATTACKING
+            is_sus = stage0 == SUSTAINING
+            is_rel = stage0 == RELEASING
+            out = jnp.where(
+                is_atk, out_atk,
+                jnp.where(is_sus, jnp.full((1, B), one),
+                          jnp.where(is_rel, out_rel, zero)),
+            )
+            done = jnp.where(is_rel & done_rel, one, zero)
+            t_fin = jnp.where(is_atk, t_atk_fin,
+                              jnp.where(is_rel, t_rel_fin, t0))
+            stage_fin = jnp.where(
+                is_atk, stage_atk_fin,
+                jnp.where(is_rel, stage_rel_fin, stage0),
+            )
+            new_state = {
+                "stage": stage_fin, "t": t_fin, "release_scale": rscale
+            }
+            return new_state, out, done
+
+        return fn
+
 
 class EnvAr(UGen):
     """Attack-Release one-shot envelope (envelopes.rs:174-315 EnvAr)."""
@@ -342,6 +430,97 @@ class EnvAr(UGen):
         carry0 = (state["stage"], state["t"], state["release_scale"])
         (stage, t, rscale), (out, done) = jax.lax.scan(step, carry0, xs)
         return {"stage": stage, "t": t, "release_scale": rscale}, out[None, :], done
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the event-free
+        closed form of ``_process_no_events`` — including the in-block
+        attack→release→stopped double transition — with the cumsums as
+        Hillis-Steele lane scans. R[k] at the crossing step comes from a
+        masked lane-min (R is increasing, so the first crossed lane has
+        the minimum)."""
+        B = ctx.block_size
+        dtype = ctx.dtype
+        sr = float(ctx.sample_rate)  # python float: see EnvAsr.mosaic_stage
+        big = 3.4e38                 # > any reachable cumsum
+
+        def fn(inputs, state, params):
+            one = jnp.ones((), dtype)
+            zero = jnp.zeros((), dtype)
+            atk_rate = _rate_from_time(params["attack_time"], sr, dtype)
+            rel_rate = _rate_from_time(params["release_time"], sr, dtype)
+            stage0 = state["stage"]
+            t0 = state["t"]
+            rscale = state["release_scale"]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+            A = _csum_lanes(atk_rate, B)
+            R = _csum_lanes(rel_rate, B)
+            Rexc = _shift1(R)
+            R_last = R[:, B - 1:]
+
+            # --- starting in ATTACKING -------------------------------------
+            inc_atk = t0 + A
+            e_atk = t0 + _shift1(A)
+            crossed = inc_atk >= one
+            crossed_prev = jnp.concatenate(
+                [jnp.zeros((1, 1), bool), crossed[:, :-1]], axis=1
+            )
+            atk_any = crossed[:, B - 1:]
+            Rk = jnp.min(
+                jnp.where(crossed, R, jnp.full((1, B), big, dtype)),
+                axis=1, keepdims=True,
+            )
+            Rk = jnp.where(atk_any, Rk, zero)
+            t_rel2 = one - (Rexc - Rk)       # release t at step i, post-cross
+            in_rel2 = crossed_prev           # == atk_any & (i > k)
+            alive2 = t_rel2 > zero
+            out_a = jnp.where(
+                in_rel2,
+                jnp.where(alive2, t_rel2 * t_rel2 * t_rel2, zero),
+                e_atk,
+            )
+            done_a = in_rel2 & alive2 & ((one - (R - Rk)) <= zero)
+            a_done = atk_any & ((one - (R_last - Rk)) <= zero)  # [1, 1]
+            t_a_fin = jnp.where(
+                a_done, zero,
+                jnp.where(atk_any, one - (R_last - Rk), inc_atk[:, B - 1:]),
+            )
+            stage_a_fin = jnp.where(
+                a_done, STOPPED, jnp.where(atk_any, RELEASING, ATTACKING)
+            )
+            rscale_a = jnp.where(atk_any, one, rscale)
+
+            # --- starting in RELEASING (same as ASR) -----------------------
+            inc_rel = t0 - R
+            e_rel = t0 - Rexc
+            alive = (lane == 0) | (e_rel > zero)
+            out_r = jnp.where(alive, e_rel * e_rel * e_rel * rscale, zero)
+            done_r = alive & (inc_rel <= zero)
+            r_done = inc_rel[:, B - 1:] <= zero
+            t_r_fin = jnp.where(r_done, zero, inc_rel[:, B - 1:])
+            stage_r_fin = jnp.where(r_done, STOPPED, RELEASING)
+
+            is_atk = stage0 == ATTACKING
+            is_rel = stage0 == RELEASING
+            out = jnp.where(
+                is_atk, out_a, jnp.where(is_rel, out_r, zero)
+            )
+            done = jnp.where(
+                (is_atk & done_a) | (is_rel & done_r), one, zero
+            )
+            t_fin = jnp.where(is_atk, t_a_fin,
+                              jnp.where(is_rel, t_r_fin, t0))
+            stage_fin = jnp.where(
+                is_atk, stage_a_fin,
+                jnp.where(is_rel, stage_r_fin, stage0),
+            )
+            rscale_fin = jnp.where(is_atk, rscale_a, rscale)
+            new_state = {
+                "stage": stage_fin, "t": t_fin, "release_scale": rscale_fin
+            }
+            return new_state, out, done
+
+        return fn
 
 
 class EnvelopeShape:

@@ -121,10 +121,22 @@ class GrainPlayer(UGen):
         self.outputs = 2
         self.pdefaults = dict(defaults)
 
+    def batch_key(self):
+        # the seed lives in STATE (not closed over), so same-config
+        # players over the same Buffer object auto-batch into one vmapped
+        # call — "a texture of 64 grain clouds" runs at VPU/MXU width.
+        # The buffer is identified by object identity: its data is a
+        # trace-time constant, so only nodes sharing the same Buffer may
+        # share a traced process.
+        return (type(self), self.grains, self.window, self.loop,
+                self.channel, id(self.buffer))
+
     def init(self, ctx: AudioCtx):
         G = self.grains
         dtype = ctx.dtype
         return {
+            # per-node randomness seed (state, so batched nodes differ)
+            "seed": jnp.asarray(self.seed, jnp.uint32),
             # scheduler: samples until the next natural spawn
             "countdown": jnp.zeros((), dtype),
             # grains spawned so far (Threefry key + round-robin slot)
@@ -197,7 +209,7 @@ class GrainPlayer(UGen):
         recurrence), outputs equal to ULP scale."""
         G = self.grains
         dtype = ctx.dtype
-        key = jax.random.key(self.seed)
+        key = jax.random.key(state["seed"])
         half_pi = np.float32(np.pi / 2)
         half = np.float32(0.5)
         (period, dur_smp, pos_f, posj_f, rate_p, ratej,
@@ -314,6 +326,7 @@ class GrainPlayer(UGen):
         outr = jnp.sum(sig * gr, axis=1) * amp
 
         new_state = {
+            "seed": state["seed"],
             "countdown": countdown_end, "counter": counter_end,
             "age": age[-1], "dur": dur[-1], "src0": src0[-1],
             "step": step[-1], "gl": gl[-1], "gr": gr[-1],
@@ -330,7 +343,7 @@ class GrainPlayer(UGen):
         n_frames = self.buffer.frames
         buf0 = jnp.asarray(self.buffer.data[self.channel].astype(dtype))
         lanes = jnp.arange(G, dtype=jnp.uint32)
-        key = jax.random.key(self.seed)
+        key = jax.random.key(state["seed"])
         half_pi = np.float32(np.pi / 2)
 
         (period, dur_smp, pos_f, posj_f, rate_p, ratej,
@@ -409,6 +422,7 @@ class GrainPlayer(UGen):
         carry, (outl, outr) = jax.lax.scan(step_fn, carry0, xs)
         (countdown, counter, age, dur, src0, step, gl, gr) = carry
         new_state = {
+            "seed": state["seed"],
             "countdown": countdown, "counter": counter, "age": age,
             "dur": dur, "src0": src0, "step": step, "gl": gl, "gr": gr,
         }

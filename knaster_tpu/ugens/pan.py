@@ -33,3 +33,18 @@ class Pan2(UGen):
         left = x * jnp.cos(angle)
         right = x * jnp.sin(angle)
         return state, jnp.stack([left, right])
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): ``process`` verbatim
+        on [1, B] rows — pure elementwise cos/sin pan law."""
+
+        def fn(inputs, state, params):
+            x = inputs[0:1, :]
+            p = params["pan"] * 0.5 + 0.5
+            angle = p * (np.pi / 2.0)
+            out = jnp.concatenate(
+                [x * jnp.cos(angle), x * jnp.sin(angle)], axis=0
+            )
+            return state, out
+
+        return fn

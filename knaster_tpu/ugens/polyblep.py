@@ -209,6 +209,11 @@ class PolyBlep(UGen):
     def __init__(self, waveform: Waveform = Waveform.Sawtooth, freq: float = 440.0):
         self.pdefaults = {"waveform": int(waveform), "freq": float(freq)}
 
+    def batch_key(self):
+        # process closes over nothing instance-specific (waveform is a
+        # parameter): eligible for auto-batching and chain collapse
+        return (type(self),)
+
     def init(self, ctx: AudioCtx):
         return {"t": jnp.zeros((), ctx.dtype)}
 
@@ -234,3 +239,35 @@ class PolyBlep(UGen):
         # above sr/4 always fall back to the pure sine (polyblep.rs:207-211)
         out = jnp.where(params["freq"] >= sr / 4.0, jnp.sin(t * TAU), out)
         return {"t": carry}, out[None, :]
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the same elementwise
+        waveform math on [1, B] rows, phase via a Hillis-Steele lane
+        cumsum (float association differs from jnp.cumsum at the ULP
+        level, like the closed-form envelopes). The block-rate waveform
+        select is an in-kernel ``lax.switch`` on the row's first lane."""
+        from .envelopes import _csum_lanes, _shift1
+
+        B = ctx.block_size
+        sr = float(ctx.sample_rate)
+
+        def fn(inputs, state, params):
+            dt = params["freq"] / sr              # [1, B]
+            A = _csum_lanes(dt, B)
+            t = _frac(state["t"] + _shift1(A))
+            carry = _frac(state["t"] + A[:, B - 1:])
+            pw = params["pulse_width"]
+            w = params["waveform"][0, 0]
+            out = jax.lax.switch(
+                jnp.clip(w, 0, len(_WAVEFORM_FNS) - 1),
+                _WAVEFORM_FNS,
+                t,
+                dt,
+                pw,
+            )
+            out = jnp.where(
+                params["freq"] >= sr / 4.0, jnp.sin(t * TAU), out
+            )
+            return {"t": carry}, out
+
+        return fn

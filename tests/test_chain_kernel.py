@@ -261,17 +261,250 @@ def _cascade16(gg, hs):
     build_cascade(gg, 16, hs)
 
 
-def test_done_capable_unit_refused(monkeypatch):
-    """may_set_done structurally bars a unit from the kernel even when it
-    provides a mosaic_stage (the kernel hard-codes done=all-false)."""
-    from knaster_tpu.ugens.osc import SinWt as _S
+def build_env_chain(gg, n, hs, attack=None, release=None):
+    """n EnvAsr units mixed serially (env_i + previous sum): a period-2
+    (EnvAsr, Math-add) chain with strictly increasing depth — the shape
+    that puts done-capable units inside a collapsed chain."""
+    from knaster_tpu import EnvAsr
+
+    prev = None
+    for i in range(n):
+        # off-grid times: stage crossings land mid-step with margin, so
+        # the kernel's Hillis-Steele cumsum and the scan path's
+        # jnp.cumsum agree on every transition frame
+        atk = attack if attack is not None else (50.3 + 7.1 * i) / 48000.0
+        rel = release if release is not None else 95.5 / 48000.0
+        e = gg.push(EnvAsr(attack_time=atk, release_time=rel))
+        hs.append(e)
+        prev = e if prev is None else prev + e
+    (prev * 0.05).to_graph_out()
+
+
+def test_env_chain_runs_in_kernel_with_done(monkeypatch):
+    """A chain containing done-capable EnvAsr units runs in the Pallas
+    executor: attack->sustain spontaneous transitions and the
+    release->stopped done frames match the scan executor."""
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        build_env_chain(gg, 10, hs)
+
+    def run(mode):
+        monkeypatch.setattr(ck, "_MODE", mode)
+        C.clear_program_cache()
+        g, proc = AudioProcessor.new(
+            0, 1, AudioProcessorOptions(block_size=16)
+        )
+        hs = []
+        g.edit(lambda gg: builder(gg, hs))
+        for h in hs:
+            h.param("t_restart").trig()
+        a1 = np.asarray(proc.render(frames=160))  # attack -> sustain
+        for h in hs:
+            h.param("t_release").trig()
+        a2 = np.asarray(proc.render(frames=160))  # release -> done
+        return np.concatenate([a1, a2], axis=1), proc
+
+    a, proc = run("1")
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1, "done-capable chain never entered the kernel"
+    b, _ = run("0")
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # the release tail actually went silent (envelopes reached STOPPED)
+    assert np.abs(a[:, -16:]).max() == 0.0
+
+
+def test_env_chain_done_vec_matches_scan(monkeypatch):
+    """The done vector the kernel materializes equals the scan executor's,
+    frame-placement included (drives the host's free machinery)."""
+    import jax
+    import jax.numpy as jnp
+
+    def prep(mode):
+        monkeypatch.setattr(ck, "_MODE", mode)
+        C.clear_program_cache()
+        g, proc = AudioProcessor.new(
+            0, 1, AudioProcessorOptions(block_size=16)
+        )
+        hs = []
+        g.edit(lambda gg: build_env_chain(gg, 10, hs))
+        for h in hs:
+            h.param("t_restart").trig()
+        proc.render(frames=160)
+        for h in hs:
+            h.param("t_release").trig()
+        proc.render(frames=80)  # mid-release
+        cg = proc.compiled
+        st = jax.tree_util.tree_map(jnp.array, proc.state)
+        dones = []
+        for _ in range(8):  # fast blocks across the done boundary
+            st, _out, done = cg.render_fast(
+                st, jnp.zeros((0, 16), cg.ctx.dtype)
+            )
+            dones.append(np.asarray(done))
+        return np.stack(dones)
+
+    d1 = prep("1")
+    d0 = prep("0")
+    assert d1.any(), "no done flags fired across the release end"
+    np.testing.assert_array_equal(d1, d0)
+
+
+def test_env_chain_free_parent_zeroes_output(monkeypatch):
+    """A FREE_PARENT env inside the chain zeroes the graph output from its
+    in-kernel done frame — same boundary as the scan executor."""
+    from knaster_tpu import EnvAsr
+    from knaster_tpu.graph.graph import Done
 
     calls = _spy(monkeypatch)
-    monkeypatch.setattr(_S, "may_set_done", True, raising=False)
-    a, proc = _render("1", _cascade16, 64, monkeypatch)
+
+    def builder(gg, hs):
+        prev = None
+        for i in range(10):
+            e = gg.push_with_done_action(
+                EnvAsr(attack_time=30.3 / 48000.0,
+                       release_time=(95.5 + 3.0 * i) / 48000.0),
+                Done.FREE_PARENT,
+            )
+            hs.append(e)
+            prev = e if prev is None else prev + e
+        (prev * 0.05).to_graph_out()
+
+    def run(mode):
+        monkeypatch.setattr(ck, "_MODE", mode)
+        C.clear_program_cache()
+        g, proc = AudioProcessor.new(
+            0, 1, AudioProcessorOptions(block_size=16)
+        )
+        hs = []
+        g.edit(lambda gg: builder(gg, hs))
+        for h in hs:
+            h.param("t_restart").trig()
+        proc.render(frames=64)
+        for h in hs:
+            h.param("t_release").trig()
+        return np.asarray(proc.render(frames=160))
+
+    a = run("1")
+    assert calls["ok"] >= 1
+    b = run("0")
+    za = np.flatnonzero(np.abs(a[0]) > 0)
+    zb = np.flatnonzero(np.abs(b[0]) > 0)
+    assert za.size and za[-1] < a.shape[1] - 1  # output was zeroed mid-run
+    assert za[-1] == zb[-1]  # identical free frame
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_polyblep_cascade_kernel(monkeypatch):
+    """A PolyBlep FM cascade (mixed waveforms incl. pulse-width users)
+    runs in the kernel: elementwise waveform math + in-kernel lax.switch
+    on the block-rate waveform select. Float-cumsum phase reassociates
+    (Hillis-Steele vs jnp.cumsum), so allclose."""
+    from knaster_tpu import PolyBlep
+    from knaster_tpu.ugens.polyblep import Waveform
+
+    calls = _spy(monkeypatch)
+    waves = [Waveform.Sawtooth, Waveform.Sine, Waveform.Rectangle,
+             Waveform.Triangle, Waveform.Square]
+
+    def builder(gg, hs):
+        prev = None
+        for i in range(10):
+            s = gg.push(PolyBlep(waves[i % len(waves)], 80.0 + 11.0 * i))
+            if prev is not None:
+                mod = (prev * 30.0) + 110.0
+                gg.connect_param(gg.handle(mod.channels[0][1]), 0, s, "freq")
+            prev = s
+            hs.append(s)
+        (prev * 0.1).to_graph_out()
+
+    a, proc = _render("1", builder, 96, monkeypatch)
     assert [k for k, _ in proc.compiled.plan if k == "chain"]
-    assert calls["run"] >= 1 and calls["ok"] == 0  # refused -> scan executor
-    assert np.all(np.isfinite(a)) and np.abs(a).max() > 1e-4
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 96, monkeypatch)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_pan2_chain_kernel(monkeypatch):
+    """Serial Pan2 stages (stereo collapsed back to mono between units)
+    run in the kernel — pure elementwise pan law, bit-exact on CPU."""
+    from knaster_tpu import Pan2, WhiteNoise
+
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        prev = gg.push(WhiteNoise(seed=3))
+        for i in range(10):
+            p = gg.push(Pan2(-0.4 + 0.08 * i))
+            prev.to(p)
+            prev = p.out([0]) + p.out([1])
+            hs.append(p)
+        (prev * 0.1).to_graph_out()
+
+    a, proc = _render("1", builder, 96, monkeypatch)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 96, monkeypatch)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sample_delay_chain_kernel(monkeypatch):
+    """An echo cascade of SampleDelays runs in the kernel: barrel-rolled
+    ring state + one-hot window reads, bit-exact vs the per-sample scan —
+    including per-sample delay times mid-smooth (the ramp persists into
+    event-free blocks)."""
+    from knaster_tpu import SampleDelay, WhiteNoise
+
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        prev = gg.push(WhiteNoise(seed=9))
+        for i in range(10):
+            d = gg.push(SampleDelay(32.0 / 48000.0))
+            prev.to(d)
+            prev = d * 0.8
+            hs.append(d)
+        (prev * 0.5).to_graph_out()
+
+    def edits(hs):
+        for i, h in enumerate(hs):
+            h.param("delay_time").set((3.0 + 2.0 * i) / 48000.0)
+        hs[4].param("delay_time").smooth(20.0 / 48000.0, 0.004)
+
+    a, proc = _render("1", builder, 192, monkeypatch, edits=edits)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 192, monkeypatch, edits=edits)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_array_equal(a, b)
+
+
+def test_env_chain_state_carry_partitions(monkeypatch):
+    """Kernel-executed envelope chains carry stage/t/release_scale state:
+    short renders equal one long render (closed forms are documented
+    reassociation-sensitive, so allclose)."""
+    monkeypatch.setattr(ck, "_MODE", "1")
+    C.clear_program_cache()
+
+    def mk():
+        g, proc = AudioProcessor.new(
+            0, 1, AudioProcessorOptions(block_size=16)
+        )
+        hs = []
+        g.edit(lambda gg: build_env_chain(gg, 10, hs))
+        for h in hs:
+            h.param("t_restart").trig()
+        return proc
+
+    p1, p2 = mk(), mk()
+    whole = np.asarray(p1.render(frames=160))
+    parts = np.concatenate(
+        [np.asarray(p2.render(frames=32)) for _ in range(5)], axis=1
+    )
+    np.testing.assert_allclose(whole, parts, atol=1e-6)
 
 
 def test_mosaic_rejection_falls_back_via_validation_valve(monkeypatch):

@@ -315,3 +315,66 @@ def test_prelude_export():
     assert kt.GrainPlayer is GrainPlayer
     from knaster_tpu.prelude import GrainPlayer as P2
     assert P2 is GrainPlayer
+
+
+def test_grain_players_auto_batch_and_match_singles():
+    """Same-config players over one shared Buffer auto-batch (batch_key:
+    seed lives in state) into ONE vmapped call; the batched texture equals
+    the sum of the players rendered alone — events included."""
+    buf = _buffer()
+
+    def build_graph(only=None):
+        g, proc = kt.knaster(outputs=2)
+        hs = []
+
+        def b(gg):
+            for i in range(4):
+                if only is not None and i != only:
+                    continue
+                p = gg.push(GrainPlayer(
+                    buf, grains=16, seed=i,
+                    density=40.0 + 10.0 * i, grain_dur=0.02,
+                    pos_jitter=0.02, rate=1.0 + 0.1 * i, amp=0.1,
+                ))
+                p.to_graph_out()
+                hs.append(p)
+
+        g.edit(b)
+        return proc, hs
+
+    def drive(proc, hs, spawn_idx):
+        a1 = np.asarray(proc.render(frames=128))
+        if spawn_idx is not None:
+            hs[spawn_idx].param("t_spawn").trig()
+            hs[spawn_idx].param("rate").set(1.7)
+        a2 = np.asarray(proc.render(frames=128))
+        return np.concatenate([a1, a2], axis=1)
+
+    proc, hs = build_graph()
+    proc._ensure_compiled()
+    batches = [it for k, it in proc.compiled.plan if k == "batch"]
+    assert any(len(nids) == 4 for nids in batches), \
+        "grain players did not auto-batch"
+    a = drive(proc, hs, spawn_idx=2)
+    parts = []
+    for i in range(4):
+        pi, hi = build_graph(only=i)
+        parts.append(drive(pi, hi, spawn_idx=0 if i == 2 else None))
+    assert np.abs(a).max() > 1e-4
+    np.testing.assert_allclose(a, sum(parts), atol=2e-6)
+
+
+def test_grain_player_seed_determinism_from_state():
+    """The Threefry key rides state: same seed => identical render,
+    different seed => different grains (checkpoint/restore keeps the
+    stream)."""
+    buf = _buffer()
+    p1 = GrainPlayer(buf, grains=8, seed=5, density=80.0, grain_dur=0.02,
+                     pos_jitter=0.05, amp=0.3)
+    p2 = GrainPlayer(buf, grains=8, seed=5, density=80.0, grain_dur=0.02,
+                     pos_jitter=0.05, amp=0.3)
+    p3 = GrainPlayer(buf, grains=8, seed=6, density=80.0, grain_dur=0.02,
+                     pos_jitter=0.05, amp=0.3)
+    a, b, c = (_render(p, 256) for p in (p1, p2, p3))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6
