@@ -139,6 +139,7 @@ _BENCH_TO_FN = {
     "granular": "granular",
     "granular_bank": "granular_bank",
     "generic_bank": "generic_bank",
+    "envelope_bank": "envelope_bank",
     "voicebank": "voicebank",
 }
 
@@ -991,6 +992,68 @@ def bench_generic_bank(n_voices=131072):
     }))
 
 
+def bench_envelope_bank(n_voices=131072):
+    """Multi-segment Envelope voices at fused-kernel scale: EnvelopeVoice
+    (4-segment program, 3 shapes) on the generic PallasVoiceBank — the
+    unrolled segment-table fold (pallas_bank._make_env_multiseg). Voices
+    start RUNNING (restart trigger in block 0's eventful program, then the
+    steady state is measured) so the fold pays its full per-sample cost.
+    Measured like bench_fm_bank: ONE jitted on-device scan of 750 blocks
+    whose per-block mean is FETCHED."""
+    import time
+
+    import jax
+
+    from knaster_tpu import AudioCtx, EnvelopeVoice, PallasVoiceBank
+    from knaster_tpu.ugens.envelopes import Envelope
+
+    ctx = AudioCtx(48000, 64, np.float32)
+    rng = np.random.default_rng(0)
+    env = Envelope(0.0, [(0.05, 1.0), (0.4, 0.5),
+                         (0.8, 0.75, "sinusoidal"), (1.5, 0.0)],
+                   looping=True)
+    defaults = {
+        "freq": (220.0 * 2 ** rng.uniform(-1, 1, n_voices)).astype(np.float32),
+        "amp": np.full(n_voices, 0.002, np.float32),
+        "pan": rng.uniform(-1, 1, n_voices).astype(np.float32),
+        "time_scale": rng.uniform(0.5, 2.0, n_voices).astype(np.float32),
+    }
+    bank = PallasVoiceBank(EnvelopeVoice(env), n_voices,
+                           voice_defaults=defaults, event_capacity=4096)
+    st = bank.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    ti = bank.trig_index("t_restart")
+    evs = bank.node_events_from_lists(
+        [(0, v, ti, 1, 0.0) for v in range(0, n_voices, max(n_voices // 4096, 1))]
+    )
+    st = bank.process(ctx, st, no_in, {}, events=evs)[0]
+
+    def block(s, _):
+        result = bank.process(ctx, s, no_in, {}, events=None)
+        return result[0], result[1].mean()
+
+    @jax.jit
+    def render(s):
+        return jax.lax.scan(block, s, None, length=750)
+
+    s, m = render(st)
+    _ = np.asarray(m)
+    dt = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        s, m = render(s)
+        _ = np.asarray(m)
+        dt = min(dt, time.time() - t0)
+    vs = n_voices * 48000 / dt
+    emit(({
+        "bench": "envelope_bank",
+        "config": f"{n_voices}voices_4seg_looping",
+        "value": round(vs),
+        "unit": "voice-samples/s",
+        "realtime_voices": round(vs / 48000),
+    }))
+
+
 def bench_edit_latency(n_nodes=256, block_size=16):
     """Live-edit cost at 256 nodes: time from g.edit() commit to the first
     rendered block of the NEW program, for (a) a cold topology (fresh trace
@@ -1191,6 +1254,7 @@ ALL = {
     "granular": bench_granular,
     "granular_bank": bench_granular_bank,
     "generic_bank": bench_generic_bank,
+    "envelope_bank": bench_envelope_bank,
     "voicebank": bench_voicebank,
 }
 

@@ -55,6 +55,12 @@ def main():
         VoiceBank,
     )
     from knaster_tpu.ugens.modal import ModalResonator
+    from knaster_tpu import EnvelopeVoice
+    from knaster_tpu.ugens.envelopes import Envelope
+
+    def _env4seg():
+        return Envelope(0.0, [(0.002, 1.0), (0.004, 0.5),
+                              (0.004, 0.75, "sinusoidal"), (0.006, 0.0)])
 
     quick = "--quick" in sys.argv
     V = 1024
@@ -144,6 +150,14 @@ def main():
             ),
             ("pan",),
         )
+        yield (
+            "generic_envelope",  # multi-segment table fold (4 shapes)
+            lambda: PallasVoiceBank(
+                EnvelopeVoice(_env4seg()),
+                V, voice_defaults=_defaults(V, rng, ("pan",)),
+            ),
+            ("pan",),
+        )
 
     # ---- chain-kernel stage families: Pallas executor vs scan executor
     # on hardware (graph/chain_kernel.py; every family must actually
@@ -227,8 +241,55 @@ def main():
     # (family, builder, per-phase event fn, tolerance). Library chain
     # stages are transcendental-free or sin/cos-only; Mosaic-vs-XLA ULP
     # differences bound the tolerances.
+    def _build_noise(gg, hs):
+        from knaster_tpu import OnePoleLpf
+        prev = None
+        for i in range(12):
+            n = gg.push(WhiteNoise(seed=100 + i))
+            lp = gg.push(OnePoleLpf(2000.0 + 100.0 * i))
+            src = n if prev is None else prev + n
+            src.to(lp)
+            prev = lp
+            hs.append(lp)
+        (prev * 0.2).to_graph_out()
+
+    def _build_onepole(gg, hs):
+        from knaster_tpu import OnePoleHpf, OnePoleLpf
+        node = gg.push(WhiteNoise(seed=7))
+        for i in range(16):
+            f = gg.push(
+                OnePoleLpf(8000.0 + 100.0 * i)
+                if i % 2 == 0
+                else OnePoleHpf(40.0 + 5.0 * i)
+            )
+            node.to(f)
+            node = f
+            hs.append(f)
+        node.to_graph_out()
+
+    def _build_svf(gg, hs):
+        from knaster_tpu import SvfFilter
+        from knaster_tpu.ugens.filters import SvfFilterType
+        node = gg.push(WhiteNoise(seed=11))
+        for i in range(10):
+            f = gg.push(SvfFilter(
+                SvfFilterType.Bell, 400.0 * (i + 1), q=1.2,
+                gain_db=3.0 if i % 2 == 0 else -2.0,
+            ))
+            node.to(f)
+            node = f
+            hs.append(f)
+        node.to_graph_out()
+
     chain_fams = [
         ("chain_sin", _build_sin, None, 1e-6),
+        ("chain_noise", _build_noise, None, 1e-6),
+        ("chain_onepole", _build_onepole, None, 1e-5),
+        # the A/B reference (scan executor) carries XLA-TPU transcendental
+        # error amplified by the resonant chain: measured 6.2e-3 from f64
+        # ground truth, while the kernel is 7.6e-6 from it — the tolerance
+        # bounds the SCAN side's error, not the kernel's
+        ("chain_svf", _build_svf, None, 2e-2),
         ("chain_env", _build_env, _env_events, 1e-5),
         ("chain_polyblep", _build_polyblep, None, 1e-3),
         ("chain_pan", _build_pan, None, 1e-4),

@@ -72,6 +72,65 @@ def affine_scan_2x2_rows(m00, m01, m10, m11, c0, c1, s00, s01):
     return s_pre0, s_pre1, s_after0[..., -1:], s_after1[..., -1:]
 
 
+def _shift_fill(x, s, fill):
+    """[1, B] row shifted ``s`` lanes right, identity ``fill`` in front."""
+    return jnp.concatenate(
+        [jnp.full((1, s), fill, x.dtype), x[:, : x.shape[-1] - s]], axis=-1
+    )
+
+
+def affine_scan_1d_lanes(a, b, s0):
+    """Mosaic-safe :func:`affine_scan_1d` on [1, B] rows for chain-kernel
+    bodies: ``associative_scan``'s strided odd/even lane slices don't
+    lower in Mosaic ("Invalid vector register cast"), so the same affine
+    combine runs as Hillis-Steele doubling with identity fills — shifted
+    lanes carry (1, 0), the combine's neutral element, so no masks. Float
+    association differs from associative_scan's tree at the ULP level
+    (parity tests on these paths are allclose already). ``s0``: [1, 1]."""
+    B = a.shape[-1]
+    A, Bc = a, b
+    s = 1
+    while s < B:
+        Al = _shift_fill(A, s, 1.0)
+        Bl = _shift_fill(Bc, s, 0.0)
+        Bc = A * Bl + Bc
+        A = Al * A
+        s *= 2
+    s_after = A * s0 + Bc
+    s_pre = jnp.concatenate([s0, s_after[:, :-1]], axis=-1)
+    return s_pre, s_after[:, -1:]
+
+
+def affine_scan_2x2_rows_lanes(m00, m01, m10, m11, c0, c1, s00, s01):
+    """Mosaic-safe :func:`affine_scan_2x2_rows` (see
+    :func:`affine_scan_1d_lanes`): Hillis-Steele doubling with the 2x2
+    identity as the shifted fill, same multiply-add order per combine.
+    All rows [1, B]; s00/s01 broadcast ([1, 1])."""
+    B = m00.shape[-1]
+    A00, A01, A10, A11, C0, C1 = m00, m01, m10, m11, c0, c1
+    s = 1
+    while s < B:
+        l00 = _shift_fill(A00, s, 1.0)
+        l01 = _shift_fill(A01, s, 0.0)
+        l10 = _shift_fill(A10, s, 0.0)
+        l11 = _shift_fill(A11, s, 1.0)
+        lc0 = _shift_fill(C0, s, 0.0)
+        lc1 = _shift_fill(C1, s, 0.0)
+        n00 = A00 * l00 + A01 * l10
+        n01 = A00 * l01 + A01 * l11
+        n10 = A10 * l00 + A11 * l10
+        n11 = A10 * l01 + A11 * l11
+        nc0 = A00 * lc0 + A01 * lc1 + C0
+        nc1 = A10 * lc0 + A11 * lc1 + C1
+        A00, A01, A10, A11, C0, C1 = n00, n01, n10, n11, nc0, nc1
+        s *= 2
+    s_after0 = A00 * s00 + A01 * s01 + C0
+    s_after1 = A10 * s00 + A11 * s01 + C1
+    s_pre0 = jnp.concatenate([s00, s_after0[:, :-1]], axis=-1)
+    s_pre1 = jnp.concatenate([s01, s_after1[:, :-1]], axis=-1)
+    return s_pre0, s_pre1, s_after0[:, -1:], s_after1[:, -1:]
+
+
 def affine_scan_2d(M: jnp.ndarray, c: jnp.ndarray, s0: jnp.ndarray):
     """2-state linear recurrence ``s[t+1] = M[t] @ s[t] + c[t]``.
 

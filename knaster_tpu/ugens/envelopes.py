@@ -243,9 +243,10 @@ class EnvAsr(UGen):
             inc_atk = t0 + A                 # t AFTER step i
             e_atk = t0 + _shift1(A)          # t AT step i
             crossed = inc_atk >= one
-            crossed_prev = jnp.concatenate(
-                [jnp.zeros((1, 1), bool), crossed[:, :-1]], axis=1
-            )
+            # crossed shifted one lane == (e_atk >= 1): e_atk[i] is exactly
+            # inc_atk[i-1] and t0 < 1 while ATTACKING — avoids a bool
+            # concatenate, which Mosaic rejects as a vector register cast
+            crossed_prev = e_atk >= one
             atk_any = crossed[:, B - 1:]     # [1, 1] — inc_atk increasing
             out_atk = jnp.where(crossed_prev, one, e_atk)
             t_atk_fin = jnp.where(atk_any, one, inc_atk[:, B - 1:])
@@ -462,9 +463,7 @@ class EnvAr(UGen):
             inc_atk = t0 + A
             e_atk = t0 + _shift1(A)
             crossed = inc_atk >= one
-            crossed_prev = jnp.concatenate(
-                [jnp.zeros((1, 1), bool), crossed[:, :-1]], axis=1
-            )
+            crossed_prev = e_atk >= one      # see EnvAsr.mosaic_stage
             atk_any = crossed[:, B - 1:]
             Rk = jnp.min(
                 jnp.where(crossed, R, jnp.full((1, B), big, dtype)),

@@ -65,42 +65,47 @@ def svf_coefficients(ty, cutoff, q, gain_db, sample_rate, dtype):
     a2 = g * a1
     a3 = g * a2
 
-    # m0/m1/m2 per type (ordered by SvfFilterType value)
-    m0 = jnp.select(
+    # m0/m1/m2 per type (ordered by SvfFilterType value). Chained wheres,
+    # not jnp.select: select_n's integer-indexed lowering is "only
+    # float32" in Mosaic, and this function traces inside the chain
+    # kernel (SvfFilter.mosaic_stage). Exact same first-match semantics.
+    def pick(cases, default):
+        out = default
+        for cond, val in reversed(cases):
+            out = jnp.where(cond, val, out)
+        return out
+
+    m0 = pick(
         [
-            ty == SvfFilterType.Low,
-            ty == SvfFilterType.Band,
-            ty == SvfFilterType.HighShelf,
+            (ty == SvfFilterType.Low, zero),
+            (ty == SvfFilterType.Band, zero),
+            (ty == SvfFilterType.HighShelf, amp * amp),
         ],
-        [zero, zero, amp * amp],
-        default=one,
+        one,
     )
-    m1 = jnp.select(
+    m1 = pick(
         [
-            ty == SvfFilterType.Low,
-            ty == SvfFilterType.Band,
-            ty == SvfFilterType.Notch,
-            ty == SvfFilterType.High,
-            ty == SvfFilterType.Peak,
-            ty == SvfFilterType.All,
-            ty == SvfFilterType.Bell,
-            ty == SvfFilterType.LowShelf,
-            ty == SvfFilterType.HighShelf,
+            (ty == SvfFilterType.Low, zero),
+            (ty == SvfFilterType.Band, one),
+            (ty == SvfFilterType.Notch, -k),
+            (ty == SvfFilterType.High, -k),
+            (ty == SvfFilterType.Peak, -k),
+            (ty == SvfFilterType.All, -2.0 * k),
+            (ty == SvfFilterType.Bell, k * (amp * amp - 1.0)),
+            (ty == SvfFilterType.LowShelf, k * (amp - 1.0)),
+            (ty == SvfFilterType.HighShelf, k * (1.0 - amp) * amp),
         ],
-        [zero, one, -k, -k, -k, -2.0 * k, k * (amp * amp - 1.0),
-         k * (amp - 1.0), k * (1.0 - amp) * amp],
-        default=zero,
+        zero,
     )
-    m2 = jnp.select(
+    m2 = pick(
         [
-            ty == SvfFilterType.Low,
-            ty == SvfFilterType.High,
-            ty == SvfFilterType.Peak,
-            ty == SvfFilterType.LowShelf,
-            ty == SvfFilterType.HighShelf,
+            (ty == SvfFilterType.Low, one),
+            (ty == SvfFilterType.High, -one),
+            (ty == SvfFilterType.Peak, jnp.asarray(-2.0, dtype) * one),
+            (ty == SvfFilterType.LowShelf, amp * amp - 1.0),
+            (ty == SvfFilterType.HighShelf, 1.0 - amp * amp),
         ],
-        [one, -one, jnp.asarray(-2.0, dtype) * one, amp * amp - 1.0, 1.0 - amp * amp],
-        default=zero,
+        zero,
     )
     return a1, a2, a3, m0, m1, m2
 
@@ -184,7 +189,11 @@ class SvfFilter(UGen):
             )
             x = inputs[0:1]
             ic = state["ic"]  # [1, 2]
-            s_pre0, s_pre1, sf0, sf1 = affine_scan_2x2_rows(
+            # lanes variant: associative_scan's strided slices don't
+            # lower in Mosaic (core/dsp.affine_scan_1d_lanes)
+            from ..core.dsp import affine_scan_2x2_rows_lanes
+
+            s_pre0, s_pre1, sf0, sf1 = affine_scan_2x2_rows_lanes(
                 2.0 * a1 - 1.0, -2.0 * a2, 2.0 * a2, 1.0 - 2.0 * a3,
                 2.0 * a2 * x, 2.0 * a3 * x, ic[:, 0:1], ic[:, 1:2],
             )
@@ -230,13 +239,17 @@ class _OnePoleBase(UGen):
         sr = float(ctx.sample_rate)
 
         def fn(inputs, state, params):
+            from ..core.dsp import affine_scan_1d_lanes
+
             x = inputs[0:1]
             a0, b1 = onepole_lowpass_coeffs(
                 params["cutoff_freq"], jnp.asarray(sr, ctx.dtype), ctx.dtype
             )
-            y_pre, y_final = affine_scan_1d(b1, a0 * x, state["last"][:, 0])
+            y_pre, y_final = affine_scan_1d_lanes(
+                b1, a0 * x, state["last"]
+            )
             y = b1 * y_pre + a0 * x
-            return {"last": y_final.reshape(1, 1)}, self._mosaic_post(x, y)
+            return {"last": y_final}, self._mosaic_post(x, y)
 
         return fn
 

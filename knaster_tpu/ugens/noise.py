@@ -45,8 +45,17 @@ class _NoiseBase(UGen):
     def __init__(self, seed: int | None = None):
         self.seed = next_randomness_seed() if seed is None else int(seed)
 
+    def batch_key(self):
+        # the Threefry seed rides STATE (not the traced closure), so
+        # same-kind noise nodes at one depth auto-batch into one vmapped
+        # call, and WhiteNoise can join collapsed chains
+        return (type(self),)
+
     def init(self, ctx: AudioCtx):
-        return {"frame": jnp.zeros((), jnp.uint32)}
+        return {
+            "seed": jnp.asarray(self.seed, jnp.uint32),
+            "frame": jnp.zeros((), jnp.uint32),
+        }
 
     def _block_uniforms(self, ctx, state, shape):
         """Counter-mode uniforms: one threefry per SAMPLE, keyed by the
@@ -56,7 +65,7 @@ class _NoiseBase(UGen):
         frame counter wraps after ~24.8 h at 48 kHz."""
         B = shape[0]
         frames = state["frame"] + jnp.arange(B, dtype=jnp.uint32)
-        base = jax.random.PRNGKey(self.seed)
+        base = jax.random.PRNGKey(state["seed"])
         k = 1 if len(shape) == 1 else int(np.prod(shape[1:]))
         u = jax.vmap(
             lambda t: jax.random.uniform(
@@ -72,7 +81,65 @@ class WhiteNoise(_NoiseBase):
     def process(self, ctx: AudioCtx, state, inputs, params):
         u = self._block_uniforms(ctx, state, (ctx.block_size,))
         out = u * 2.0 - 1.0
-        return {"frame": state["frame"] + ctx.block_size}, out[None, :]
+        return {
+            "seed": state["seed"],
+            "frame": state["frame"] + ctx.block_size,
+        }, out[None, :]
+
+    def mosaic_stage(self, ctx: AudioCtx):
+        """Chain-kernel body (see UGen.mosaic_stage): the SAME
+        (seed, frame)-keyed stream, computed by an in-kernel Threefry-2x32
+        (jax.random's algorithm re-stated as [1, B]-lane u32 math —
+        integer adds/rotates/xors, so values are BIT-IDENTICAL to
+        ``_block_uniforms``). Two threefry evaluations per sample:
+        fold_in(key, frame) then the single-block random_bits draw."""
+        B = ctx.block_size
+
+        def rotl(x, r):
+            return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+        _ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+        def threefry2x32(k1, k2, x0, x1):
+            ks = (k1, k2, k1 ^ k2 ^ np.uint32(0x1BD11BDA))
+            x0 = x0 + ks[0]
+            x1 = x1 + ks[1]
+            for i in range(5):
+                for r in _ROT[i % 2]:
+                    x0 = x0 + x1
+                    x1 = rotl(x1, r)
+                    x1 = x0 ^ x1
+                x0 = x0 + ks[(i + 1) % 3]
+                x1 = x1 + ks[(i + 2) % 3] + np.uint32(i + 1)
+            return x0, x1
+
+        def fn(inputs, state, params):
+            from jax import lax
+
+            seed = state["seed"]              # [1, 1] u32
+            frame0 = state["frame"]           # [1, 1] u32
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+            lane = lax.bitcast_convert_type(lane_i, jnp.uint32)
+            frames = frame0 + lane            # [1, B]
+            zero = jnp.zeros((1, B), jnp.uint32)
+            k1 = zero + seed * np.uint32(0)   # broadcast 0 key halves
+            k2 = zero + seed
+            # fold_in(key, frame): threefry over the [0, frame] seed pair
+            a, b = threefry2x32(k1, k2, zero, frames)
+            # random_bits(key, 32, (1,)), partitionable path: threefry
+            # over the 2x32 iota (both halves 0 for one draw), XORed
+            b0, b1 = threefry2x32(a, b, zero, zero)
+            bits = b0 ^ b1
+            mant = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+            u = lax.bitcast_convert_type(mant, ctx.dtype) - 1.0
+            out = u * 2.0 - 1.0
+            new_state = {
+                "seed": seed,
+                "frame": frame0 + np.uint32(B),
+            }
+            return new_state, out
+
+        return fn
 
 
 class PinkNoise(_NoiseBase):
@@ -83,6 +150,7 @@ class PinkNoise(_NoiseBase):
 
     def init(self, ctx: AudioCtx):
         return {
+            "seed": jnp.asarray(self.seed, jnp.uint32),
             "frame": jnp.zeros((), jnp.uint32),
             "whites": jnp.zeros((PINK_NOISE_OCTAVES,), ctx.dtype),
             "always_on": jnp.zeros((), ctx.dtype),
@@ -133,6 +201,7 @@ class PinkNoise(_NoiseBase):
         pink = state["pink"] + jnp.cumsum(x0 - removed + x1 - x1_prev)
         out = pink / (PINK_NOISE_OCTAVES + 1.0)
         new_state = {
+            "seed": state["seed"],
             "frame": state["frame"] + B,
             "whites": new_whites,
             "always_on": x1[-1],
@@ -147,6 +216,7 @@ class BrownNoise(_NoiseBase):
 
     def init(self, ctx: AudioCtx):
         return {
+            "seed": jnp.asarray(self.seed, jnp.uint32),
             "frame": jnp.zeros((), jnp.uint32),
             "last": jnp.zeros((), ctx.dtype),
         }
@@ -159,7 +229,11 @@ class BrownNoise(_NoiseBase):
             return last, last
 
         last, out = jax.lax.scan(step, state["last"], w)
-        return {"frame": state["frame"] + ctx.block_size, "last": last}, out[None, :]
+        return {
+            "seed": state["seed"],
+            "frame": state["frame"] + ctx.block_size,
+            "last": last,
+        }, out[None, :]
 
 
 class RandomLin(_NoiseBase):
@@ -178,6 +252,7 @@ class RandomLin(_NoiseBase):
         first = jax.random.uniform(k0, (), dtype=ctx.dtype)
         second = jax.random.uniform(k1, (), dtype=ctx.dtype)
         return {
+            "seed": jnp.asarray(self.seed, jnp.uint32),
             "frame": jnp.zeros((), jnp.uint32),
             "current": first,
             "width": second - first,
@@ -205,6 +280,7 @@ class RandomLin(_NoiseBase):
             step, carry0, {"step": step_arr, "rand": rand}
         )
         new_state = {
+            "seed": state["seed"],
             "frame": state["frame"] + B,
             "current": cur,
             "width": width,

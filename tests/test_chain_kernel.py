@@ -564,3 +564,33 @@ def test_superblock_program_uses_kernel_at_multi_block(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(out_s), np.concatenate(blocks, axis=1)
     )
+
+
+def test_noise_chain_kernel(monkeypatch):
+    """Noise-per-unit chains run in the kernel: the (seed, frame)-keyed
+    stream is computed by an in-kernel Threefry2x32 restatement of
+    jax.random's algorithm — bit-identical to the XLA path."""
+    from knaster_tpu import OnePoleLpf, WhiteNoise
+
+    calls = _spy(monkeypatch)
+
+    def builder(gg, hs):
+        prev = None
+        for i in range(12):
+            n = gg.push(WhiteNoise(seed=100 + i))
+            lp = gg.push(OnePoleLpf(2000.0 + 100.0 * i))
+            src = n if prev is None else prev + n
+            src.to(lp)
+            prev = lp
+            hs.append(lp)
+        (prev * 0.2).to_graph_out()
+
+    a, proc = _render("1", builder, 96, monkeypatch, bs=32)
+    assert [k for k, _ in proc.compiled.plan if k == "chain"]
+    assert calls["ok"] >= 1
+    b, _ = _render("0", builder, 96, monkeypatch, bs=32)
+    assert np.abs(b).max() > 1e-3
+    # the threefry stream is bit-exact; the one-pole stage runs the
+    # Mosaic-safe lanes scan (core/dsp.affine_scan_1d_lanes), which
+    # reassociates vs associative_scan at the ULP level
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -459,3 +459,132 @@ def test_generic_bank_rejects_unsupported_voices():
         PallasVoiceBank(IntVoice(), 128)
     with pytest.raises(ValueError, match="mosaic_voice"):
         PallasVoiceBank(SamplerVoice(np.zeros(4096, np.float32)), 128)
+
+
+def _env4():
+    from knaster_tpu.ugens.envelopes import Envelope
+
+    # 4 segments, 3 shapes, short enough to finish inside a 10-block run
+    return Envelope(0.0, [
+        (0.001, 1.0), (0.002, 0.5), (0.002, 0.75, "sinusoidal"),
+        (0.003, 0.0),
+    ])
+
+
+def _env_defaults(V, seed=21):
+    rng = np.random.default_rng(seed)
+    return {
+        "freq": rng.uniform(100, 800, V).astype(np.float32),
+        "amp": np.full(V, 0.01, np.float32),
+        "pan": rng.uniform(-1, 1, V).astype(np.float32),
+        "time_scale": rng.uniform(0.5, 2.0, V).astype(np.float32),
+    }
+
+
+def test_envelope_voice_kernel_matches_vmap():
+    """EnvelopeVoice (multi-segment Envelope, VERDICT r3 #7): the unrolled
+    segment-table fold in the kernel matches the engine's Envelope.process
+    scan on the vmap path — restarts, per-voice time_scale, smoothing
+    ramps, shapes."""
+    from knaster_tpu import EnvelopeVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 512
+    d = _env_defaults(V)
+    gb = PallasVoiceBank(EnvelopeVoice(_env4()), V, voice_defaults=d,
+                         tile_rows=2, event_capacity=1024)
+    vb = VoiceBank(EnvelopeVoice(_env4()), V, voice_defaults=d,
+                   event_capacity=1024)
+    sched = _schedule(gb, {"freq": 555.0, "time_scale": 1.5, "amp": 0.02})
+    a, b, sa, sb = _run_pair(gb, vb, ctx, sched, 10)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_envelope_voice_idle_latch_and_restart():
+    """The envelope-finished bit is the idle latch: restarted voices whose
+    program ran out latch idle in the kernel; a voice restarted late stays
+    un-idle; t_stop freezes (and idles) a voice."""
+    from knaster_tpu import EnvelopeVoice
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 256
+    d = _env_defaults(V, 22)
+    gb = PallasVoiceBank(EnvelopeVoice(_env4()), V, voice_defaults=d,
+                         tile_rows=2, event_capacity=1024)
+    st = gb.init(ctx)
+    no_in = np.zeros((0, 64), np.float32)
+    ti_restart = gb.trig_index("t_restart")
+    ti_stop = gb.trig_index("t_stop")
+    # restart voices 0..7 at block 0; stop voice 8 mid-flight; restart
+    # voice 9 at the last block
+    for blk in range(10):
+        evs = None
+        if blk == 0:
+            evs = [(0, v, ti_restart, 1, 0.0) for v in range(8)]
+            evs.append((0, 9, ti_restart, 1, 0.0))
+        elif blk == 1:
+            evs = [(5, 8, ti_restart, 1, 0.0)]
+        elif blk == 2:
+            evs = [(30, 8, ti_stop, 1, 0.0)]
+        elif blk == 9:
+            evs = [(0, 9, ti_restart, 1, 0.0)]
+        ep = gb.node_events_from_lists(evs) if evs else None
+        st, _ = gb.process(ctx, st, no_in, {}, events=ep)[:2]
+    idle = np.asarray(st["idle"])
+    # 8ms envelope at time_scale<=2 => <=16 ms < 9 blocks (12 ms)... voices
+    # with slow time_scale may still run; check a fast-scale one finished
+    ts = d["time_scale"]
+    done_expected = [v for v in range(8) if ts[v] * 0.008 < 0.011]
+    assert done_expected, "test fixture: no fast voice"
+    assert idle[done_expected].all()
+    assert idle[8]           # stopped via t_stop
+    assert not idle[9]       # restarted in the final block
+
+
+def test_envelope_voice_looping_never_idles():
+    """looping=True wraps to segment 0 and never finishes: the idle latch
+    stays clear and the envelope keeps cycling (LFO-style programs)."""
+    from knaster_tpu import EnvelopeVoice
+    from knaster_tpu.ugens.envelopes import Envelope
+
+    env = Envelope(0.0, [(0.001, 1.0), (0.001, 0.0)], looping=True)
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 128
+    d = {"freq": np.full(V, 300.0, np.float32),
+         "amp": np.full(V, 0.01, np.float32)}
+    gb = PallasVoiceBank(EnvelopeVoice(env), V, voice_defaults=d,
+                         tile_rows=1, event_capacity=256)
+    vb = VoiceBank(EnvelopeVoice(env), V, voice_defaults=d,
+                   event_capacity=256)
+    sched = {0: [(0, v, gb.trig_index("t_restart"), 1, 0.0)
+                 for v in range(V)]}
+    a, b, sa, sb = _run_pair(gb, vb, ctx, sched, 8)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert not np.asarray(sa["idle"]).any()
+    # still audible at the end: the loop really cycles
+    assert np.abs(a[:, -64:]).max() > 1e-4
+
+
+def test_envelope_voice_exponential_shape_close():
+    """Exponential segments: the kernel's exp/log geometric form vs the
+    engine's pow — same curve within float tolerance."""
+    from knaster_tpu import EnvelopeVoice
+    from knaster_tpu.ugens.envelopes import Envelope
+
+    env = Envelope(0.001, [(0.002, 1.0, "exponential"),
+                           (0.004, 0.001, "exponential"),
+                           (0.002, 0.5), (0.002, 0.0)])
+    ctx = AudioCtx(SR, 64, np.float32)
+    V = 128
+    d = {"freq": np.full(V, 440.0, np.float32),
+         "amp": np.full(V, 0.02, np.float32)}
+    gb = PallasVoiceBank(EnvelopeVoice(env), V, voice_defaults=d,
+                         tile_rows=1, event_capacity=256)
+    vb = VoiceBank(EnvelopeVoice(env), V, voice_defaults=d,
+                   event_capacity=256)
+    sched = {0: [(0, v, gb.trig_index("t_restart"), 1, 0.0)
+                 for v in range(V)]}
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, 8)
+    assert np.abs(b).max() > 1e-3
+    np.testing.assert_allclose(a, b, atol=1e-4)

@@ -168,3 +168,45 @@ def test_pool_over_pallas_bank():
     released = pool.refresh()
     assert released == 16
     assert pool.free_count == pool.n_voices
+
+
+def test_pool_over_envelope_voice_bank():
+    """Pool-managed voices with 4+-segment envelopes (VERDICT r3 #7): the
+    envelope-finished latch reclaims voices that ran their program out
+    (no note_off needed — one-shot envelopes free themselves), and
+    t_stop acts as a hard note-off."""
+    from knaster_tpu import EnvelopeVoice, PallasVoiceBank
+    from knaster_tpu.ugens.envelopes import Envelope
+
+    env = Envelope(0.0, [(0.001, 1.0), (0.002, 0.5),
+                         (0.002, 0.75, "sinusoidal"), (0.003, 0.0)])
+    g, proc = AudioProcessor.new(0, 2, OPTS)
+    bank = g.edit(
+        lambda gg: gg.push(
+            PallasVoiceBank(
+                EnvelopeVoice(env), 256, tile_rows=2, event_capacity=512,
+                voice_defaults={
+                    "freq": np.linspace(100, 900, 256).astype(np.float32),
+                    "amp": np.full(256, 0.01, np.float32),
+                },
+            )
+        )
+    )
+    bank.to_graph_out()
+    g.commit()
+    pool = VoicePool(proc, bank)
+    proc.render(frames=64)
+    voices = [pool.note_on() for _ in range(16)]
+    assert all(v is not None for v in voices)
+    peak = float(np.abs(proc.render(frames=64 * 2)).max())
+    assert peak > 1e-4
+    proc.render(frames=64 * 8)  # ~10.7 ms > the 8 ms program
+    released = pool.refresh()
+    assert released == 16
+    assert pool.free_count == pool.n_voices
+    # t_stop as note-off: a held... stop a fresh voice mid-program
+    v = pool.note_on()
+    proc.render(frames=64)
+    pool.note_off(v, trigger="t_stop")
+    proc.render(frames=64 * 2)
+    assert pool.refresh() == 1
