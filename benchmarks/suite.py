@@ -580,7 +580,10 @@ def bench_sampler_bank(n_voices=16384):
     from knaster_tpu import AudioCtx, VoiceBank
     from knaster_tpu.models.voices import SamplerVoice
 
-    ctx = AudioCtx(48000, 64, np.float32)
+    # no_events=True: the steady-state fast program's shape (what the
+    # graph engine traces between events) — a default ctx takes the
+    # eventful read branch and under-measures the sampler reads ~4x
+    ctx = AudioCtx(48000, 64, np.float32, no_events=True)
     n = 48000
     tone = np.sin(2 * np.pi * 220.0 * np.arange(n) / 48000.0).astype(
         np.float32)
@@ -630,7 +633,8 @@ def bench_sampler_resample(n_voices=16384):
     from knaster_tpu import AudioCtx, VoiceBank
     from knaster_tpu.models.voices import SamplerVoice
 
-    ctx = AudioCtx(48000, 64, np.float32)
+    # no_events=True: see bench_sampler_bank
+    ctx = AudioCtx(48000, 64, np.float32, no_events=True)
     n = 48000
     tone = np.sin(2 * np.pi * 220.0 * np.arange(n) / 48000.0).astype(
         np.float32)
@@ -855,6 +859,9 @@ def bench_granular_bank(players=64, grains=64, density=400.0, block=64):
                 src, grains=grains, seed=i,
                 density=float(density * 2 ** rng.uniform(-0.5, 0.5)),
                 grain_dur=0.08, pos_jitter=0.3, rate_jitter=0.5,
+                max_rate=2.0,  # windowed source reads (clamp inert at
+                               # rate 1.0 * 2^±0.5): the gather path is
+                               # the measured 0.3x floor at 64 players
                 amp=0.2 / players,
             ))
             gp.to_graph_out()

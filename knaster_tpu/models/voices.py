@@ -1200,10 +1200,18 @@ class SamplerVoice(UGen):
             frac = (pos - jnp.floor(pos)).reshape(nc, C)
             ipos = jnp.where(after, ifresh, icont)
 
+        # TWO one-hot matrices (w and w+1), each consumed by exactly one
+        # einsum: a single m0 feeding both taps (the old roll form) has
+        # two consumers, so XLA materializes the [V, nc, C, W] one-hot
+        # through HBM under vmap — measured 7.2k rt voices vs ~28k with
+        # the fusable single-consumer form (benchmarks/_sampler_probe.py
+        # "chunked one-hot x2"). Bit-identical: [w+1 == j] @ win selects
+        # win[w+1], exactly the rolled read (w+1 < W by the seam bound).
         m0 = (w[:, :, None] == j[None, None, :]).astype(dtype)
+        m1 = ((w + 1)[:, :, None] == j[None, None, :]).astype(dtype)
         s0 = jnp.einsum("ncw,nw->nc", m0, win,
                         precision=lax.Precision.HIGHEST)
-        s1 = jnp.einsum("ncw,nw->nc", m0, jnp.roll(win, -1, axis=-1),
+        s1 = jnp.einsum("ncw,nw->nc", m1, win,
                         precision=lax.Precision.HIGHEST)
         sig = (s0 + (s1 - s0) * frac).reshape(B)
 

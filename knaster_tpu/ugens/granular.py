@@ -102,6 +102,7 @@ class GrainPlayer(UGen):
         window: str = "hann",
         loop: bool = True,
         channel: int = 0,
+        max_rate: float | None = None,
         **defaults,
     ):
         if window not in _WINDOWS:
@@ -111,15 +112,28 @@ class GrainPlayer(UGen):
         if not 0 <= channel < buffer.channels:
             raise ValueError(f"channel {channel} out of range for "
                              f"{buffer.channels}-channel buffer")
+        if max_rate is not None and not 0 < float(max_rate) <= 8.0:
+            raise ValueError("max_rate must be in (0, 8]")
         self.buffer = buffer
         self.grains = int(grains)
         self.seed = int(seed)
         self.window = window
         self.loop = bool(loop)
         self.channel = int(channel)
+        # max_rate: declare a bound on the per-grain playback step
+        # (|rate * 2^(u*rate_jitter)| is CLAMPED to it) and the source
+        # reads switch from per-element gathers to contiguous tile
+        # windows + one-hot matmuls — the sampler's bounded-rate recipe
+        # (DESIGN_NOTES "Windowed resampling") at grain-cloud scale.
+        # Exact: for B <= G the round-robin spawner can't hit one slot
+        # twice in a block, so a [continuing | fresh] double window per
+        # (chunk, slot) covers every tap; larger B (superblocks) falls
+        # back to the gather read, which is bit-identical.
+        self.max_rate = None if max_rate is None else float(max_rate)
         self.inputs = 0
         self.outputs = 2
         self.pdefaults = dict(defaults)
+        self._gr_cache: dict = {}
 
     def batch_key(self):
         # the seed lives in STATE (not closed over), so same-config
@@ -129,7 +143,7 @@ class GrainPlayer(UGen):
         # trace-time constant, so only nodes sharing the same Buffer may
         # share a traced process.
         return (type(self), self.grains, self.window, self.loop,
-                self.channel, id(self.buffer))
+                self.channel, self.max_rate, id(self.buffer))
 
     def init(self, ctx: AudioCtx):
         G = self.grains
@@ -176,6 +190,128 @@ class GrainPlayer(UGen):
         ratej = params["rate_jitter"].astype(dtype)
         spread = params["pan_spread"].astype(dtype)
         return period, dur_smp, pos_f, posj_f, rate_p, ratej, spread
+
+    # ------------------------------------------------- windowed source read
+
+    _GR_CHUNK = 16  # samples per window chunk (the sampler's winning C)
+
+    def _max_step(self, ctx):
+        """The clamp bound on a grain's per-sample source step:
+        ``max_rate`` in natural-speed units times the buffer/server rate
+        scale (exactly how ``rate`` maps to steps)."""
+        return self.max_rate * self.buffer.buf_rate_scale(ctx.sample_rate)
+
+    def _gr_nT(self, ctx):
+        """Tiles per half-window: covers one chunk's position span at the
+        clamped step bound, plus the +1 tap and base-alignment slack."""
+        import numpy as np
+
+        C = self._GR_CHUNK
+        span = abs(self._max_step(ctx)) * (C - 1)
+        return 1 + int(np.ceil((span + 2.0) / C))
+
+    def _gr_tiles(self, ctx, dtype):
+        """Extended source reshaped [rows, C] (trace-time, cached):
+        loop-periodic so window reads reproduce mod-L taps; one-shot
+        appends zeros (out-of-range lanes are masked by ``valid``)."""
+        import numpy as np
+
+        C = self._GR_CHUNK
+        nT = self._gr_nT(ctx)
+        key = (C, nT)
+        if key not in self._gr_cache:
+            src = self.buffer.data[self.channel].astype(np.float32)
+            L = self.buffer.frames
+            W = nT * C
+            rows = -(-(L + W + C) // C) + nT + 1
+            if self.loop:
+                ext = np.resize(src, rows * C)
+            else:
+                ext = np.concatenate(
+                    [src, np.zeros(rows * C - L, np.float32)]
+                )
+            self._gr_cache[key] = ext.reshape(rows, C)
+        return jnp.asarray(self._gr_cache[key], dtype)
+
+    def _read_windowed(self, ctx, pc, pf, has, src, active, dtype):
+        """Tap extraction via contiguous tile windows + one-hot matmuls
+        (bit-exact vs :meth:`_read_source`): per (chunk, slot), a window
+        anchored at the CONTINUING grain trajectory and one at the FRESH
+        (this-block-spawned) trajectory; each sample selects its half.
+        ``pc``/``pf`` are those two arithmetic position planes and ``src``
+        the per-sample selected positions ([B, G]); exact because B <= G
+        means at most one spawn per slot per block."""
+        import numpy as np
+        from jax import lax
+
+        B, G = src.shape
+        C = self._GR_CHUNK
+        nc = B // C
+        nT = self._gr_nT(ctx)
+        W = nT * C
+        L = self.buffer.frames
+        tiles = self._gr_tiles(ctx, dtype)
+        rows = tiles.shape[0]
+
+        fsrc = jnp.floor(src)
+        frac = src - fsrc
+        idx = fsrc.astype(jnp.int32)
+        if self.loop:
+            valid = active
+        else:
+            valid = active & (idx >= 0) & (idx < L - 1)
+
+        def base_of(x):
+            """Window base per (chunk, slot) from the chunk's endpoint
+            minimum (trajectories are affine within a chunk — the clamp
+            kink in pf only flattens one end, so endpoints still bound).
+            Returns (q tile row [nc, G], shift [nc, G] float multiple of
+            L to subtract from positions; 0 outside loop mode)."""
+            xc = x.reshape(nc, C, G)
+            ends = jnp.minimum(xc[:, 0, :], xc[:, C - 1, :])
+            f = jnp.floor(ends)
+            if self.loop:
+                b = jnp.mod(f.astype(jnp.int32), L)
+                shift = f - b.astype(dtype)
+                q = b // C
+            else:
+                b = jnp.clip(f.astype(jnp.int32), 0, rows * C - W)
+                q = b // C
+                shift = jnp.zeros_like(f)
+            return jnp.minimum(q, rows - nT), shift
+
+        q_c, sh_c = base_of(pc)
+        q_f, sh_f = base_of(pf)
+
+        def win_of(q):
+            parts = [tiles[q + k] for k in range(nT)]  # [nc, G, C] each
+            return jnp.concatenate(parts, axis=-1)     # [nc, G, W]
+
+        win = jnp.concatenate([win_of(q_c), win_of(q_f)], axis=-1)
+
+        def w_of(x, q, sh):
+            xc = x.reshape(nc, C, G)
+            return (
+                jnp.floor(xc - sh[:, None, :]).astype(jnp.int32)
+                - (q * C)[:, None, :]
+            )
+
+        w_c = w_of(pc, q_c, sh_c)
+        w_f = w_of(pf, q_f, sh_f) + W
+        wsel = jnp.where(has.reshape(nc, C, G), w_f, w_c)
+        fr = frac.reshape(nc, C, G)
+
+        j = jnp.arange(2 * W)
+        m0 = (wsel[..., None] == j).astype(dtype)
+        m1 = ((wsel + 1)[..., None] == j).astype(dtype)
+        s0 = jnp.einsum("ncgw,ngw->ncg", m0, win,
+                        precision=lax.Precision.HIGHEST)
+        s1 = jnp.einsum("ncgw,ngw->ncg", m1, win,
+                        precision=lax.Precision.HIGHEST)
+        # the gather path's exact lerp form (_read_source):
+        # s0*(1-frac) + s1*frac
+        s = (s0 * (np.float32(1.0) - fr) + s1 * fr).reshape(B, G)
+        return s, valid
 
     def _read_source(self, src, active, dtype):
         """Linear-interpolated source read with loop/clip semantics; `src`
@@ -265,6 +401,9 @@ class GrainPlayer(UGen):
         ev_dur = dur_smp[s_of_e]
         ev_src0 = pos_f[s_of_e] + posj_f[s_of_e] * u[:, 0]
         ev_step = rate_p[s_of_e] * jnp.exp2(u[:, 1] * ratej[s_of_e])
+        if self.max_rate is not None:
+            ms = np.float32(abs(self._max_step(ctx)))
+            ev_step = jnp.clip(ev_step, -ms, ms)
         pan = u[:, 2] * spread[s_of_e]
         angle = (pan * half + half) * half_pi
         ev_gl = jnp.cos(angle)
@@ -319,7 +458,25 @@ class GrainPlayer(UGen):
         ph = a / dur
         w = jnp.where(active, self._window(ph, dtype), 0.0)
         src = src0 + a * step
-        s, valid = self._read_source(src, active, dtype)
+        if (self.max_rate is not None and B <= G
+                and B % self._GR_CHUNK == 0):
+            # bounded-rate windowed read (see __init__): continuing and
+            # fresh trajectories as separate affine planes — identical
+            # values to ``src`` on the samples each governs
+            pc = (state["src0"][None, :]
+                  + (state["age"][None, :] + (i_ar[:, None] + 1)
+                     ).astype(dtype) * state["step"][None, :])
+            ev_src0_g = ev_src0_j[B - 1]
+            ev_step_g = ev_step_j[B - 1]
+            s_of_e_g = s_of_e_j[B - 1]
+            af = jnp.maximum(i_ar[:, None] - s_of_e_g[None, :], 0
+                             ).astype(dtype)
+            pf = ev_src0_g[None, :] + af * ev_step_g[None, :]
+            s, valid = self._read_windowed(
+                ctx, pc, pf, has, src, active, dtype
+            )
+        else:
+            s, valid = self._read_source(src, active, dtype)
         sig = jnp.where(valid, w * s, 0.0)
         amp = params["amp"].astype(dtype)
         outl = jnp.sum(sig * gl, axis=1) * amp
@@ -371,6 +528,9 @@ class GrainPlayer(UGen):
 
             new_src0 = x["pos"] + x["posj"] * u[0]
             new_step = x["rate"] * jnp.exp2(u[1] * x["ratej"])
+            if self.max_rate is not None:
+                ms = np.float32(abs(self._max_step(ctx)))
+                new_step = jnp.clip(new_step, -ms, ms)
             pan = u[2] * x["spread"]
             angle = (pan * np.float32(0.5) + np.float32(0.5)) * half_pi
 

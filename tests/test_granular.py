@@ -378,3 +378,54 @@ def test_grain_player_seed_determinism_from_state():
     a, b, c = (_render(p, 256) for p in (p1, p2, p3))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 1e-6
+
+
+def test_grain_player_windowed_matches_gather():
+    """max_rate= switches source reads to bounded-rate tile windows +
+    one-hot matmuls (the sampler recipe at grain scale): BIT-identical to
+    the gather path when the clamp is inert, loop and one-shot, forward
+    and reverse rates, spawns mid-block included."""
+    buf = _buffer()
+    kw = dict(grains=64, seed=3, density=300.0, grain_dur=0.03,
+              pos=0.02, pos_jitter=0.05, rate=1.0, rate_jitter=0.5,
+              amp=0.3)
+    a = _render(GrainPlayer(buf, **kw), 512, tspawn_frames=(37, 200))
+    b = _render(GrainPlayer(buf, max_rate=4.0, **kw), 512,
+                tspawn_frames=(37, 200))
+    assert np.abs(a).max() > 1e-4
+    np.testing.assert_array_equal(a, b)
+
+    kw2 = dict(kw, rate=-1.2)
+    c = _render(GrainPlayer(buf, loop=False, **kw2), 512)
+    d = _render(GrainPlayer(buf, loop=False, max_rate=4.0, **kw2), 512)
+    np.testing.assert_array_equal(c, d)
+
+
+def test_grain_player_windowed_scan_parity_with_clamp():
+    """With an ACTIVE max_rate clamp the closed-form windowed path still
+    carries bit-identical state vs the per-sample scan (both clamp)."""
+    import jax
+
+    buf = _buffer()
+    p = GrainPlayer(buf, grains=32, seed=9, density=500.0, grain_dur=0.02,
+                    rate=3.0, rate_jitter=1.0, max_rate=1.5, amp=0.2)
+    ctx = AudioCtx(sample_rate=SR, block_size=64, dtype=np.float32)
+    B = 64
+    s1, s2 = p.init(ctx), p.init(ctx)
+    names = [q.name for q in p.params]
+    for _ in range(6):
+        params = {}
+        for name in names:
+            if name == "t_spawn":
+                params[name] = np.zeros(B, bool)
+            else:
+                params[name] = np.full(
+                    B, p.pdefaults.get(
+                        name, [q for q in p.params if q.name == name][0].default
+                    ), np.float32)
+        s1, o1 = p.process(ctx, s1, np.zeros((0, B)), params)
+        s2, o2 = p._process_scan(ctx, s2, np.zeros((0, B)), params)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=2e-5)
+    for k in s1:
+        np.testing.assert_array_equal(np.asarray(s1[k]), np.asarray(s2[k]))
