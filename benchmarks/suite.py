@@ -49,6 +49,8 @@ COMPARE_FIELDS = {
     "superblock_realtime_x": 1,
     "superblock_bounce_x": 1,
     "realtime_voices": 1,
+    "realtime_players": 1,
+    "pallas_realtime_x": 1,
     "wrapper_rate": 1,
     "node_rate": 1,
     "cache_hit_push_ms": -1,
