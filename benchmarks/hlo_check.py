@@ -178,7 +178,8 @@ def build_granular_bank(block=64, players=8):
         for i in range(players):
             gp = gg.push(GrainPlayer(src, grains=64, seed=i, density=400.0,
                                      grain_dur=0.08, pos_jitter=0.3,
-                                     rate_jitter=0.5, amp=0.2 / players))
+                                     rate_jitter=0.5, max_rate=2.0,
+                                     amp=0.2 / players))
             gp.to_graph_out()
 
     g.edit(build)
@@ -241,12 +242,15 @@ def build_env_chain(block=64, n=10):
 def lower_bank(bank):
     from knaster_tpu.core.ugen import AudioCtx
 
+    # fast = the steady-state program shape (no_events ctx, like the
+    # graph's fast program and the suite benches)
+    fctx = AudioCtx(48000, 64, np.float32, no_events=True)
     ctx = AudioCtx(48000, 64, np.float32)
     st = bank.init(ctx)
     no_in = jnp.zeros((0, 64), np.float32)
     out = {}
     out["fast"] = count_ops(
-        jax.jit(lambda s: bank.process(ctx, s, no_in, {}, events=None))
+        jax.jit(lambda s: bank.process(fctx, s, no_in, {}, events=None))
         .lower(st).as_text()
     )
     try:

@@ -100,6 +100,7 @@ __all__ = [
     "AllpassDelay",
     "FMCascade",
     "Galactic",
+    "GrainPlayer",
     "Convolver",
     "AudioBackend",
     "OfflineBackend",
