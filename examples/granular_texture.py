@@ -88,5 +88,48 @@ def main():
     print(f"granular cloud: peak {peak:.3f}, wrote {out}")
 
 
+def main_ensemble():
+    """Part 2 — a texture of clouds: 8 same-config GrainPlayers over one
+    shared source AUTO-BATCH into a single vmapped engine (batch_key), and
+    ``max_rate=2.0`` switches their source reads to bounded-rate tile
+    windows + one-hot matmuls — bit-exact vs gathers, 5.7x their rate at
+    bank scale (106 realtime 64-slot clouds on a v5e, suite granular_bank).
+    """
+    src = render_source()
+    opts = AudioProcessorOptions(block_size=64, sample_rate=SR)
+    g, proc = AudioProcessor.new(0, 2, opts)
+    rng = np.random.default_rng(5)
+
+    def build(gg):
+        hs = []
+        for i in range(8):
+            hs.append(gg.push(GrainPlayer(
+                src, grains=64, seed=100 + i,
+                density=float(60.0 * 2 ** rng.uniform(-0.5, 1.0)),
+                grain_dur=0.08, pos=0.05 + 0.1 * i, pos_jitter=0.03,
+                rate=float(2 ** rng.uniform(-0.6, 0.6)),
+                rate_jitter=0.3, pan_spread=1.0,
+                max_rate=2.0, amp=0.12,
+            )))
+            hs[-1].to_graph_out()
+        return hs
+
+    hs = g.edit(build)
+    # drift each cloud's position independently
+    for k, h in enumerate(hs):
+        p = h.param("pos")
+        for i in range(12):
+            p.set_at(0.05 + 0.08 * ((i + k) % 10),
+                     Seconds.from_secs_f64(i * 0.4))
+    audio = np.asarray(proc.render(seconds=5.0))
+    peak = float(np.max(np.abs(audio)))
+    out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "granular_ensemble.wav")
+    write_wav(out, audio / max(peak, 1.0) * 0.8, SR)
+    print(f"granular ensemble (8 batched clouds): peak {peak:.3f}, "
+          f"wrote {out}")
+
+
 if __name__ == "__main__":
     main()
+    main_ensemble()
