@@ -261,10 +261,13 @@ VARIANTS["win_chunk8"] = (read_win_chunk8, 8)
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     V = 4096
-    if "--voices" in sys.argv:
-        V = int(sys.argv[sys.argv.index("--voices") + 1])
+    if "--voices" in argv:
+        i = argv.index("--voices")
+        V = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     names = list(VARIANTS) if (not args or args == ["all"]) else args
     if os.environ.get("PROBE_PARITY", "1") == "1":
         ref = block_out("gather2", 256)
