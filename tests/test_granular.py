@@ -429,3 +429,17 @@ def test_grain_player_windowed_scan_parity_with_clamp():
                                    atol=2e-5)
     for k in s1:
         np.testing.assert_array_equal(np.asarray(s1[k]), np.asarray(s2[k]))
+
+
+def test_grain_player_windowed_superblock_fallback_invariant():
+    """B > G (superblock programs) falls back to the gather read — and
+    because windowed == gather bit-exactly, any block partitioning of a
+    windowed player renders identically."""
+    buf = _buffer()
+    kw = dict(grains=64, seed=4, density=250.0, grain_dur=0.03,
+              pos_jitter=0.05, rate_jitter=0.5, max_rate=2.0, amp=0.3)
+    a = _render(GrainPlayer(buf, **kw), 512)  # B=64: windowed
+    ctx = AudioCtx(sample_rate=SR, block_size=256, dtype=np.float32)
+    b = _render(GrainPlayer(buf, **kw), 512, ctx=ctx)  # B=256: gathers
+    assert np.abs(a).max() > 1e-4
+    np.testing.assert_array_equal(a, b)
