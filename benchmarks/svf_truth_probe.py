@@ -1,0 +1,131 @@
+"""SVF accuracy vs f64 ground truth on the 10-deep Bell-EQ chain.
+
+Round-4 finding (DESIGN_NOTES "72-check sweep"): with ``jnp.tan``
+coefficients the XLA-TPU scan executor measured 6.2e-3 from f64 truth on
+this chain while the Pallas kernel was 7.6e-6 — XLA-TPU's f32 tan
+approximation, amplified by the resonant chain. Round 5 moved both
+executors onto the shared polynomial tan (core/dsp.tan_first_quadrant);
+this probe is the committed re-measurement: it renders the chain through
+BOTH executors on the default platform (the chip, under axon) and
+compares each against an f64 CPU render of the same graph (subprocess —
+enable_f64 flips global config).
+
+Usage: python benchmarks/svf_truth_probe.py
+Prints one line per executor and a final JSON summary; exits non-zero if
+the scan executor is worse than 1e-5 from truth (the VERDICT round-5 bar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FRAMES = 4 * 128
+BLOCK = 128
+
+_F64_SCRIPT = r"""
+import os
+os.environ["KNASTER_CHAIN_PALLAS"] = "0"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as xb
+    xb._clear_backends()
+except Exception:
+    pass
+import numpy as np
+import knaster_tpu as kt
+
+kt.enable_f64()
+from benchmarks.svf_truth_probe import build_chain, FRAMES, BLOCK
+
+g, proc = kt.AudioProcessor.new(
+    0, 1, kt.AudioProcessorOptions(block_size=BLOCK), dtype=np.float64
+)
+g.edit(build_chain)
+audio = np.asarray(proc.render(frames=FRAMES))
+assert audio.dtype == np.float64
+np.save(os.environ["KNASTER_TRUTH_OUT"], audio)
+"""
+
+
+def build_chain(gg):
+    """The tpu_kernel_check chain_svf shape with a DETERMINISTIC broadband
+    source: 4 detuned PolyBlep saws (u32 fixed-point phase — bit-identical
+    across dtypes; WhiteNoise can't be the source here because f64
+    jax.random.uniform consumes different Threefry bits, so the f32 and
+    f64 renders would see different noise) -> 10 Bell EQs."""
+    import knaster_tpu as kt
+    from knaster_tpu.ugens.filters import SvfFilterType
+    from knaster_tpu.ugens.polyblep import PolyBlep, Waveform
+
+    node = None
+    for f0 in (110.0, 220.3, 330.7, 441.1):
+        s = gg.push(PolyBlep(Waveform.Sawtooth, f0))
+        node = s if node is None else node + s
+    node = node * 0.2
+    for i in range(10):
+        f = gg.push(
+            kt.SvfFilter(
+                SvfFilterType.Bell,
+                400.0 * (i + 1),
+                q=1.2,
+                gain_db=3.0 if i % 2 == 0 else -2.0,
+            )
+        )
+        node.to(f)
+        node = f
+    node.to_graph_out()
+
+
+def _render_f32(mode):
+    from knaster_tpu import AudioProcessor, AudioProcessorOptions
+    from knaster_tpu.graph import chain_kernel as ck
+    from knaster_tpu.graph import compile as C
+
+    ck._MODE = mode
+    try:
+        C.clear_program_cache()
+        g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=BLOCK))
+        g.edit(build_chain)
+        return np.asarray(proc.render(frames=FRAMES))
+    finally:
+        ck._MODE = None
+
+
+def main():
+    truth_path = "/tmp/svf_truth_f64.npy"
+    env = dict(os.environ)
+    env["KNASTER_TRUTH_OUT"] = truth_path
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c", _F64_SCRIPT],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+    )
+    if r.returncode != 0:
+        print(r.stdout + r.stderr)
+        raise SystemExit("f64 truth render failed")
+    truth = np.load(truth_path)
+
+    rows = {}
+    for label, mode in (("scan", "0"), ("kernel", "1")):
+        audio = _render_f32(mode)
+        err = float(np.abs(audio.astype(np.float64) - truth).max())
+        rows[label] = err
+        print(f"{label:6s} maxdiff vs f64 truth: {err:.3e}")
+    print(json.dumps({"probe": "svf_truth", "frames": FRAMES, **rows}))
+    if rows["scan"] > 1e-5:
+        raise SystemExit(f"scan executor {rows['scan']:.3e} > 1e-5 from f64 truth")
+
+
+if __name__ == "__main__":
+    main()

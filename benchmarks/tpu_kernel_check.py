@@ -7,7 +7,7 @@ This script is the one-command check; it exists because two Mosaic-invalid
 structures (chain-kernel partial unroll, bank sample-loop partial unroll at
 B > 64) landed during a multi-hour tunnel outage and passed every CPU test.
 
-Usage: python benchmarks/tpu_kernel_check.py [--quick]
+Usage: python benchmarks/tpu_kernel_check.py [--quick] [--only=substr ...]
 Prints one PASS/FAIL line per check and a final JSON summary.
 """
 
@@ -68,7 +68,11 @@ def main():
     results = []
     blocks = (64, 128) if quick else (64, 128, 256, 1024)
 
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+
     def check(name, fn):
+        if only and not any(s in name for s in only):
+            return
         try:
             fn()
             print(f"PASS {name}")
@@ -285,16 +289,17 @@ def main():
         ("chain_sin", _build_sin, None, 1e-6),
         ("chain_noise", _build_noise, None, 1e-6),
         ("chain_onepole", _build_onepole, None, 1e-5),
-        # the A/B reference (scan executor) carries XLA-TPU transcendental
-        # error amplified by the resonant chain: measured 6.2e-3 from f64
-        # ground truth, while the kernel is 7.6e-6 from it — the tolerance
-        # bounds the SCAN side's error, not the kernel's
-        ("chain_svf", _build_svf, None, 2e-2),
+        # both executors share the polynomial tan coefficients
+        # (core/dsp.tan_first_quadrant) since round 5 — the 2e-2 bound
+        # that covered XLA-TPU's tan error (6.2e-3 from f64 truth on this
+        # chain) is gone; residual is scan-tree association only
+        ("chain_svf", _build_svf, None, 1e-4),
         ("chain_env", _build_env, _env_events, 1e-5),
-        # phase is a float Hillis-Steele cumsum: reassociation vs the
-        # scan path's jnp.cumsum grows with block length (measured
-        # 1.8e-3 at B=1024 on +-1 waveforms; edges never flip samples)
-        ("chain_polyblep", _build_polyblep, None, 5e-3),
+        # u32 fixed-point phase since round 5: both executors' prefix sums
+        # are wrapping integer adds, bit-identical at every block size
+        # (the old float cumsum reassociated to 1.8e-3 at B=1024);
+        # residual is jnp.sin lowering (Mosaic vs XLA) on sine waveforms
+        ("chain_polyblep", _build_polyblep, None, 1e-4),
         ("chain_pan", _build_pan, None, 1e-4),
         ("chain_delay", _build_delay, _delay_events, 1e-6),
     ]

@@ -13,6 +13,45 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# degree-9 odd minimax polynomial for sin(u) on [-pi/2, pi/2]: max error
+# 1.2e-7 (the float32 rounding floor). Same coefficients as the bank
+# kernels' quantized sine (parallel/pallas_bank.py _SIN_C). Plain Python
+# floats so the closure stays Mosaic-legal (jnp scalars created outside a
+# kernel body are rejected as captured constants).
+_SIN9_C = (1.0, -0.16666652, 0.008332964, -0.00019804752, 2.5981028e-06)
+_HALF_PI = 1.5707963267948966
+
+
+def sin_poly_quadrant(u):
+    """sin(u) for u in [-pi/2, pi/2] via the degree-9 odd minimax
+    polynomial (f32 error <= 1.2e-7). Mosaic-legal."""
+    u2 = u * u
+    p = _SIN9_C[4]
+    p = p * u2 + _SIN9_C[3]
+    p = p * u2 + _SIN9_C[2]
+    p = p * u2 + _SIN9_C[1]
+    return (p * u2 + _SIN9_C[0]) * u
+
+
+def tan_first_quadrant(x):
+    """tan(x) for x in [0, pi/2) as sin(x)/sin(pi/2 - x) with the minimax
+    polynomial — NOT ``jnp.tan``.
+
+    XLA-TPU's f32 tan approximation carries enough error that a resonant
+    filter chain amplifies it to audibility: on a 10-deep Bell-EQ chain the
+    scan executor measured 6.2e-3 from f64 ground truth with ``jnp.tan``
+    coefficients while the Pallas chain kernel (polynomial math) was
+    7.6e-6 (DESIGN_NOTES "72-check sweep"). This form keeps the relative
+    coefficient error at the f32 floor (~2e-7) on every backend and is
+    Mosaic-legal, so both SVF executors share it. f64 keeps ``jnp.tan``:
+    the polynomial is fitted to f32 and CPU f64 tan is correctly rounded.
+    """
+    if x.dtype == jnp.float64:
+        return jnp.tan(x)
+    s = sin_poly_quadrant(x)
+    c = sin_poly_quadrant(_HALF_PI - x)
+    return s / c
+
 
 def affine_scan_1d(a: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray):
     """Scalar linear recurrence ``s[t+1] = a[t]*s[t] + b[t]``.
@@ -136,16 +175,18 @@ def affine_scan_2d(M: jnp.ndarray, c: jnp.ndarray, s0: jnp.ndarray):
 
     M: ``[B, 2, 2]``, c: ``[B, 2]``, s0: ``[2]`` (or with leading batch dims
     before B). Returns ``(s_pre [B, 2], s_final [2])``.
+
+    Implemented by unpacking onto :func:`affine_scan_2x2_rows` — scalar
+    multiplies on the VPU, NOT einsums. The original einsum combine hit
+    XLA-TPU's default matmul precision (bf16 MXU passes for the tiny 2x2
+    products): a 10-deep Bell-EQ chain measured 1.1e-2 from f64 truth
+    against 4.7e-7 for this form (round-5 probe; the error the round-4
+    sweep mis-attributed to ``jnp.tan``). Elementwise form is also faster
+    at these shapes — no [B, 2, 2] layout for the MXU to tile.
     """
-
-    def combine(l, r):
-        Ml, cl = l
-        Mr, cr = r
-        Mo = jnp.einsum("...ij,...jk->...ik", Mr, Ml)
-        co = jnp.einsum("...ij,...j->...i", Mr, cl) + cr
-        return Mo, co
-
-    A, Cc = jax.lax.associative_scan(combine, (M, c), axis=0)
-    s_after = jnp.einsum("tij,j->ti", A, s0) + Cc
-    s_pre = jnp.concatenate([s0[None, :], s_after[:-1]], axis=0)
-    return s_pre, s_after[-1]
+    m00, m01 = M[..., 0, 0], M[..., 0, 1]
+    m10, m11 = M[..., 1, 0], M[..., 1, 1]
+    p0, p1, f0, f1 = affine_scan_2x2_rows(
+        m00, m01, m10, m11, c[..., 0], c[..., 1], s0[..., 0:1], s0[..., 1:2]
+    )
+    return jnp.stack([p0, p1], axis=-1), jnp.concatenate([f0, f1], axis=-1)

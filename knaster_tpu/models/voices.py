@@ -221,12 +221,18 @@ class EnvelopeVoice(UGen):
     def mosaic_voice(self, ctx: AudioCtx):
         """Per-sample kernel body: SinWt phase + the unrolled segment-table
         envelope fold + exact Pan2 gains. Carry mirrors the engine's
-        Envelope state (running/seg/time/from_value) as f32 rows."""
+        Envelope state with the running flag folded into ``eseg`` as
+        sentinels (pallas_bank.ENV_SEG_FINISHED / _STOPPED) — one fewer
+        carry row per sample. Pan gains use the kernel's odd sin
+        polynomial, not hardware cos/sin (the round-4 pan-stage lesson:
+        carried/hardware transcendentals are the modal bank's 30%-of-
+        ceiling bottleneck class)."""
         import numpy as np
 
         from ..parallel.generic_bank import MosaicVoiceSpec
         from ..parallel.pallas_bank import (
-            _HALF_PI, _make_env_multiseg, _sin_quant, _to_inc,
+            _HALF_PI, _make_env_multiseg, _sin_poly, _sin_quant, _to_inc,
+            ENV_SEG_FINISHED,
         )
         from ..ugens.wavetable import FRACTIONAL_PART, TABLE_SIZE
 
@@ -246,27 +252,27 @@ class EnvelopeVoice(UGen):
         def body(i_f, carry, P, T):
             phase = carry["phase"]
             dt = P["time_scale"] * base_scale
-            env, erun, eseg, et, efrom, _fin = estep(
-                carry["erun"], carry["eseg"], carry["et"], carry["efrom"],
+            env, eseg, et, efrom, _fin = estep(
+                carry["eseg"], carry["et"], carry["efrom"],
                 dt, T["t_restart"], T["t_stop"],
             )
             sig = _sin_quant(phase) * (env * P["amp"])
             phase = phase + _to_inc(P["freq"] * f2pi)
             angle = (P["pan"] * half + half) * _HALF_PI
-            new = {"phase": phase, "erun": erun, "eseg": eseg,
-                   "et": et, "efrom": efrom}
-            return new, (sig * jnp.cos(angle), sig * jnp.sin(angle))
+            new = {"phase": phase, "eseg": eseg, "et": et, "efrom": efrom}
+            return new, (
+                sig * _sin_poly(_HALF_PI - angle), sig * _sin_poly(angle)
+            )
 
         return MosaicVoiceSpec(
             carry={
                 "phase": (jnp.uint32, 0),
-                "erun": (ctx.dtype, 0.0),
-                "eseg": (ctx.dtype, 0.0),
+                "eseg": (ctx.dtype, float(ENV_SEG_FINISHED)),
                 "et": (ctx.dtype, 0.0),
                 "efrom": (ctx.dtype, float(self.env.start_value)),
             },
             body=body,
-            idle_of=lambda c: c["erun"] == 0.0,
+            idle_of=lambda c: c["eseg"] == float(ENV_SEG_FINISHED),
         )
 
 

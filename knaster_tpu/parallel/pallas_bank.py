@@ -295,20 +295,39 @@ def _env_ar(stage, t, restart, atk, rel):
     return env, stage, t_next
 
 
+ENV_SEG_FINISHED = -1.0  # non-looping end reached: the VoicePool idle latch
+ENV_SEG_STOPPED = -2.0   # t_stop froze the value: still audible, NOT idle
+
+
 def _make_env_multiseg(segments, looping, start_value, shapes=None):
     """Multi-segment Envelope evaluator for mosaic voice bodies
     (ugens/envelopes.py Envelope semantics, per sample).
 
     ``segments`` is the trace-time [S, 3] (recip, duration, value) table
     and ``shapes`` the per-segment shape codes — both voice constants, so
-    the per-segment lookup is an UNROLLED S-term select fold (no gathers)
-    and each segment evaluates only ITS shape's formula (the shape is a
-    python int at trace time). Returns
-    ``step(running, seg, t, from_v, time_scale_dt, restart, stop) ->
-    (out, running', seg', t', from_v', fin)`` on [rows, LANES] tiles;
-    ``restart``/``stop`` may be None (event-free blocks). ``fin`` is the
-    envelope-finished bit (non-looping end) — the VoicePool idle latch.
-    Carry uses f32 ``seg`` (exact small ints) like the AR/ASR stages."""
+    the per-segment lookup is an UNROLLED select fold (no gathers). Two
+    round-5 redesigns (the first version measured ~25% of the VPU
+    ceiling, benchmarks/RESULTS.md roofline):
+
+    - the ``running`` flag is folded into ``seg`` as sentinels
+      (ENV_SEG_FINISHED / ENV_SEG_STOPPED): one fewer [rows, LANES] carry
+      across the fully-unrolled sample loop (the round-3 "count carries"
+      rule), and run/stop masks become sign tests on a row that exists
+      anyway;
+    - segment CONSTANTS (recip/dur/val) are selected first (cheap scalar
+      selects) and each DISTINCT shape formula is evaluated once over the
+      selected constants — not once per segment: an all-LINEAR table pays
+      one clip+FMA where the old fold paid S of them, and exp/log/cos
+      appear once per distinct curved shape present.
+
+    Returns ``step(seg, t, from_v, time_scale_dt, restart, stop) ->
+    (out, seg', t', from_v', fin)`` on [rows, LANES] tiles; ``restart``/
+    ``stop`` may be None (event-free blocks). ``fin`` is the envelope-
+    finished bit — the VoicePool idle latch on BOTH executors: a stopped
+    voice keeps emitting its frozen value, so it is NOT idle (matches the
+    vmap path's Envelope done bit, which fires only on envelope end;
+    advisor round-4 finding). Carry uses f32 ``seg`` (exact small ints)
+    like the AR/ASR stages."""
     from ..ugens.envelopes import EnvelopeShape
 
     segs = np.asarray(segments, np.float32)
@@ -317,54 +336,61 @@ def _make_env_multiseg(segments, looping, start_value, shapes=None):
     one = np.float32(1.0)
     zero = np.float32(0.0)
     start_v = np.float32(start_value)
+    fin_s = np.float32(ENV_SEG_FINISHED)
+    stop_s = np.float32(ENV_SEG_STOPPED)
+    present = []  # distinct shapes in first-segment order
+    for sh in shapes:
+        if sh not in present:
+            present.append(sh)
 
-    def segval(s, from_v, frac):
-        """_segment_value for segment s — shape known statically."""
-        to_v = np.float32(segs[s, 2])
-        frac = jnp.clip(frac, 0.0, 1.0)
-        shape = shapes[s]
+    def shape_eval(shape, from_v, val, frac):
+        """_segment_value's formula for one shape over the SELECTED
+        constants (val = the current segment's to_v)."""
         if shape == EnvelopeShape.LINEAR:
-            return from_v + frac * (to_v - from_v)
+            return from_v + frac * (val - from_v)
         if shape == EnvelopeShape.SINUSOIDAL:
-            return from_v + (to_v - from_v) * (
+            return from_v + (val - from_v) * (
                 one - jnp.cos(np.float32(np.pi) * frac)) * np.float32(0.5)
         if shape == EnvelopeShape.STEP:
-            return jnp.full_like(from_v, to_v)
-        # EXPONENTIAL: same-sign geometric, linear fallback across zero
-        lin = from_v + frac * (to_v - from_v)
+            return val
+        # EXPONENTIAL: same-sign geometric, linear fallback across zero.
+        # fa/ta both jnp.maximum-clamped like _segment_value (the old
+        # python-max'd static ta diverged at the ULP on exp segments —
+        # advisor round-4 finding); exp(frac*log()) is the pow identity
+        # written in ops Mosaic is known to lower.
+        lin = from_v + frac * (val - from_v)
         fa = jnp.maximum(jnp.abs(from_v), np.float32(1e-12))
-        ta = np.float32(max(abs(float(to_v)), 1e-12))
-        geo = jnp.sign(from_v) * fa * jnp.exp(
-            frac * jnp.log(ta / fa))
-        return jnp.where(from_v * to_v > 0, geo, lin)
+        ta = jnp.maximum(jnp.abs(val), np.float32(1e-12))
+        geo = jnp.sign(from_v) * fa * jnp.exp(frac * jnp.log(ta / fa))
+        return jnp.where(from_v * val > 0, geo, lin)
 
-    def table(seg, from_v, t):
-        """recip/dur/val and the shape-evaluated current value at ``t``,
-        via the unrolled select fold."""
-        recip = jnp.full_like(from_v, segs[0, 0])
-        dur = jnp.full_like(from_v, segs[0, 1])
-        val = jnp.full_like(from_v, segs[0, 2])
-        cur = segval(0, from_v, t * np.float32(segs[0, 0]))
-        for s in range(1, S):
-            m = seg == np.float32(s)
-            recip = jnp.where(m, np.float32(segs[s, 0]), recip)
-            dur = jnp.where(m, np.float32(segs[s, 1]), dur)
-            val = jnp.where(m, np.float32(segs[s, 2]), val)
-            cur = jnp.where(m, segval(s, from_v, t * np.float32(segs[s, 0])), cur)
-        return recip, dur, val, cur
-
-    def step(running, seg, t, from_v, dt, restart, stop):
+    def step(seg, t, from_v, dt, restart, stop):
         if restart is not None:
             seg = jnp.where(restart, zero, seg)
             t = jnp.where(restart, zero, t)
             from_v = jnp.where(restart, start_v, from_v)
-            running = jnp.where(restart, one, running)
-        _recip, dur, val, cur = table(seg, from_v, t)
+        # segment-constant selects; masks kept for the shape grouping
+        masks = [seg == np.float32(s) for s in range(S)]
+        recip = jnp.full_like(from_v, segs[0, 0])
+        dur = jnp.full_like(from_v, segs[0, 1])
+        val = jnp.full_like(from_v, segs[0, 2])
+        for s in range(1, S):
+            recip = jnp.where(masks[s], np.float32(segs[s, 0]), recip)
+            dur = jnp.where(masks[s], np.float32(segs[s, 1]), dur)
+            val = jnp.where(masks[s], np.float32(segs[s, 2]), val)
+        frac = jnp.clip(t * recip, 0.0, 1.0)
+        cur = shape_eval(present[0], from_v, val, frac)
+        for sh in present[1:]:
+            m_sh = None
+            for s in range(S):
+                if shapes[s] == sh:
+                    m_sh = masks[s] if m_sh is None else (m_sh | masks[s])
+            cur = jnp.where(m_sh, shape_eval(sh, from_v, val, frac), cur)
         if stop is not None:
-            frozen = stop & (running == one)
+            frozen = stop & (seg >= zero)
             from_v = jnp.where(frozen, cur, from_v)
-            running = jnp.where(frozen, zero, running)
-        is_run = running == one
+            seg = jnp.where(frozen, stop_s, seg)
+        is_run = seg >= zero
         in_seg = t < dur
         has_next = seg + one < np.float32(S)
         out = jnp.where(is_run, jnp.where(in_seg, cur, val), from_v)
@@ -380,8 +406,8 @@ def _make_env_multiseg(segments, looping, start_value, shapes=None):
             t = jnp.where(fin, zero, t)
             fin = jnp.zeros_like(fin)
         else:
-            running = jnp.where(fin, zero, running)
-        return out, running, seg, t, from_v, fin
+            seg = jnp.where(fin, fin_s, seg)
+        return out, seg, t, from_v, fin
 
     return step
 

@@ -34,6 +34,7 @@ structural (they shape the FDL).
 from __future__ import annotations
 
 import numpy as np
+import jax.lax as lax
 import jax.numpy as jnp
 
 from ..core.ugen import AudioCtx, UGen
@@ -148,8 +149,14 @@ class Convolver(UGen):
         P = prev.shape[-1]
         fwd_cos, fwd_msin, icos, isin = mats
         seg = jnp.concatenate([prev, x], axis=-1)  # [Cin, 2P]
-        Xr = seg @ fwd_cos  # [Cin, F]  (MXU)
-        Xi = seg @ fwd_msin
+        # HIGHEST precision: DEFAULT dispatches bf16 MXU passes on TPU,
+        # which quantizes the audio to an 8-bit mantissa (~4e-3 relative)
+        # — the documented <=2e-4 exactness bound only held on CPU before
+        # round 5. The convolver is HBM-bound at ~35% of stream ceiling
+        # (RESULTS.md roofline), so the extra MXU passes are not the
+        # bottleneck.
+        Xr = jnp.matmul(seg, fwd_cos, precision=lax.Precision.HIGHEST)
+        Xi = jnp.matmul(seg, fwd_msin, precision=lax.Precision.HIGHEST)
         fdl_r = jnp.concatenate([Xr[None], fdl_r[:-1]], axis=0)
         fdl_i = jnp.concatenate([Xi[None], fdl_i[:-1]], axis=0)
         if self.inputs == C:
@@ -161,7 +168,9 @@ class Convolver(UGen):
         # complex multiply-accumulate over partitions, in real pairs
         Yr = jnp.sum(sr * Hr - si * Hi, axis=0)  # [C, F]
         Yi = jnp.sum(sr * Hi + si * Hr, axis=0)
-        y = Yr @ icos + Yi @ isin  # [C, 2P]  (MXU)
+        y = jnp.matmul(Yr, icos, precision=lax.Precision.HIGHEST) + jnp.matmul(
+            Yi, isin, precision=lax.Precision.HIGHEST
+        )  # [C, 2P]  (MXU)
         wet = y[:, P:].astype(dtype)  # overlap-save valid half
         dry = x if self.inputs == C else jnp.broadcast_to(x[:1], (C, P))
         out = dw * wet + (1.0 - dw) * dry

@@ -22,7 +22,12 @@ import enum
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dsp import affine_scan_1d, affine_scan_2d, affine_scan_2x2_rows
+from ..core.dsp import (
+    affine_scan_1d,
+    affine_scan_2d,
+    affine_scan_2x2_rows,
+    tan_first_quadrant,
+)
 from ..core.ugen import AudioCtx, UGen
 from ..primitives.params import ParameterKind, pfloat, pinteger, ptrigger
 
@@ -56,7 +61,10 @@ def svf_coefficients(ty, cutoff, q, gain_db, sample_rate, dtype):
     is_ls = ty == SvfFilterType.LowShelf
     is_hs = ty == SvfFilterType.HighShelf
 
-    g_base = jnp.tan((jnp.asarray(np.pi, dtype) * cutoff) / sample_rate)
+    # polynomial tan, not jnp.tan: XLA-TPU's tan approximation measured
+    # 6.2e-3 from f64 truth through a 10-deep Bell chain (core/dsp.py
+    # tan_first_quadrant); the reference reaches libm tan (svf.rs:150-268)
+    g_base = tan_first_quadrant((jnp.asarray(np.pi, dtype) * cutoff) / sample_rate)
     g = jnp.where(
         is_bell | is_ls, g_base / sqrt_amp, jnp.where(is_hs, g_base * sqrt_amp, g_base)
     )

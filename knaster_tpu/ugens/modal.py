@@ -166,7 +166,10 @@ class ModalResonator(UGen):
         # state AFTER absorbing sample t (the strike is audible in its own
         # sample's rotation): s1' = sth*s_pre0 + cth*s_pre1 (+ 0)
         y_modes = sth * s_pre0 + cth * s_pre1                 # [M, B]
-        y = jnp.einsum("m,mb->b", gains, y_modes)
+        # elementwise+sum, not einsum: a [M]x[M,B] einsum dispatches to the
+        # MXU at DEFAULT precision (bf16 passes) on TPU — the round-5
+        # affine_scan_2d finding (core/dsp.py)
+        y = jnp.sum(gains[:, None] * y_modes, axis=0)
         return {"s0": sf0[:, 0], "s1": sf1[:, 0]}, y[None, :]
 
     def ring_energy(self, state) -> jnp.ndarray:

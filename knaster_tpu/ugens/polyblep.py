@@ -2,9 +2,13 @@
 Martin Finke's port of Tale's Jesusonic PolyBLEP generator — we port the
 *math*, vectorized over the block).
 
-TPU-first: phase is a float cumsum over the block; every waveform is a pure
-elementwise function of (t, dt, pulse_width), so a block is one fused VPU
-expression. The waveform selector is an integer parameter; it's evaluated at
+TPU-first: phase is a u32 fixed-point cumulative sum over the block (2^30
+units per cycle, the reference WavetablePhase convention, wavetable.rs:10-15)
+— integer adds are associative, so the jnp.cumsum scan path and the kernel's
+Hillis-Steele doubling produce BIT-identical phase at every block size, where
+the earlier float cumsum reassociated up to 1.8e-3 at B=1024. Every waveform
+is then a pure elementwise function of (t, dt, pulse_width), so a block is
+one fused VPU expression. The waveform selector is an integer parameter; it's evaluated at
 block rate (``lax.switch`` on the block's first sample — a deliberate, cheap
 divergence from the reference, where mid-block waveform switches are anyway
 an edge case).
@@ -18,6 +22,7 @@ import numpy as np
 
 from ..core.ugen import AudioCtx, UGen
 from ..primitives.params import ParameterKind, pfloat, pinteger
+from .osc import _freq_to_inc_u32
 
 import enum
 
@@ -43,6 +48,24 @@ class Waveform(enum.IntEnum):
 
 def _frac(t):
     return t - jnp.trunc(t)  # bitwise_or_zero wrap for t >= 0
+
+
+# u32 fixed-point phase: 2^30 units per cycle (the wavetable convention,
+# TABLE_SIZE * FRACTIONAL_PART) — increments stay exact (unclamped) for
+# freq < 2*sr, and t is read back as the top 24 bits (the f32 mantissa
+# width; the i32 convert of a <2^24 value is exact on every backend incl.
+# Mosaic, which has no u32->f32 convert).
+_PHASE_CYCLE = float(1 << 30)
+_PHASE_MASK = np.uint32((1 << 30) - 1)
+_T_SCALE = 1.0 / float(1 << 24)
+
+
+def _phase_to_t(ph, dtype):
+    """u32 phase (mod 2^30 per cycle) -> unit ramp t in [0, 1)."""
+    bits = (ph & _PHASE_MASK) >> 6  # 24-bit value
+    return jax.lax.bitcast_convert_type(bits, jnp.int32).astype(dtype) * jnp.asarray(
+        _T_SCALE, dtype
+    )
 
 
 def blep(t, dt):
@@ -215,17 +238,18 @@ class PolyBlep(UGen):
         return (type(self),)
 
     def init(self, ctx: AudioCtx):
-        return {"t": jnp.zeros((), ctx.dtype)}
+        return {"t": jnp.zeros((), jnp.uint32)}
 
     def process(self, ctx: AudioCtx, state, inputs, params):
         B = ctx.block_size
         dtype = ctx.dtype
         sr = float(ctx.sample_rate)
         dt = params["freq"] / jnp.asarray(sr, dtype)  # freq_in_seconds_per_sample
-        csum = jnp.cumsum(dt)
-        ecs = jnp.concatenate([jnp.zeros((1,), dtype), csum])
-        t = _frac(state["t"] + ecs[:B])
-        carry = _frac(state["t"] + ecs[B])
+        inc = _freq_to_inc_u32(params["freq"], _PHASE_CYCLE / sr, dtype)
+        csum = jnp.cumsum(inc)  # wrapping u32, exact
+        ecs = jnp.concatenate([jnp.zeros((1,), jnp.uint32), csum])
+        t = _phase_to_t(state["t"] + ecs[:B], dtype)
+        carry = (state["t"] + ecs[B]).astype(jnp.uint32)
         pw = params["pulse_width"]
 
         w = params["waveform"][0]  # block-rate waveform select
@@ -242,20 +266,26 @@ class PolyBlep(UGen):
 
     def mosaic_stage(self, ctx: AudioCtx):
         """Chain-kernel body (see UGen.mosaic_stage): the same elementwise
-        waveform math on [1, B] rows, phase via a Hillis-Steele lane
-        cumsum (float association differs from jnp.cumsum at the ULP
-        level, like the closed-form envelopes). The block-rate waveform
-        select is an in-kernel ``lax.switch`` on the row's first lane."""
-        from .envelopes import _csum_lanes, _shift1
-
+        waveform math on [1, B] rows, phase via a Hillis-Steele u32 lane
+        cumsum — wrapping integer adds are associative, so this is
+        BIT-identical to the scan path's jnp.cumsum at every block size.
+        The block-rate waveform select is an in-kernel ``lax.switch`` on
+        the row's first lane."""
         B = ctx.block_size
         sr = float(ctx.sample_rate)
 
         def fn(inputs, state, params):
             dt = params["freq"] / sr              # [1, B]
-            A = _csum_lanes(dt, B)
-            t = _frac(state["t"] + _shift1(A))
-            carry = _frac(state["t"] + A[:, B - 1:])
+            inc = _freq_to_inc_u32(params["freq"], _PHASE_CYCLE / sr, ctx.dtype)
+            csum = inc  # inclusive u32 prefix sum by doubling
+            s = 1
+            while s < B:
+                csum = csum + jnp.concatenate(
+                    [jnp.zeros((1, s), jnp.uint32), csum[:, : B - s]], axis=1
+                )
+                s *= 2
+            t = _phase_to_t(state["t"] + (csum - inc), ctx.dtype)
+            carry = state["t"] + csum[:, B - 1 :]
             pw = params["pulse_width"]
             w = params["waveform"][0, 0]
             out = jax.lax.switch(

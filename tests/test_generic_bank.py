@@ -502,9 +502,11 @@ def test_envelope_voice_kernel_matches_vmap():
 
 
 def test_envelope_voice_idle_latch_and_restart():
-    """The envelope-finished bit is the idle latch: restarted voices whose
+    """The envelope-FINISHED bit is the idle latch: restarted voices whose
     program ran out latch idle in the kernel; a voice restarted late stays
-    un-idle; t_stop freezes (and idles) a voice."""
+    un-idle; t_stop freezes a voice at its current (audible) value, so it
+    is NOT idle — matching the vmap path's Envelope done bit (advisor
+    round-4 finding: the pool must never auto-reclaim an audible voice)."""
     from knaster_tpu import EnvelopeVoice
 
     ctx = AudioCtx(SR, 64, np.float32)
@@ -516,15 +518,13 @@ def test_envelope_voice_idle_latch_and_restart():
     no_in = np.zeros((0, 64), np.float32)
     ti_restart = gb.trig_index("t_restart")
     ti_stop = gb.trig_index("t_stop")
-    # restart voices 0..7 at block 0; stop voice 8 mid-flight; restart
-    # voice 9 at the last block
+    # restart voices 0..9 at block 0 (the only point the raw-event test
+    # can observe the latch: clearing a latched idle is a pool kind-5
+    # event, not a trigger side effect); stop voice 8 mid-flight
     for blk in range(10):
         evs = None
         if blk == 0:
-            evs = [(0, v, ti_restart, 1, 0.0) for v in range(8)]
-            evs.append((0, 9, ti_restart, 1, 0.0))
-        elif blk == 1:
-            evs = [(5, 8, ti_restart, 1, 0.0)]
+            evs = [(0, v, ti_restart, 1, 0.0) for v in range(10)]
         elif blk == 2:
             evs = [(30, 8, ti_stop, 1, 0.0)]
         elif blk == 9:
@@ -538,7 +538,7 @@ def test_envelope_voice_idle_latch_and_restart():
     done_expected = [v for v in range(8) if ts[v] * 0.008 < 0.011]
     assert done_expected, "test fixture: no fast voice"
     assert idle[done_expected].all()
-    assert idle[8]           # stopped via t_stop
+    assert not idle[8]       # stopped via t_stop: frozen mid-flight, audible
     assert not idle[9]       # restarted in the final block
 
 
