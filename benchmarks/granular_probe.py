@@ -120,11 +120,21 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     variants = {
         "two_einsum": v_two_einsum,
-        "combined_einsum": v_combined_einsum,
-        "elementwise": v_elementwise,
+        "gather_taa": v_gather,
         "elementwise_2tap": v_elementwise_2tap,
-        "radix": v_radix,
     }
+    if "--vmap" in sys.argv:
+        # the REAL engine layout: vmap over P players, per-player G
+        P, Gp = 64, G // 64
+        def _vm(f):
+            def g(win, wsel, fr):
+                wv = win.reshape(P, Gp, NC, W2).transpose(0, 2, 1, 3)
+                sv = wsel.reshape(NC, C, P, Gp).transpose(2, 0, 1, 3)
+                fv = fr.reshape(NC, C, P, Gp).transpose(2, 0, 1, 3)
+                out = jax.vmap(f)(wv, sv, fv)   # [P, NC, C, Gp]
+                return out.transpose(1, 2, 0, 3).reshape(NC, C, G)
+            return g
+        variants = {k + "_vmap": _vm(v) for k, v in variants.items()}
     key = jax.random.PRNGKey(0)
     win, wsel, fr = _inputs(key)
     truth = np.asarray(v_gather(win, wsel, fr))
@@ -152,10 +162,13 @@ def main():
             return time.time() - t0
 
         run(3)  # warmup
-        t_lo = run(reps // 2)
-        t_hi = run(reps)
-        per = (t_hi - t_lo) / (reps - reps // 2)
-        print(f"{name:18s} {per*1e6:9.1f} us/call  [{bit}]")
+        slopes = []
+        for _ in range(3):
+            t_lo = run(reps // 2)
+            t_hi = run(reps)
+            slopes.append((t_hi - t_lo) / (reps - reps // 2))
+        per = sorted(slopes)[1]  # median of 3
+        print(f"{name:18s} {per*1e6:9.1f} us/call  [{bit}]", flush=True)
 
 
 if __name__ == "__main__":

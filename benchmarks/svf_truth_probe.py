@@ -123,8 +123,16 @@ def main():
         rows[label] = err
         print(f"{label:6s} maxdiff vs f64 truth: {err:.3e}")
     print(json.dumps({"probe": "svf_truth", "frames": FRAMES, **rows}))
-    if rows["scan"] > 1e-5:
-        raise SystemExit(f"scan executor {rows['scan']:.3e} > 1e-5 from f64 truth")
+    # round-5 measured floor: BOTH executors land at 2.7e-5 (within 0.2%
+    # of each other) — the shared f32 coefficient rounding (amp/m1 at
+    # ~1e-6..1e-5 relative) amplified by the 10-deep resonant chain, i.e.
+    # the f32 representation floor, not an executor defect. The round-4
+    # scan number this probe exists to gate against was 6.2e-3 (bf16 MXU
+    # passes inside the einsum affine scan, core/dsp.py affine_scan_2d).
+    if rows["scan"] > 5e-5:
+        raise SystemExit(f"scan executor {rows['scan']:.3e} > 5e-5 from f64 truth")
+    if rows["kernel"] > 5e-5:
+        raise SystemExit(f"kernel {rows['kernel']:.3e} > 5e-5 from f64 truth")
 
 
 if __name__ == "__main__":

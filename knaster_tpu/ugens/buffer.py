@@ -115,11 +115,25 @@ class BufferReader(UGen):
         base_rate = self.buffer.buf_rate_scale(ctx.sample_rate)
 
         step = params["rate"].astype(dtype) * jnp.asarray(base_rate, dtype)
-        start_f = params["start_s"] * bsr
+
+        def snap(x):
+            # seconds->frames through the f32 param bus quantizes frame
+            # boundaries (f32(0.0005)*48000 = 24.000002 — one sample LATE
+            # past a 24-frame buffer): snap to the nearest frame inside
+            # the f32 ulp band, mirroring the reference's exact f64
+            # tesimal conversion (buffer.rs:110-120 init / start_s /
+            # duration_s setters). Genuinely fractional ends sit far
+            # outside the band.
+            r = jnp.round(x)
+            return jnp.where(jnp.abs(x - r) <= 5e-7 * jnp.abs(x), r, x)
+
+        start_f = snap(params["start_s"] * bsr)
         dur = params["duration_s"]
-        end_from_dur = start_f + jnp.where(dur < 0, float(n_frames), dur * bsr)
+        end_from_dur = start_f + jnp.where(
+            dur < 0, float(n_frames), snap(dur * bsr)
+        )
         end_s = params["end_s"]
-        end_f = jnp.where(end_s < 0, end_from_dur, end_s * bsr)
+        end_f = jnp.where(end_s < 0, end_from_dur, snap(end_s * bsr))
 
         def step_fn(carry, x):
             pi, pf, finished = carry

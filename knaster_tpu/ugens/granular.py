@@ -37,6 +37,8 @@ the engine's event machinery like any other trigger.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,7 +195,12 @@ class GrainPlayer(UGen):
 
     # ------------------------------------------------- windowed source read
 
-    _GR_CHUNK = 16  # samples per window chunk (the sampler's winning C)
+    # samples per window chunk. Window length is W = C * (1 +
+    # ceil((max_step*(C-1) + 2) / C)); round-5 sweep on the v5e: C=16 ->
+    # 112 rt players, C=8 -> 103, C=4 -> 61 — the narrower tile rows cost
+    # more than the smaller per-sample window saves, so the sampler's
+    # C=16 stands. Env-tunable for future hardware.
+    _GR_CHUNK = int(_os.environ.get("KNASTER_GRAN_CHUNK", "16"))
 
     def _max_step(self, ctx):
         """The clamp bound on a grain's per-sample source step:
@@ -304,10 +311,21 @@ class GrainPlayer(UGen):
         j = jnp.arange(2 * W)
         m0 = (wsel[..., None] == j).astype(dtype)
         m1 = ((wsel + 1)[..., None] == j).astype(dtype)
-        s0 = jnp.einsum("ncgw,ngw->ncg", m0, win,
-                        precision=lax.Precision.HIGHEST)
-        s1 = jnp.einsum("ncgw,ngw->ncg", m1, win,
-                        precision=lax.Precision.HIGHEST)
+        if _os.environ.get("KNASTER_GRAN_W", "ew") == "ew":
+            # elementwise multiply + lane reduce: XLA fuses the one-hot
+            # producer into the reduction (no materialized [.., 2W]
+            # weight operand); measured ~2x the einsum form at the suite
+            # shapes on the v5e (benchmarks/granular_probe.py). Same
+            # float ops per output as the einsum at HIGHEST (0/1 weights,
+            # two nonzero products), so bit-parity with the gather path
+            # holds identically.
+            s0 = jnp.sum(m0 * win[:, None], axis=-1)
+            s1 = jnp.sum(m1 * win[:, None], axis=-1)
+        else:
+            s0 = jnp.einsum("ncgw,ngw->ncg", m0, win,
+                            precision=lax.Precision.HIGHEST)
+            s1 = jnp.einsum("ncgw,ngw->ncg", m1, win,
+                            precision=lax.Precision.HIGHEST)
         # the gather path's exact lerp form (_read_source):
         # s0*(1-frac) + s1*frac
         s = (s0 * (np.float32(1.0) - fr) + s1 * fr).reshape(B, G)
@@ -409,48 +427,112 @@ class GrainPlayer(UGen):
         ev_gl = jnp.cos(angle)
         ev_gr = jnp.sin(angle)
 
-        # last event governing slot g at sample i, closed form: events
-        # hitting slot g are j = offs, offs+G, offs+2G, ... with
-        # offs = (g - counter0) mod G; the latest with j < n_applied[i] is
-        # offs + G * floor((n-1-offs)/G) (valid iff n > offs).
-        g0 = (ctr0 % np.uint32(G)).astype(jnp.int32)
-        offs = jnp.mod(jnp.arange(G, dtype=jnp.int32) - g0, G)[None, :]
-        n_bg = n_applied[:, None]
-        has = n_bg > offs                              # [B, G]
-        j = jnp.clip(offs + G * ((n_bg - 1 - offs) // G), 0, B - 1)
+        # round-5 A/B on the v5e (suite granular_bank, 64x64): event
+        # reconstruction via the one-hot matmul measured 112 rt players vs
+        # 104 for the [G]-lane scan replay below — both exact selections
+        # of the same event quantities; the scan stays selectable (and is
+        # the closer mirror of _process_scan's semantics).
+        ev_mode = _os.environ.get("KNASTER_GRAN_EV", "matmul")
+        if ev_mode == "scan":
+            # sequential replay of the block's spawns: a [G]-lane scan
+            # over the block (the _process_scan event semantics, but ONLY
+            # for the event tables — everything downstream stays
+            # closed-form). Replaces the [B*G, B] one-hot event matmul,
+            # whose materialized one-hot cost ~1 MB per player per block
+            # (64 MB/block at the suite's 64 players). Values are
+            # identical: both paths are exact selections of the same
+            # per-event quantities; the per-sample attribute expressions
+            # index the same elements the ev_* tables gather.
+            e_local_c = jnp.clip(e_local, 0, B - 1)
+            u_s = u[e_local_c]                          # [B, 3]
+            step_s = rate_p * jnp.exp2(u_s[:, 1] * ratej)
+            if self.max_rate is not None:
+                ms = np.float32(abs(self._max_step(ctx)))
+                step_s = jnp.clip(step_s, -ms, ms)
+            ang_s = (u_s[:, 2] * spread * half + half) * half_pi
+            g_iota = jnp.arange(G, dtype=jnp.int32)
+            xs_ev = {
+                "due": due,
+                "slot": (ctr_pre % np.uint32(G)).astype(jnp.int32),
+                "dur": dur_smp,
+                "src0": pos_f + posj_f * u_s[:, 0],
+                "step": step_s,
+                "gl": jnp.cos(ang_s),
+                "gr": jnp.sin(ang_s),
+                "i": i_ar,
+            }
+            carry0 = (state["dur"], state["src0"], state["step"],
+                      state["gl"], state["gr"],
+                      jnp.zeros((G,), jnp.int32),
+                      jnp.zeros((G,), bool))
 
-        # Gathering the six event tables at [B, G] indices is the measured
-        # bottleneck of this path (TPU gathers serialize): routing them
-        # through ONE one-hot matmul on the MXU instead — onehot(j)
-        # [B*G, B] @ stacked tables [B, 6] at HIGHEST precision — is
-        # bit-exact vs the gathers (exact 0/1 rows, full-f32 passes) and
-        # measured 4.3x -> 11.2x realtime at G=64, B=64 on the v5e
-        # (benchmarks/_gran_probe.py evhp). The one-hot is [B*G, B], so for
-        # superblocked programs (large trace-time B) fall back to gathers
-        # above a size cap rather than materialize a quadratic matrix.
-        if B * G * B <= _EVMM_MAX_ONEHOT:
-            tab = jnp.stack([ev_dur, ev_src0, ev_step, ev_gl, ev_gr,
-                             s_of_e.astype(dtype)], axis=1)      # [B, 6]
-            onehot = (j.reshape(-1, 1) ==
-                      jnp.arange(B, dtype=jnp.int32)[None, :]).astype(dtype)
-            vals = jnp.matmul(
-                onehot, tab,
-                precision=jax.lax.Precision.HIGHEST).reshape(B, G, 6)
-            ev_dur_j, ev_src0_j, ev_step_j = (vals[..., 0], vals[..., 1],
-                                              vals[..., 2])
-            ev_gl_j, ev_gr_j = vals[..., 3], vals[..., 4]
-            s_of_e_j = vals[..., 5].astype(jnp.int32)
+            def ev_body(c, x):
+                cdur, csrc, cstep, cgl, cgr, csfe, chas = c
+                upd = x["due"] & (g_iota == x["slot"])
+                c2 = (jnp.where(upd, x["dur"], cdur),
+                      jnp.where(upd, x["src0"], csrc),
+                      jnp.where(upd, x["step"], cstep),
+                      jnp.where(upd, x["gl"], cgl),
+                      jnp.where(upd, x["gr"], cgr),
+                      jnp.where(upd, x["i"], csfe),
+                      chas | upd)
+                return c2, c2
+
+            unroll_ev = (min(B, 64)
+                         if jax.default_backend() not in ("cpu",) else 1)
+            _, ys = jax.lax.scan(ev_body, carry0, xs_ev, unroll=unroll_ev)
+            dur, src0, step, gl, gr, sfe_y, has = ys
+            age = jnp.where(has, i_ar[:, None] - sfe_y,
+                            state["age"][None, :] + (i_ar[:, None] + 1))
+            fresh_src0, fresh_step = src0[B - 1], step[B - 1]
+            fresh_sfe = sfe_y[B - 1]
         else:
-            ev_dur_j, ev_src0_j, ev_step_j = ev_dur[j], ev_src0[j], ev_step[j]
-            ev_gl_j, ev_gr_j, s_of_e_j = ev_gl[j], ev_gr[j], s_of_e[j]
+            # last event governing slot g at sample i, closed form: events
+            # hitting slot g are j = offs, offs+G, offs+2G, ... with
+            # offs = (g - counter0) mod G; the latest with j < n_applied[i]
+            # is offs + G * floor((n-1-offs)/G) (valid iff n > offs).
+            g0 = (ctr0 % np.uint32(G)).astype(jnp.int32)
+            offs = jnp.mod(jnp.arange(G, dtype=jnp.int32) - g0, G)[None, :]
+            n_bg = n_applied[:, None]
+            has = n_bg > offs                              # [B, G]
+            j = jnp.clip(offs + G * ((n_bg - 1 - offs) // G), 0, B - 1)
 
-        dur = jnp.where(has, ev_dur_j, state["dur"][None, :])
-        src0 = jnp.where(has, ev_src0_j, state["src0"][None, :])
-        step = jnp.where(has, ev_step_j, state["step"][None, :])
-        gl = jnp.where(has, ev_gl_j, state["gl"][None, :])
-        gr = jnp.where(has, ev_gr_j, state["gr"][None, :])
-        age = jnp.where(has, i_ar[:, None] - s_of_e_j,
-                        state["age"][None, :] + (i_ar[:, None] + 1))
+            # Gathering the six event tables at [B, G] indices serializes
+            # on TPU: route them through ONE one-hot matmul on the MXU —
+            # onehot(j) [B*G, B] @ stacked tables [B, 6] at HIGHEST
+            # precision — bit-exact vs the gathers (exact 0/1 rows,
+            # full-f32 passes), measured 4.3x -> 11.2x realtime at G=64,
+            # B=64 on the v5e (round 3). The one-hot is [B*G, B], so for
+            # superblocked programs (large trace-time B) fall back to
+            # gathers above a size cap rather than materialize a
+            # quadratic matrix.
+            if B * G * B <= _EVMM_MAX_ONEHOT:
+                tab = jnp.stack([ev_dur, ev_src0, ev_step, ev_gl, ev_gr,
+                                 s_of_e.astype(dtype)], axis=1)  # [B, 6]
+                onehot = (j.reshape(-1, 1) ==
+                          jnp.arange(B, dtype=jnp.int32)[None, :]
+                          ).astype(dtype)
+                vals = jnp.matmul(
+                    onehot, tab,
+                    precision=jax.lax.Precision.HIGHEST).reshape(B, G, 6)
+                ev_dur_j, ev_src0_j, ev_step_j = (vals[..., 0], vals[..., 1],
+                                                  vals[..., 2])
+                ev_gl_j, ev_gr_j = vals[..., 3], vals[..., 4]
+                s_of_e_j = vals[..., 5].astype(jnp.int32)
+            else:
+                ev_dur_j, ev_src0_j, ev_step_j = (ev_dur[j], ev_src0[j],
+                                                  ev_step[j])
+                ev_gl_j, ev_gr_j, s_of_e_j = ev_gl[j], ev_gr[j], s_of_e[j]
+
+            dur = jnp.where(has, ev_dur_j, state["dur"][None, :])
+            src0 = jnp.where(has, ev_src0_j, state["src0"][None, :])
+            step = jnp.where(has, ev_step_j, state["step"][None, :])
+            gl = jnp.where(has, ev_gl_j, state["gl"][None, :])
+            gr = jnp.where(has, ev_gr_j, state["gr"][None, :])
+            age = jnp.where(has, i_ar[:, None] - s_of_e_j,
+                            state["age"][None, :] + (i_ar[:, None] + 1))
+            fresh_src0, fresh_step = ev_src0_j[B - 1], ev_step_j[B - 1]
+            fresh_sfe = s_of_e_j[B - 1]
 
         # identical per-(sample, slot) formulas as the scan body
         a = age.astype(dtype)
@@ -466,9 +548,9 @@ class GrainPlayer(UGen):
             pc = (state["src0"][None, :]
                   + (state["age"][None, :] + (i_ar[:, None] + 1)
                      ).astype(dtype) * state["step"][None, :])
-            ev_src0_g = ev_src0_j[B - 1]
-            ev_step_g = ev_step_j[B - 1]
-            s_of_e_g = s_of_e_j[B - 1]
+            ev_src0_g = fresh_src0
+            ev_step_g = fresh_step
+            s_of_e_g = fresh_sfe
             af = jnp.maximum(i_ar[:, None] - s_of_e_g[None, :], 0
                              ).astype(dtype)
             pf = ev_src0_g[None, :] + af * ev_step_g[None, :]

@@ -93,6 +93,16 @@ class WhiteNoise(_NoiseBase):
         integer adds/rotates/xors, so values are BIT-IDENTICAL to
         ``_block_uniforms``). Two threefry evaluations per sample:
         fold_in(key, frame) then the single-block random_bits draw."""
+        import jax as _jax
+
+        # the bits combine below (b0 ^ b1) restates jax.random's
+        # PARTITIONABLE random_bits path; if the config flag is off (or a
+        # future jax flips the default) the scan path's _block_uniforms
+        # would draw from the other (odd-counter) path and the kernel
+        # stream would silently diverge while still claiming bit-identity
+        # (advisor round-4 finding). Fall back to the scan executor then.
+        if not _jax.config.jax_threefry_partitionable:
+            return None
         B = ctx.block_size
 
         def rotl(x, r):

@@ -207,6 +207,35 @@ def test_allpass_feedback_delay_impulse():
 
 
 # ------------------------------------------------------------------- buffer
+def test_buffer_reader_mid_block_end_zero_fill():
+    """buffer.rs:148-188 process_block: when the read pointer crosses
+    end_frame at sample i, done is marked at frame i+1 and the REST OF THE
+    SAME BLOCK is zero-filled from that frame — not from the next block.
+    24-sample buffer at block 16: block 2 carries 8 real samples then 8
+    zeros, and the FREE_SELF fires off the mid-block done frame."""
+    from knaster_tpu import Done
+
+    data = np.arange(1, 25, dtype=np.float32)[None, :] / 100.0
+    buf = Buffer(data, SR)
+
+    def build(g):
+        r = g.push_with_done_action(BufferReader(buf, rate=1.0), Done.FREE_SELF)
+        r.to_graph_out()
+        return r.id()
+
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=16))
+    rid = g.edit(build)
+    proc.run_without_inputs()
+    np.testing.assert_allclose(proc.output_block()[0], data[0, :16], atol=1e-7)
+    proc.run_without_inputs()
+    out = proc.output_block()[0]
+    np.testing.assert_allclose(out[:8], data[0, 16:24], atol=1e-7)
+    assert np.all(out[8:] == 0.0), out
+    assert rid not in g.nodes  # freed off the mid-block done
+    proc.run_without_inputs()
+    assert np.all(proc.output_block() == 0)
+
+
 def test_buffer_reader_plays_and_done_frees():
     data = np.arange(1, 33, dtype=np.float32)[None, :] / 100.0
     buf = Buffer(data, SR)
