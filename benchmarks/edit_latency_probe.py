@@ -86,6 +86,18 @@ def main():
         rows.append(one_cycle(lambda gg: handles.pop().free()))
         rows.append(one_cycle(lambda gg: handles.append(add_sine(gg))))
 
+    # end-to-end through the processor API (what bench_edit_latency times:
+    # g.edit + run_without_inputs via _ensure_compiled, incl. the deferred
+    # undo-carry prewarm kick)
+    e2e = []
+    for _ in range(4):
+        for mut in (lambda gg: handles.pop().free(),
+                    lambda gg: handles.append(add_sine(gg))):
+            t0 = time.time()
+            g.edit(mut)
+            proc.run_without_inputs()
+            e2e.append(time.time() - t0)
+
     # steady-state block floor (no edit)
     steady = []
     for _ in range(8):
@@ -104,6 +116,8 @@ def main():
         print(f"{k:14s} all cycles: {[ms(v) for v in vals]}")
         summary[k + "_ms"] = ms(min(r[k] for r in last))
     summary["steady_block_ms"] = ms(min(steady))
+    summary["end_to_end_ms"] = ms(min(e2e[2:]))
+    print(f"end_to_end     {[ms(v) for v in e2e]}")
     summary["total_ms"] = round(
         sum(summary[k + "_ms"] for k in
             ("graph_edit", "compile_graph", "init_state", "first_block")), 2

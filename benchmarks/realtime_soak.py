@@ -125,7 +125,23 @@ def main():
             bank.out([0]).to(probe)
         return bank
 
-    builders = {"cascade": build_cascade, "ir": build_ir}
+    def build_edit(g):
+        # SOAK_SCENARIO=edit: a live many-sines set the control thread
+        # RESTRUCTURES while audio runs — push a new voice / free an old
+        # one at ~2 structural edits/s (the SuperCollider idiom; the
+        # reference's raison d'etre, graph.rs:1707-1726 TaskData swap +
+        # graph_gen.rs:93-109). StreamBackend enables async recompile, so
+        # the producer keeps rendering the old program while the worker
+        # compiles (program-cache hits after the first cycle) and swaps
+        # between blocks; underruns measure glitch-freedom.
+        hs = []
+        for i in range(64):
+            s = g.push(SinWt(200.0 + 7.0 * i))
+            (s * 0.002).to_graph_out()
+            hs.append(s)
+        return hs
+
+    builders = {"cascade": build_cascade, "ir": build_ir, "edit": build_edit}
     bank = graph.edit(builders.get(scenario, build))
 
     consumed = [0]
@@ -174,6 +190,25 @@ def main():
             n_events += 4
             group += 1
             time.sleep(0.1)
+    elif scenario == "edit":
+        hs = list(bank)
+        n_edits = 0
+        while time.time() < t_end:
+            def push_one(gg):
+                s = gg.push(SinWt(float(rng.uniform(150, 2000))))
+                (s * 0.002).to_graph_out()
+                return s
+
+            hs.append(graph.edit(push_one))
+            n_edits += 1
+            time.sleep(0.25)
+            if len(hs) > 66 and time.time() < t_end:
+                victim = hs.pop(0)
+                graph.edit(lambda gg: victim.free())
+                n_edits += 1
+            time.sleep(0.25)
+            group += 1
+        n_events = n_edits
     else:
         trig = bank.voice_param("t_restart")
         rel = bank.voice_param("t_release")
@@ -207,6 +242,8 @@ def main():
             if scenario == "cascade"
             else f"ir{ir_seconds:g}s_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
             if scenario == "ir"
+            else f"live_edit_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
+            if scenario == "edit"
             else f"{V}voices_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
             + ("_galactic" if with_fx else "")
         ),

@@ -278,6 +278,10 @@ class StreamBackend(AudioBackend):
         for t in self._threads:
             t.join(timeout=2.0)
         self._threads = []
+        if self.processor is not None:
+            # a daemon compile/prewarm worker caught mid-XLA-compile at
+            # interpreter exit aborts from C++ — drain it before returning
+            self.processor.join_background()
 
     # -- duplex input ------------------------------------------------------
     def push_input(self, block) -> int:

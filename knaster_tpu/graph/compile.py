@@ -639,7 +639,20 @@ def compile_graph(
         revision=root.revision,
         canon={nid: i for i, nid in enumerate(order)},
     )
-    cg.plan = _plan_batches(cg) if auto_batch else [("single", nid) for nid in order]
+    # the plan pass (chain detection especially) is pure host Python and
+    # was the dominant share of a CACHE-HIT compile (~6 ms of ~10 ms at
+    # 256 nodes — round-5 edit_latency_probe breakdown; ~20 blocks of
+    # audio at block 16). The plan is a pure function of the structural
+    # signature in canonical position space (_plan_batches docstring), so
+    # it is cached like the programs and translated back to node ids.
+    cg.signature = _structural_signature(cg, auto_batch)
+    cached_plan = _plan_cache_get(cg.signature)
+    if cached_plan is not None:
+        cg.plan = _plan_from_pos(order, cached_plan)
+    else:
+        cg.plan = (_plan_batches(cg) if auto_batch
+                   else [("single", nid) for nid in order])
+        _plan_cache_put(cg.signature, _plan_to_pos(cg))
 
     # ------------------------------------------------------------ param slots
     # Slot order follows the PLAN: a batch group's members get CONTIGUOUS
@@ -687,8 +700,8 @@ def compile_graph(
     # A structural commit whose canonical shape matches a previously compiled
     # graph reuses both jitted programs outright — only the state carry is
     # rebuilt. This is the reference's microsecond TaskData swap
-    # (graph.rs:1707-1726) for recurring live-edit shapes.
-    cg.signature = _structural_signature(cg, auto_batch)
+    # (graph.rs:1707-1726) for recurring live-edit shapes. (signature was
+    # computed above for the plan cache.)
     hit = _program_cache_get(cg.signature)
     if hit is not None:
         cg.render = hit["render"]
@@ -1001,6 +1014,105 @@ def _program_cache_put(sig, entry):
 def clear_program_cache() -> None:
     with _PROGRAM_CACHE_LOCK:
         _PROGRAM_CACHE.clear()
+        _PLAN_CACHE.clear()
+
+
+# ---------------------------------------------------------------- plan cache
+# cached batching/chain plans keyed by the structural signature, stored in
+# CANONICAL (topo-position) space so they replay onto any graph with the
+# same structure regardless of node-id numbering (see compile_graph).
+_PLAN_CACHE: "OrderedDict[Any, Any]" = OrderedDict()
+_PLAN_CACHE_CAP = 256
+
+
+def _plan_cache_get(sig):
+    if sig is None:
+        return None
+    with _PROGRAM_CACHE_LOCK:
+        hit = _PLAN_CACHE.get(sig)
+        if hit is not None:
+            _PLAN_CACHE.move_to_end(sig)
+        return hit
+
+
+def _plan_cache_put(sig, plan_pos) -> None:
+    if sig is None:
+        return
+    with _PROGRAM_CACHE_LOCK:
+        _PLAN_CACHE[sig] = plan_pos
+        while len(_PLAN_CACHE) > _PLAN_CACHE_CAP:
+            _PLAN_CACHE.popitem(last=False)
+
+
+def _desc_to_pos(canon, d):
+    """('abs', kind, src_nid, ch) -> position form; 'rel' descs unchanged."""
+    if d[0] == "abs":
+        _a, kind, s, c = d
+        return ("abs", kind, None if s is None else canon[s], c)
+    return d
+
+
+def _desc_to_nid(order, d):
+    if d[0] == "abs":
+        _a, kind, s, c = d
+        return ("abs", kind, None if s is None else order[s], c)
+    return d
+
+
+def _chain_to_pos(canon, cp):
+    return (
+        tuple(tuple(canon[n] for n in st) for st in cp.stages),
+        cp.period,
+        tuple(tuple(tuple(_desc_to_pos(canon, d) for d in row)
+                    for row in rows) for rows in cp.in_pattern),
+        tuple(tuple((pi, _desc_to_pos(canon, d)) for pi, d in pes)
+              for pes in cp.pe_pattern),
+        tuple(tuple(k) for k in cp.carry_keys),
+        tuple(sorted(
+            (tuple(k), (kind, None if s is None else canon[s], c))
+            for k, (kind, s, c) in cp.carry_init.items()
+        )),
+    )
+
+
+def _chain_from_pos(order, t):
+    stages_p, period, inp, pep, ckeys, cinit = t
+    return ChainPlan(
+        stages=[[order[p] for p in st] for st in stages_p],
+        period=period,
+        in_pattern=[tuple(tuple(_desc_to_nid(order, d) for d in row)
+                          for row in rows) for rows in inp],
+        pe_pattern=[tuple((pi, _desc_to_nid(order, d)) for pi, d in pes)
+                    for pes in pep],
+        carry_keys=[tuple(k) for k in ckeys],
+        carry_init={tuple(k): (kind, None if s is None else order[s], c)
+                    for k, (kind, s, c) in cinit},
+    )
+
+
+def _plan_to_pos(cg):
+    canon = cg.canon
+    out = []
+    for kind, item in cg.plan:
+        if kind == "single":
+            out.append(("single", canon[item]))
+        elif kind == "batch":
+            out.append(("batch", tuple(canon[n] for n in item)))
+        else:
+            out.append(("chain", _chain_to_pos(canon, item)))
+    return tuple(out)
+
+
+def _plan_from_pos(order, plan):
+    out = []
+    for kind, item in plan:
+        if kind == "single":
+            out.append(("single", order[item]))
+        elif kind == "batch":
+            out.append(("batch", [order[p] for p in item]))
+        else:
+            out.append(("chain", _chain_from_pos(order, item)))
+    return out
 
 
 def _structural_signature(cg: CompiledGraph, auto_batch: bool):

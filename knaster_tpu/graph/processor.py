@@ -121,16 +121,29 @@ class AudioProcessor:
             and prev_compiled.cache_entry is not None
             and self.compiled.signature is not None
         ):
-            # kick BEFORE the forward carry below so the two compiles
-            # overlap: by the time this edit is audible, the undo carry
-            # (prev <- new) is warm and the next free/undo swaps in ms
-            import threading
-
-            old_cg, new_cg = prev_compiled, self.compiled
-            threading.Thread(
-                target=old_cg.prewarm_carry, args=(new_cg,), daemon=True
-            ).start()
+            # DEFER the undo-carry prewarm until after the first block of
+            # the new program is dispatched (see run()): the worker thread
+            # is pure-Python jit tracing, and on a single-core host its
+            # GIL time landed inside the edit->audible window — the
+            # round-5 edit_latency_probe measured the same cycle at 14 ms
+            # phase-split vs 77 ms with the thread kicked here.
+            self._pending_prewarm = (prev_compiled, self.compiled)
         self.state = self.compiled.init_state(prev_state, prev_compiled)
+
+    # undo-carry prewarm deferred out of the edit->audible window (run())
+    _pending_prewarm = None
+    _prewarm_thread = None
+
+    def join_background(self, timeout: float = 120.0) -> None:
+        """Wait for background compile/prewarm workers to finish.
+
+        A daemon worker caught mid-XLA-compile at interpreter exit
+        terminates the process from C++ ("terminate called ... exception
+        not rethrown"); StreamBackend.stop() calls this so a live-edited
+        stream shuts down cleanly."""
+        for t in (self._compile_thread, self._prewarm_thread):
+            if t is not None and t.is_alive():
+                t.join(timeout=timeout)
 
     # -- async recompile (used by the streaming backend) -------------------
     _async_recompile = False
@@ -585,6 +598,18 @@ class AudioProcessor:
             self.state, out, done = self.compiled.render_fast(self.state, inputs)
         self._last_out = out
         self.graph.clock.frames += self.graph.block_size
+        if self._pending_prewarm is not None:
+            # deferred from _ensure_compiled: warm the undo carry
+            # (prev <- new) now that this edit's first block is dispatched
+            import threading
+
+            old_cg, new_cg = self._pending_prewarm
+            self._pending_prewarm = None
+            t = threading.Thread(
+                target=old_cg.prewarm_carry, args=(new_cg,), daemon=True
+            )
+            self._prewarm_thread = t
+            t.start()
         if self.compiled.has_done_actions:
             self._apply_done_flags(np.asarray(done))
 
