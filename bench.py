@@ -45,12 +45,21 @@ def main():
     }
     bank = PallasSineVoiceBank(N_VOICES, voice_defaults=defaults)
     state = bank.init(ctx)
-    # start all envelopes via one event block, then run event-free blocks
-    # (steady-state throughput, the realtime-equivalent measure)
+    # start EVERY voice's envelope via staged event blocks during warmup
+    # (event capacity bounds triggers per block), then measure event-free
+    # steady state: "realtime voices" = SOUNDING voices, not 256 sounding
+    # + idle rest (round-5 hardening; per-voice kernel work is identical
+    # either way, so the throughput number itself is unchanged)
     trig_idx = bank.trig_index("t_restart")
-    first_events = bank.node_events_from_lists(
-        [(0, v, trig_idx, 1, 0.0) for v in range(min(N_VOICES, bank.event_capacity))]
-    )
+    cap = bank.event_capacity
+    stages = [
+        bank.node_events_from_lists(
+            [(0, v, trig_idx, 1, 0.0)
+             for v in range(base, min(base + cap, N_VOICES))]
+        )
+        for base in range(0, N_VOICES, cap)
+    ]
+    ev_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stages)
 
     n_blocks = max(1, int(SECONDS * SR) // BLOCK)
     no_in = jnp.zeros((0, BLOCK), ctx.dtype)
@@ -60,9 +69,15 @@ def main():
         return result[0], result[1]
 
     @jax.jit
-    def render(state):
-        state, _ = block_step(state, first_events)
+    def start_all(state):
+        def body(st, ev):
+            st, out = block_step(st, ev)
+            return st, out[:, -1]
 
+        return jax.lax.scan(body, state, ev_stack)
+
+    @jax.jit
+    def render(state):
         def body(st, _):
             # events=None is the steady-state program (what the graph
             # engine's fast program runs for event-free blocks)
@@ -78,6 +93,8 @@ def main():
     # block_until_ready after a fresh compile can return before the remote
     # execution finishes, poisoning the timing.
     t0 = time.time()
+    state, last_cols = start_all(state)
+    mix_amp = float(np.abs(np.asarray(last_cols)[-1]).max())
     st, means = render(state)
     _ = np.asarray(means)
     compile_and_first = time.time() - t0
@@ -122,7 +139,8 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# {N_VOICES} voices, {frames} frames in {dt:.3f}s -> "
+        f"# {N_VOICES} voices (ALL triggered; mix peak {mix_amp:.1f}), "
+        f"{frames} frames in {dt:.3f}s -> "
         f"{realtime_voices:.0f} realtime voices @48kHz "
         f"(compile+warmup {compile_and_first:.1f}s, platform "
         f"{jax.devices()[0].platform})",

@@ -24,7 +24,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SOAK_SECONDS = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+_pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SOAK_SECONDS = float(_pos_args[0]) if _pos_args else 10.0
 V = 131072
 SR = 48000
 BLOCK = int(os.environ.get("SOAK_BLOCK", 64))  # 16 = the live-latency regime
@@ -235,7 +236,7 @@ def main():
     backend.stop()
     wall = SOAK_SECONDS
     audio_s = consumed[0] / SR
-    print(json.dumps({
+    row = {
         "bench": "realtime_soak",
         "config": (
             f"{n_casc}node_cascade_block{BLOCK}_chunk{CHUNK_BLOCKS}_la{LOOKAHEAD}"
@@ -255,7 +256,20 @@ def main():
         "peak": round(peak[0], 4),
         "probe_reads": probe_reads[0],
         "startup_s": round(setup_s, 1),
-    }))
+    }
+    print(json.dumps(row))
+    if "--baseline" in sys.argv:
+        # gate realtime behavior like throughput (VERDICT round-5 #8):
+        # any underrun beyond the committed row's count fails the run
+        from benchmarks.suite import compare_to_baseline
+
+        path = os.path.join(os.path.dirname(__file__), "baseline_tpu.json")
+        regs = compare_to_baseline([row], path)
+        for r in regs:
+            print(f"# REGRESSION {r}")
+        if regs:
+            raise SystemExit(1)
+        print("# soak check OK vs baseline")
 
 
 if __name__ == "__main__":

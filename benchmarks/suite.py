@@ -60,10 +60,12 @@ COMPARE_FIELDS = {
 
 def _direction(rec, field):
     """Comparison direction for a field of a record. ``value`` is
-    higher-is-better everywhere except latency benches (unit in ms),
-    where lower is better (edit_latency)."""
+    higher-is-better everywhere except latency benches (unit in ms) and
+    the soak rows (unit underruns), where lower is better."""
     d = COMPARE_FIELDS[field]
-    if field == "value" and str(rec.get("unit", "")).startswith("ms"):
+    if field == "value" and str(rec.get("unit", "")).startswith(
+        ("ms", "underruns")
+    ):
         return -d
     return d
 
@@ -85,6 +87,16 @@ def compare_to_baseline(records, baseline_path, tolerance=0.10):
         for field in COMPARE_FIELDS:
             a, b = rec.get(field), ref.get(field)
             if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+                continue
+            if field == "value" and str(rec.get("unit", "")).startswith(
+                "underruns"
+            ):
+                # soak rows: absolute — any underrun beyond the committed
+                # count (0 for the gated scenarios) is a regression
+                if a > b:
+                    regressions.append(
+                        f"{key[0]}[{key[1]}].underruns: {a} vs baseline {b}"
+                    )
                 continue
             if b == 0 or a == 0:
                 continue

@@ -1640,7 +1640,10 @@ class ModalVoice(UGen):
         import numpy as np
 
         from ..parallel.generic_bank import MosaicVoiceSpec
-        from ..parallel.pallas_bank import _HALF_PI, _env_ar, _env_ar_free
+        from ..parallel.pallas_bank import (
+            _HALF_PI, _env_ar, _env_ar_free, _exp_poly, _sin_poly,
+            _sincos_halfturn,
+        )
         from ..ugens.modal import _LN10_M3
 
         res = self.res
@@ -1682,17 +1685,26 @@ class ModalVoice(UGen):
             for m in range(M):
                 # same f32 grouping as ModalResonator: (2pi/sr) * (freq*ratio)
                 theta = c2pi * (freq * ratios[m])
-                r = jnp.exp(k_exp[m] * inv_decay)
+                # polynomial transcendentals (round 5): the hw exp/cos/sin
+                # slots were 36 per voice-sample and the roofline pinned
+                # this body at ~30% of ceiling on exactly that class
+                # (RESULTS.md). _exp_poly/_sincos_halfturn are <=2e-7 from
+                # the hw ops; above pi the mode is dead (r = 0), where the
+                # fold's out-of-domain values are masked like before.
+                r = _exp_poly(k_exp[m] * inv_decay)
                 r = jnp.where(theta < pi_f, r, zero)
-                cth = r * jnp.cos(theta)
-                sth = r * jnp.sin(theta)
+                sth_u, cth_u = _sincos_halfturn(theta)
+                cth = r * cth_u
+                sth = r * sth_u
                 s0, s1 = carry[f"s{m}a"], carry[f"s{m}b"]
                 s0n = cth * s0 - sth * s1 + x
                 s1n = sth * s0 + cth * s1
                 new[f"s{m}a"], new[f"s{m}b"] = s0n, s1n
                 acc = acc + gains[m] * s1n
             angle = (P["pan"] * half + half) * _HALF_PI
-            return new, (acc * jnp.cos(angle), acc * jnp.sin(angle))
+            return new, (
+                acc * _sin_poly(_HALF_PI - angle), acc * _sin_poly(angle)
+            )
 
         def idle_of(c):
             e2 = zero

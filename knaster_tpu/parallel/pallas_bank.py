@@ -609,6 +609,41 @@ def _sin_poly(u):
     return (p * u2 + _SIN_C[0]) * u
 
 
+# degree-5 fit of 2^f on [-0.5, 0.5] (rel err <= 1.8e-7): the mantissa
+# half of the range-reduced polynomial exp below
+_EXP2_C = (np.float32(0.0013400433), np.float32(0.009676037),
+           np.float32(0.05550327), np.float32(0.24022107),
+           np.float32(0.6931472), np.float32(1.0000001))
+_LOG2E = 1.4426950408889634
+_PI_F = float(np.pi)
+
+
+def _exp_poly(x):
+    """exp(x) for x <= 0 without the hardware transcendental slot:
+    base-2 range reduction x*log2(e) = n + f (f in [-0.5, 0.5]), 2^n by
+    exponent-field construction (Mosaic-legal bitcast; n clamped to
+    [-126, 0] — the result underflows to ~0 exactly where hw exp does),
+    2^f by the degree-5 polynomial (rel err <= 1.8e-7)."""
+    z = jnp.maximum(x * np.float32(_LOG2E), np.float32(-126.0))
+    n = jnp.round(z)
+    f = z - n
+    p = _EXP2_C[0]
+    for c in _EXP2_C[1:]:
+        p = p * f + c
+    n_i = jnp.clip(n, -126.0, 0.0).astype(jnp.int32)
+    pow2n = pltpu.bitcast((n_i + 127) << 23, jnp.float32)
+    return pow2n * p
+
+
+def _sincos_halfturn(theta):
+    """(sin, cos) of theta in [0, pi] via the odd minimax polynomial:
+    sin by folding about pi/2 (sin(pi-t) = sin t), cos as sin(pi/2 - t)
+    (argument already in [-pi/2, pi/2]). Abs err <= 1.2e-7 each."""
+    s = _sin_poly(jnp.minimum(theta, np.float32(_PI_F) - theta))
+    c = _sin_poly(_HALF_PI - theta)
+    return s, c
+
+
 def _svf_low_coeffs(x, q):
     """SVF lowpass coefficients (svf.rs set_coeffs, Low type) in the
     one-divide form: with s = sin(x), c = cos(x) (x = pi*cutoff/sr in
