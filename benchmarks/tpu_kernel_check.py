@@ -362,7 +362,13 @@ def main():
                 trig = pb._trig_names[0] if pb._trig_names else None
                 # the library kernels are transcendental-free (table sine /
                 # minimax polys — deterministic mul/add on both backends);
-                # the modal body uses hardware exp/sin/cos whose Mosaic-vs-
+                # the modal body uses polynomial exp/sin/cos (round 5,
+                # 2.35G -> 5.36G vs/s) <=2e-7 from the vmap path's hw
+                # ops; the diff accumulates as phase drift through the
+                # ringing modes (~2.4e-7 rad/sample), and an f64-truth
+                # test pins both executors to the same bound
+                # (tests/test_generic_bank.py::test_generic_modal_truth_parity).
+                # previous rationale: hardware exp/sin/cos Mosaic-vs-
                 # XLA ULP differences compound through the rotation carry
                 tol = 1e-3 if "modal" in fam else 5e-5
                 for blk in range(3):

@@ -386,8 +386,82 @@ def test_generic_modal_matches_vmap():
     }
     a, b, sa, sb = _run_pair(gb, vb, ctx, sched, 6)
     assert np.abs(b).max() > 1e-3
-    np.testing.assert_allclose(a, b, atol=2e-5)
+    # bound: both executors drift O(t * ulp) in PHASE from the true f64
+    # resonator (the vmap path via XLA cos/sin rounding through the scan
+    # tree, the kernel via its <=2e-7 polynomial transcendentals — round-5
+    # change that took the modal bank 2.35G -> 5.36G voice-samples/s), so
+    # their MUTUAL divergence grows ~2.4e-7 rad/sample through a ringing
+    # mode. 384 samples here -> ~1e-4; test_generic_modal_truth_parity
+    # pins each path against an exact f64 replay so this bound can't
+    # silently absorb a real defect.
+    np.testing.assert_allclose(a, b, atol=1.5e-4)
     np.testing.assert_array_equal(np.asarray(sa["idle"]), np.asarray(sb["idle"]))
+
+
+def test_generic_modal_truth_parity():
+    """Both modal executors against an exact f64 replay of the recurrence:
+    one struck voice, no events after the strike — truth is the f64
+    rotation-decay recurrence driven by the f64 mallet pulse. Asserts each
+    path stays within the same phase-drift bound of truth (neither
+    executor is privileged; the A/B tolerance above is not hiding a
+    defect in one of them)."""
+    from knaster_tpu import ModalVoice
+    from knaster_tpu.ugens.modal import _LN10_M3, ModalResonator
+
+    ctx = AudioCtx(SR, 64, np.float32)
+    n_blocks = 12
+    T = 64 * n_blocks
+    res = ModalResonator.bell(440.0)
+    mk = lambda: ModalVoice(res, strike_ms=1.5, done_threshold=0.0)
+    V = 128  # one lane row; only voice 0 is struck, the rest stay silent
+    d = {"freq": np.full(V, 440.0, np.float32),
+         "amp": np.full(V, 0.5, np.float32),
+         "pan": np.zeros(V, np.float32),
+         "decay": np.full(V, 1.7, np.float32)}
+    gb = PallasVoiceBank(mk(), V, voice_defaults=d, event_capacity=64)
+    vb = VoiceBank(mk(), V, voice_defaults=d, event_capacity=64)
+    sched = {0: [(0, 0, gb.trig_index("t_strike"), 1, 0.0)]}
+    a, b, _, _ = _run_pair(gb, vb, ctx, sched, n_blocks)
+
+    # f64 truth: the same mallet AR pulse and rotation-decay recurrence
+    half = mk()._half
+    atk_n = max(0.00075 * SR, 1.0)  # strike_ms/2 attack
+    rel_n = max(0.00075 * SR, 1.0)
+    t_env = 0.0
+    stage = 1.0
+    pulse = np.zeros(T)
+    for i in range(T):
+        if stage == 1.0:
+            pulse[i] = t_env
+            t_env += 1.0 / atk_n
+            if t_env >= 1.0:
+                stage, t_env = 2.0, 1.0
+        elif stage == 2.0:
+            pulse[i] = t_env ** 3
+            t_env -= 1.0 / rel_n
+            if t_env <= 0.0:
+                stage, t_env = 0.0, 0.0
+    inv_area = 1.0 / max(half * SR, 1.0)
+    x = pulse * 0.5 * inv_area
+    yt = np.zeros(T)
+    for m in range(res.n_modes):
+        theta = 2.0 * np.pi * 440.0 * float(res.ratios[m]) / SR
+        if theta >= np.pi:
+            continue
+        r = np.exp(float(_LN10_M3) / (float(res.decays[m]) * SR * 1.7))
+        s0 = s1 = 0.0
+        for i in range(T):
+            s0, s1 = (r * np.cos(theta) * s0 - r * np.sin(theta) * s1 + x[i],
+                      r * np.sin(theta) * s0 + r * np.cos(theta) * s1)
+            yt[i] += float(res.gains[m]) * s1
+    # equal-power center pan
+    yt = yt * np.cos(np.pi / 4.0)
+    bound = 1e-5 + T * 3e-7
+    err_kernel = np.abs(a[0] - yt).max()
+    err_vmap = np.abs(b[0] - yt).max()
+    assert np.abs(yt).max() > 1e-3
+    assert err_kernel < bound, err_kernel
+    assert err_vmap < bound, err_vmap
 
 
 def test_generic_modal_pool_reclaims():
