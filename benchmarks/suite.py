@@ -270,6 +270,22 @@ def _live_chunk_rates(proc, ns=(2, 4)):
         out[f"evchunk{n}_realtime_x"] = _scan_slope_rate(
             estep, proc.state, n * B, lo=100, hi=1100
         )
+
+        # float-event variant: block 0 keeps the chain kernel (trigger-free
+        # control batches — compile.get_float_fn)
+        from knaster_tpu.graph.compile import chain_in_plan
+
+        if chain_in_plan(cg):
+            fraw = _build_render(cg, float_events=True)
+
+            def fstep(s, fr=fraw, rr=rraw, in0=in0, inr=inr):
+                st, out0, _d0 = fr(s, ev, in0)
+                st, outr, _d1 = rr(st, inr)
+                return st, jnp.concatenate([out0, outr], axis=1)
+
+            out[f"fltchunk{n}_realtime_x"] = _scan_slope_rate(
+                fstep, proc.state, n * B, lo=100, hi=1100
+            )
     return out
 
 

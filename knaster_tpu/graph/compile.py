@@ -128,6 +128,9 @@ class CompiledGraph:
     superblock_max: float = float("inf")
     # one-dispatch eventful-chunk programs (block-0 events + superblock rest)
     evchunk_fns: Dict[int, Any] = field(default_factory=dict)
+    # lazily-built float-event full programs (chain kernel + event
+    # machinery; key 1 = per-block, "ev{n}" = float-event evchunk)
+    float_fns: Dict[Any, Any] = field(default_factory=dict)
     # canonical node labels (position in topo order): state/event pytree keys
     # use these, NOT node ids, so topologically identical graphs share both
     # program and state structure (the program cache)
@@ -712,6 +715,7 @@ def compile_graph(
         cg.full_scan_fn = hit.get("full_scan_fn")
         cg.super_fns = hit.setdefault("super_fns", {})
         cg.evchunk_fns = hit.setdefault("evchunk_fns", {})
+        cg.float_fns = hit.setdefault("float_fns", {})
         cg.superblock_ok = hit.get("superblock_ok")
         cg.superblock_max = hit.get("superblock_max", float("inf"))
         cg.cache_entry = hit
@@ -730,6 +734,7 @@ def compile_graph(
             "render_fast_raw": cg.render_fast_raw,
             "super_fns": cg.super_fns,  # shared dict: lazily-built multiples
             "evchunk_fns": cg.evchunk_fns,
+            "float_fns": cg.float_fns,
         }
         _program_cache_put(cg.signature, entry)
         cg.cache_entry = entry
@@ -930,6 +935,65 @@ def get_full_super_scan_fn(cg: CompiledGraph, k: int,
         cg.super_fns[key] = fn
         if cg.cache_entry is not None:
             cg.cache_entry.setdefault("super_fns", {})[key] = fn
+    return fn
+
+
+def chain_in_plan(cg: CompiledGraph) -> bool:
+    return any(kind == "chain" for kind, _ in cg.plan)
+
+
+def get_float_fn(cg: CompiledGraph, existing_only: bool = False):
+    """The jitted FLOAT-EVENT full program (see _build_render): full event
+    machinery with collapsed chains still on the Pallas kernel — exact for
+    blocks whose event batch carries float/int sets and smoothing but NO
+    trigger events (the kernel skips trigger planes). None when the graph
+    has no collapsed chain or the kernel is off. Lazily built, shared
+    through the program cache."""
+    if not chain_kernel.enabled() or not chain_in_plan(cg):
+        return None
+    fn = cg.float_fns.get(1)
+    if fn is None:
+        if existing_only:
+            return None
+        raw = _build_render(cg, float_events=True)
+        fn = jax.jit(raw, donate_argnums=(0,))
+        cg.float_fns[1] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("float_fns", {})[1] = fn
+    return fn
+
+
+def get_float_evchunk_fn(cg: CompiledGraph, n: int,
+                         existing_only: bool = False):
+    """get_evchunk_fn's float-event sibling: block 0 runs the FLOAT-EVENT
+    full program (chain kernel + event machinery), the rest the fast
+    superblock — so a trigger-free control batch costs a kernel-speed
+    chunk instead of demoting block 0 to the scan executor."""
+    if n < 2 or not chain_kernel.enabled() or not chain_in_plan(cg):
+        return None
+    key = f"ev{n}"
+    fn = cg.float_fns.get(key)
+    if fn is None:
+        if existing_only:
+            return None
+        B = cg.ctx.block_size
+        n_in = cg.graph.inputs
+        if not (superblock_eligible(cg) and (n - 1) * B <= cg.superblock_max):
+            return None
+        first_raw = _build_render(cg, float_events=True)
+        rest_raw = _build_render(cg, fast=True, block_multiple=n - 1)
+
+        def evchunk(state, events, in_first, in_rest):
+            st, out0, done0 = first_raw(state, events, in_first)
+            st, out_rest, done1 = rest_raw(st, in_rest)
+            out = (jnp.concatenate([out0, out_rest], axis=1)
+                   if out0.size else out0)
+            return st, out, done0 | done1
+
+        fn = jax.jit(evchunk, donate_argnums=(0,))
+        cg.float_fns[key] = fn
+        if cg.cache_entry is not None:
+            cg.cache_entry.setdefault("float_fns", {})[key] = fn
     return fn
 
 
@@ -1494,10 +1558,22 @@ def _instance_default(ugen, pidx: int):
 
 
 def _build_render(cg: CompiledGraph, fast: bool = False,
-                  block_multiple: int = 1):
+                  block_multiple: int = 1, float_events: bool = False):
     """Trace the block program. ``fast=True`` builds the no-events variant
     (base ramps only; node event channels get all-padding constants) — the
     steady-state program the bounce scan uses.
+
+    ``float_events=True`` builds the FLOAT-EVENT full program: identical to
+    the full program (event tensors, per-sample materialized params) except
+    collapsed chains still run the Pallas chain kernel — exact for
+    float/int set and smoothing events, whose values reach the stage
+    bodies through the materialized per-sample param planes (the universal
+    param interface), while TRIGGER events would be dropped (the kernel
+    skips bool planes). The host dispatches it only for blocks whose event
+    batch carries no trigger events (processor.run); the live-chunk tier
+    uses it so a control batch no longer demotes the whole chunk to the
+    scan executor (block-16 eventful chunk measured 0.9x rt vs 9.0x
+    event-free — VERDICT round-5 #7's remaining gap).
 
     ``block_multiple`` = k > 1 builds the SUPERBLOCK fast program: the whole
     graph evaluated over one k*B-sample block in a single device dispatch —
@@ -1846,10 +1922,11 @@ def _build_render(cg: CompiledGraph, fast: bool = False,
                 }
                 xs = {"st": state["nodes"][ckey], "par": par}
 
-                # event-free fast program: try the single-kernel Pallas
-                # executor (stage loop in VMEM) before the lax.scan one
+                # event-free fast program (or the float-event full
+                # program): try the single-kernel Pallas executor (stage
+                # loop in VMEM) before the lax.scan one
                 pallas_res = None
-                if fast and chain_kernel.enabled():
+                if (fast or float_events) and chain_kernel.enabled():
                     ext = {
                         d: read_source(d[1], d[2], d[3])
                         for d in chain_kernel.ext_descs(cp)

@@ -237,6 +237,28 @@ class AudioProcessor:
                           self.graph.dtype),
             )
             jax.block_until_ready(out[1])
+        # float-event programs (collapsed chains only): trigger-free
+        # control batches stay on the chain kernel (get_float_fn)
+        from .compile import get_float_evchunk_fn as _gfe
+        from .compile import get_float_fn as _gff
+
+        ffn = _gff(cg)
+        if ffn is not None:
+            B = self.graph.block_size
+            out = ffn(
+                cp(base_state), cg.empty_events(),
+                jnp.zeros((self.graph.inputs, B), self.graph.dtype),
+            )
+            jax.block_until_ready(out[1])
+            fev = _gfe(cg, n_chunk)
+            if fev is not None:
+                out = fev(
+                    cp(base_state), cg.empty_events(),
+                    jnp.zeros((self.graph.inputs, B), self.graph.dtype),
+                    jnp.zeros((self.graph.inputs, (n_chunk - 1) * B),
+                              self.graph.dtype),
+                )
+                jax.block_until_ready(out[1])
         # the general eventful-superblock chunk program (events anywhere in
         # the chunk = one dispatch) — superblock-eligible graphs only
         B = self.graph.block_size
@@ -592,7 +614,22 @@ class AudioProcessor:
         fl, tl, il, nd = lists
         if fl or tl or il or nd:
             events = self._events_tensor(lists)
-            self.state, out, done = self.compiled.render(self.state, events, inputs)
+            ffn = None
+            if not tl:
+                # trigger-free batch: the float-event program keeps
+                # collapsed chains on the Pallas kernel (float/int sets
+                # and smoothing reach the stage bodies through the
+                # materialized per-sample params — exact). Only used when
+                # already warm: a mid-stream jit trace would stall.
+                from .compile import get_float_fn
+
+                ffn = get_float_fn(self.compiled, existing_only=True)
+            if ffn is not None:
+                self.state, out, done = ffn(self.state, events, inputs)
+            else:
+                self.state, out, done = self.compiled.render(
+                    self.state, events, inputs
+                )
         else:
             # the cheap steady-state program (no event machinery traced in)
             self.state, out, done = self.compiled.render_fast(self.state, inputs)
@@ -825,7 +862,19 @@ class AudioProcessor:
             # fused [eventful block + (n-1)-superblock] program, pre-warmed
             # by the streaming backend
             if n >= 2 and eventful[0] and not any(eventful[1:]):
-                evfn = get_evchunk_fn(self.compiled, n, existing_only=True)
+                evfn = None
+                if not per_block[0][1]:  # no trigger events in the batch
+                    # float-event variant: block 0 stays on the chain
+                    # kernel (see compile.get_float_evchunk_fn)
+                    from .compile import get_float_evchunk_fn
+
+                    evfn = get_float_evchunk_fn(
+                        self.compiled, n, existing_only=True
+                    )
+                if evfn is None:
+                    evfn = get_evchunk_fn(
+                        self.compiled, n, existing_only=True
+                    )
                 if evfn is not None:
                     ev = self._events_tensor(per_block[0])
                     self.state, out_flat, done_vec = evfn(

@@ -5,6 +5,7 @@ These run the kernel in interpret mode on the CPU mesh (KNASTER_CHAIN_PALLAS
 forced to "1"); the TPU A/B numbers live in benchmarks/RESULTS.md.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -594,3 +595,66 @@ def test_noise_chain_kernel(monkeypatch):
     # Mosaic-safe lanes scan (core/dsp.affine_scan_1d_lanes), which
     # reassociates vs associative_scan at the ULP level
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_float_event_program_matches_full(monkeypatch):
+    """The FLOAT-EVENT full program (compile.get_float_fn): a trigger-free
+    control batch runs the collapsed chain on the Pallas kernel with the
+    event machinery around it. A mid-block float set through the cascade
+    must match the scan-executor full program (the set reaches the stage
+    bodies through the SAME materialized per-sample params), and the
+    kernel must actually engage for the eventful block."""
+    from knaster_tpu import Seconds
+    from knaster_tpu.graph.compile import get_float_fn
+    from knaster_tpu.graph.processor import copy_state
+
+    calls = _spy(monkeypatch)
+    monkeypatch.setattr(ck, "_MODE", "1")
+    C.clear_program_cache()
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=64))
+    hs = []
+    g.edit(lambda gg: build_cascade(gg, 16, hs))
+    proc.render(frames=128)  # warm + advance past the transient
+    proc._ensure_compiled()
+    cg = proc.compiled
+
+    # a mid-block float set on a mid-chain node's freq
+    hs[7].param("freq").set_at(
+        333.0, Seconds.from_samples(proc.graph.clock.frames + 17, 48000)
+    )
+    (lists,) = proc._collect_due_events(1)
+    fl, tl, il, nd = lists
+    assert fl and not tl, "fixture: expected a float-only batch"
+    ev = proc._events_tensor(lists)
+    inp = np.zeros((0, 64), np.float32)
+
+    import jax
+    ev = jax.tree_util.tree_map(jnp.asarray, ev)
+    st0 = copy_state(proc.state)
+    _, out_full, done_full = cg.render(copy_state(st0), ev, inp)
+    before_ok = calls["ok"]
+    ffn = get_float_fn(cg)
+    assert ffn is not None
+    _, out_float, done_float = ffn(copy_state(st0), ev, inp)
+    assert calls["ok"] > before_ok, "chain kernel never engaged in float program"
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_float), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done_full), np.asarray(done_float))
+
+
+def test_float_event_program_absent_without_chain(monkeypatch):
+    """Graphs with no collapsed chain never build a float-event program."""
+    from knaster_tpu.graph.compile import get_float_fn
+
+    monkeypatch.setattr(ck, "_MODE", "1")
+    C.clear_program_cache()
+    g, proc = AudioProcessor.new(0, 1, AudioProcessorOptions(block_size=16))
+
+    def build(gg):
+        s = gg.push(SinWt(440.0))
+        (s * 0.1).to_graph_out()
+
+    g.edit(build)
+    proc._ensure_compiled()
+    assert get_float_fn(proc.compiled) is None
